@@ -1,0 +1,167 @@
+// C API for the spdf engine (ctypes-friendly). Page metadata crosses the
+// boundary as JSON; pixel buffers as malloc'd RGB8 the caller frees.
+#include "spdf.h"
+
+#include <cstdio>
+#include <cstring>
+#include <string>
+
+using namespace spdf;
+
+namespace {
+
+struct DocHandle {
+  Document doc;
+  // cached per-page extraction (content runs once; render reuses)
+  std::unordered_map<int, std::shared_ptr<std::pair<PageContent, DisplayList>>>
+      pages;
+  std::shared_ptr<std::pair<PageContent, DisplayList>> get_page(int i) {
+    auto it = pages.find(i);
+    if (it != pages.end()) return it->second;
+    auto pc = std::make_shared<std::pair<PageContent, DisplayList>>();
+    ContentEngine eng(&doc);
+    eng.run(i, &pc->first, &pc->second);
+    pages[i] = pc;
+    return pc;
+  }
+};
+
+void json_escape(const std::string& s, std::string* out) {
+  for (unsigned char c : s) {
+    switch (c) {
+      case '"': *out += "\\\""; break;
+      case '\\': *out += "\\\\"; break;
+      case '\n': *out += "\\n"; break;
+      case '\r': *out += "\\r"; break;
+      case '\t': *out += "\\t"; break;
+      default:
+        if (c < 0x20) {
+          char buf[8];
+          snprintf(buf, sizeof(buf), "\\u%04x", c);
+          *out += buf;
+        } else {
+          *out += (char)c;
+        }
+    }
+  }
+}
+
+void append_rect(std::string* j, const Rect& r) {
+  char buf[128];
+  snprintf(buf, sizeof(buf), "[%.3f,%.3f,%.3f,%.3f]", r.x0, r.y0, r.x1, r.y1);
+  *j += buf;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* spdf_open(const char* path) {
+  auto* h = new DocHandle();
+  if (!h->doc.load(path)) {
+    delete h;
+    return nullptr;
+  }
+  return h;
+}
+
+void* spdf_open_bytes(const uint8_t* data, long size) {
+  auto* h = new DocHandle();
+  std::vector<uint8_t> b(data, data + size);
+  if (!h->doc.load_bytes(std::move(b))) {
+    delete h;
+    return nullptr;
+  }
+  return h;
+}
+
+void spdf_close(void* handle) { delete (DocHandle*)handle; }
+
+int spdf_page_count(void* handle) {
+  return ((DocHandle*)handle)->doc.page_count();
+}
+
+void spdf_page_size(void* handle, int index, double* w, double* h) {
+  ((DocHandle*)handle)->doc.page_size(index, w, h);
+}
+
+// JSON: {"spans": [{"text","bbox","size","font"}...],
+//        "drawings": [{"bbox","kind","is_rect","items"}...],
+//        "images": [{"obj","bbox","width","height","inline"}...]}
+char* spdf_page_metadata(void* handle, int index) {
+  auto* h = (DocHandle*)handle;
+  auto pc = h->get_page(index);
+  std::string j = "{\"spans\":[";
+  bool first = true;
+  for (auto& s : pc->first.spans) {
+    if (!first) j += ",";
+    first = false;
+    j += "{\"text\":\"";
+    json_escape(s.text, &j);
+    j += "\",\"bbox\":";
+    append_rect(&j, s.bbox);
+    char buf[96];
+    snprintf(buf, sizeof(buf), ",\"size\":%.2f,\"font\":\"", s.size);
+    j += buf;
+    json_escape(s.font, &j);
+    j += "\"}";
+  }
+  j += "],\"drawings\":[";
+  first = true;
+  for (auto& d : pc->first.drawings) {
+    if (!first) j += ",";
+    first = false;
+    j += "{\"bbox\":";
+    append_rect(&j, d.bbox);
+    char buf[96];
+    snprintf(buf, sizeof(buf), ",\"kind\":%d,\"is_rect\":%s,\"items\":%d}",
+             d.kind, d.is_rect ? "true" : "false", d.item_count);
+    j += buf;
+  }
+  j += "],\"images\":[";
+  first = true;
+  for (auto& im : pc->first.images) {
+    if (!first) j += ",";
+    first = false;
+    j += "{\"obj\":";
+    j += std::to_string(im.obj_num);
+    j += ",\"bbox\":";
+    append_rect(&j, im.rect);
+    char buf[96];
+    snprintf(buf, sizeof(buf), ",\"width\":%d,\"height\":%d,\"inline\":%s}",
+             im.width, im.height, im.inline_image ? "true" : "false");
+    j += buf;
+  }
+  j += "]}";
+  char* out = (char*)malloc(j.size() + 1);
+  memcpy(out, j.data(), j.size() + 1);
+  return out;
+}
+
+// Render page region. clip = [x0,y0,x1,y1] page pts top-left origin or null.
+// Returns malloc'd RGB8 buffer, sets out_w/out_h.
+uint8_t* spdf_render(void* handle, int index, double scale,
+                     const double* clip, int* out_w, int* out_h) {
+  auto* h = (DocHandle*)handle;
+  auto pc = h->get_page(index);
+  std::vector<uint8_t> px =
+      rasterize(&h->doc, pc->second, scale, clip, out_w, out_h);
+  if (px.empty()) return nullptr;
+  uint8_t* out = (uint8_t*)malloc(px.size());
+  memcpy(out, px.data(), px.size());
+  return out;
+}
+
+// Decode an embedded image XObject to RGB8.
+uint8_t* spdf_decode_image(void* handle, int obj_num, int* w, int* h) {
+  auto* hd = (DocHandle*)handle;
+  std::vector<uint8_t> px = decode_image_rgb(&hd->doc, obj_num, w, h);
+  if (px.empty()) return nullptr;
+  uint8_t* out = (uint8_t*)malloc(px.size());
+  memcpy(out, px.data(), px.size());
+  return out;
+}
+
+void spdf_free(void* p) { free(p); }
+
+}  // extern "C"

@@ -1,0 +1,972 @@
+// Content-stream interpreter: text spans + drawing bboxes + image placements
+// (the fitz get_text("dict") / get_drawings / get_image_rects equivalents,
+// ref pdf_image_segmentation.py:3154, 3274, 3290), plus a display list the
+// rasterizer replays at any scale.
+#include "spdf.h"
+
+#include <cmath>
+#include <cstring>
+
+namespace spdf {
+
+static const char* kDejaVuPath =
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf";
+static const char* kDejaVuBoldPath =
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf";
+static const char* kDejaVuSerifPath =
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf";
+static const char* kDejaVuMonoPath =
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf";
+
+static std::shared_ptr<TrueTypeFont> load_substitute(const std::string& base) {
+  static std::unordered_map<std::string, std::shared_ptr<TrueTypeFont>> cache;
+  std::string lower;
+  for (char c : base) lower += (char)tolower(c);
+  const char* path = kDejaVuPath;
+  if (lower.find("mono") != std::string::npos ||
+      lower.find("courier") != std::string::npos)
+    path = kDejaVuMonoPath;
+  else if (lower.find("times") != std::string::npos ||
+           lower.find("serif") != std::string::npos ||
+           lower.find("roman") != std::string::npos)
+    path = kDejaVuSerifPath;
+  else if (lower.find("bold") != std::string::npos)
+    path = kDejaVuBoldPath;
+  auto it = cache.find(path);
+  if (it != cache.end()) return it->second;
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::string data(sz, 0);
+  size_t got = fread(&data[0], 1, sz, f);
+  fclose(f);
+  if (got != (size_t)sz) return nullptr;
+  auto ttf = std::make_shared<TrueTypeFont>();
+  if (!ttf->load(std::move(data))) return nullptr;
+  cache[path] = ttf;
+  return ttf;
+}
+
+// ---------------------------------------------------------------------------
+// ToUnicode CMap (bfchar / bfrange)
+// ---------------------------------------------------------------------------
+
+static uint32_t hexstr_to_code(const std::string& s) {
+  uint32_t v = 0;
+  for (uint8_t c : s) v = (v << 8) | c;
+  return v;
+}
+
+static void parse_tounicode(const std::string& cmap, PdfFont* font) {
+  Lexer lx((const uint8_t*)cmap.data(), cmap.size());
+  std::vector<ObjPtr> stack;
+  while (!lx.eof()) {
+    lx.skip_ws();
+    if (lx.eof()) break;
+    uint8_t c = ((const uint8_t*)cmap.data())[lx.pos()];
+    if (c == '<' || c == '[' || c == '(' || c == '/' ||
+        (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.') {
+      stack.push_back(lx.parse_object());
+      if (stack.size() > 64) stack.erase(stack.begin(), stack.begin() + 32);
+      continue;
+    }
+    std::string kw = lx.next_keyword();
+    if (kw == "endbfchar" || kw == "endbfrange" || kw == "endcodespacerange") {
+      stack.clear();
+      continue;
+    }
+    if (kw == "beginbfchar") {
+      while (true) {
+        lx.skip_ws();
+        if (lx.eof() || lx.peek_keyword("endbfchar")) break;
+        ObjPtr src = lx.parse_object();
+        ObjPtr dst = lx.parse_object();
+        if (!src->is(ObjType::String) || !dst->is(ObjType::String)) break;
+        uint32_t code = hexstr_to_code(src->s);
+        // dst is UTF-16BE; take first unit (surrogates rare in books)
+        if (dst->s.size() >= 2)
+          font->to_unicode[code] =
+              ((uint8_t)dst->s[0] << 8) | (uint8_t)dst->s[1];
+      }
+    } else if (kw == "beginbfrange") {
+      while (true) {
+        lx.skip_ws();
+        if (lx.eof() || lx.peek_keyword("endbfrange")) break;
+        ObjPtr lo = lx.parse_object();
+        ObjPtr hi = lx.parse_object();
+        ObjPtr dst = lx.parse_object();
+        if (!lo->is(ObjType::String) || !hi->is(ObjType::String)) break;
+        uint32_t a = hexstr_to_code(lo->s), b = hexstr_to_code(hi->s);
+        if (b - a > 65535) break;
+        if (dst->is(ObjType::String)) {
+          uint32_t u = 0;
+          if (dst->s.size() >= 2)
+            u = ((uint8_t)dst->s[dst->s.size() - 2] << 8) |
+                (uint8_t)dst->s[dst->s.size() - 1];
+          for (uint32_t k = a; k <= b; k++) font->to_unicode[k] = u + (k - a);
+        } else if (dst->is(ObjType::Array)) {
+          for (uint32_t k = a; k <= b && k - a < dst->arr.size(); k++) {
+            const std::string& ds = dst->arr[k - a]->s;
+            if (ds.size() >= 2)
+              font->to_unicode[k] =
+                  ((uint8_t)ds[0] << 8) | (uint8_t)ds[1];
+          }
+        }
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// PDF font loading
+// ---------------------------------------------------------------------------
+
+static std::shared_ptr<PdfFont> load_font(Document* doc, const ObjPtr& fdict) {
+  auto font = std::make_shared<PdfFont>();
+  ObjPtr subtype = doc->dict_get(fdict, "Subtype");
+  ObjPtr base = doc->dict_get(fdict, "BaseFont");
+  font->base_font = base->s;
+  ObjPtr actual = fdict;
+  if (subtype->s == "Type0") {
+    font->is_cid = true;
+    font->two_byte = true;  // Identity-H assumption
+    ObjPtr desc = doc->dict_get(fdict, "DescendantFonts");
+    if (desc->is(ObjType::Array) && !desc->arr.empty())
+      actual = doc->resolve(desc->arr[0]);
+    // /W widths
+    ObjPtr W = doc->dict_get(actual, "W");
+    ObjPtr dw = doc->dict_get(actual, "DW");
+    font->default_width = dw->is(ObjType::Null) ? 1000 : dw->num();
+    if (W->is(ObjType::Array)) {
+      size_t i = 0;
+      while (i < W->arr.size()) {
+        int c0 = (int)doc->resolve(W->arr[i++])->num();
+        if (i >= W->arr.size()) break;
+        ObjPtr second = doc->resolve(W->arr[i++]);
+        if (second->is(ObjType::Array)) {
+          for (size_t k = 0; k < second->arr.size(); k++)
+            font->widths[c0 + (uint32_t)k] = doc->resolve(second->arr[k])->num();
+        } else {
+          int c1 = (int)second->num();
+          if (i >= W->arr.size()) break;
+          double w = doc->resolve(W->arr[i++])->num();
+          for (int c = c0; c <= c1 && c - c0 < 65536; c++) font->widths[c] = w;
+        }
+      }
+    }
+  } else {
+    ObjPtr fc = doc->dict_get(fdict, "FirstChar");
+    ObjPtr widths = doc->dict_get(fdict, "Widths");
+    if (widths->is(ObjType::Array)) {
+      int first = (int)fc->num();
+      for (size_t k = 0; k < widths->arr.size(); k++) {
+        double w = doc->resolve(widths->arr[k])->num();
+        if (w > 0) font->widths[first + (uint32_t)k] = w;
+      }
+    }
+    ObjPtr enc = doc->dict_get(fdict, "Encoding");
+    if (enc->is(ObjType::Name)) {
+      font->encoding = enc->s;
+    } else if (enc->is(ObjType::Dict)) {
+      ObjPtr basee = doc->dict_get(enc, "BaseEncoding");
+      font->encoding = basee->s;
+      ObjPtr diff = doc->dict_get(enc, "Differences");
+      if (diff->is(ObjType::Array)) {
+        int code = 0;
+        for (auto& e : diff->arr) {
+          ObjPtr r = doc->resolve(e);
+          if (r->is(ObjType::Int)) code = (int)r->i;
+          else if (r->is(ObjType::Name)) font->differences[code++] = r->s;
+        }
+      }
+    }
+  }
+  // ToUnicode
+  ObjPtr tu = doc->dict_get(fdict, "ToUnicode");
+  if (tu->is(ObjType::Stream)) parse_tounicode(doc->decode_stream(tu), font.get());
+  // embedded font file
+  ObjPtr fd = doc->dict_get(actual, "FontDescriptor");
+  if (fd->is(ObjType::Dict)) {
+    ObjPtr flags = doc->dict_get(fd, "Flags");
+    if (!flags->is(ObjType::Null) && ((int)flags->num() & 4))
+      font->symbolic_cmap = true;
+    ObjPtr ff2 = doc->dict_get(fd, "FontFile2");
+    if (ff2->is(ObjType::Stream)) {
+      auto ttf = std::make_shared<TrueTypeFont>();
+      if (ttf->load(doc->decode_stream(ff2))) font->ttf = ttf;
+    }
+    // FontFile (Type1) / FontFile3 (CFF): no outline support yet —
+    // substitute DejaVu (metrics still come from /Widths).
+  }
+  if (!font->ttf) font->ttf = load_substitute(font->base_font);
+  // CIDToGIDMap stream
+  if (font->is_cid) {
+    ObjPtr c2g = doc->dict_get(actual, "CIDToGIDMap");
+    if (c2g->is(ObjType::Stream)) {
+      std::string m = doc->decode_stream(c2g);
+      for (size_t k = 0; k + 1 < m.size(); k += 2)
+        font->code_to_gid[(uint32_t)k / 2] =
+            ((uint8_t)m[k] << 8) | (uint8_t)m[k + 1];
+    }
+  }
+  return font;
+}
+
+// ---------------------------------------------------------------------------
+// interpreter
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct GState {
+  Matrix ctm;
+  float stroke_rgb[3] = {0, 0, 0};
+  float fill_rgb[3] = {0, 0, 0};
+  double line_width = 1.0;
+  Rect clip{-1e30, -1e30, 1e30, 1e30};
+  // text state
+  std::shared_ptr<PdfFont> font;
+  double font_size = 0;
+  double char_spacing = 0, word_spacing = 0, horiz_scale = 1.0, leading = 0;
+  double rise = 0;
+  int render_mode = 0;
+};
+
+struct Interp {
+  Document* doc;
+  PageContent* out;
+  DisplayList* dl;
+  GState gs;
+  std::vector<GState> gstack;
+  Matrix tm, tlm;  // text matrix, text line matrix
+  bool in_text = false;
+
+  // current path
+  std::vector<std::vector<std::pair<float, float>>> subpaths;
+  double cur_x = 0, cur_y = 0;
+  bool pending_clip = false, pending_clip_eo = false;
+
+  // span accumulation
+  TextSpan cur_span;
+  double span_end_x = 0, span_end_y = 0;
+  bool span_open = false;
+  RenderGlyphRun cur_run;
+
+  std::unordered_map<std::string, std::shared_ptr<PdfFont>> font_cache;
+  int depth = 0;
+
+  void flush_span() {
+    if (span_open && !cur_span.text.empty() && cur_span.bbox.valid())
+      out->spans.push_back(cur_span);
+    if (!cur_run.glyph_contours.empty()) {
+      dl->order_kind.push_back(1);
+      dl->order_index.push_back((int)dl->glyphs.size());
+      dl->glyphs.push_back(std::move(cur_run));
+      cur_run = RenderGlyphRun();
+    }
+    span_open = false;
+    cur_span = TextSpan();
+  }
+
+  void run_stream(const std::string& content, const ObjPtr& resources);
+  void op_show_text(const std::string& s, const ObjPtr& resources);
+  void paint_path(bool fill, bool stroke, bool even_odd);
+  void do_xobject(const std::string& name, const ObjPtr& resources);
+};
+
+static void utf8_append(std::string* s, uint32_t cp) {
+  if (cp < 0x80) {
+    *s += (char)cp;
+  } else if (cp < 0x800) {
+    *s += (char)(0xC0 | (cp >> 6));
+    *s += (char)(0x80 | (cp & 0x3F));
+  } else if (cp < 0x10000) {
+    *s += (char)(0xE0 | (cp >> 12));
+    *s += (char)(0x80 | ((cp >> 6) & 0x3F));
+    *s += (char)(0x80 | (cp & 0x3F));
+  } else {
+    *s += (char)(0xF0 | (cp >> 18));
+    *s += (char)(0x80 | ((cp >> 12) & 0x3F));
+    *s += (char)(0x80 | ((cp >> 6) & 0x3F));
+    *s += (char)(0x80 | (cp & 0x3F));
+  }
+}
+
+void Interp::op_show_text(const std::string& s, const ObjPtr& resources) {
+  (void)resources;
+  if (!gs.font) return;
+  PdfFont* f = gs.font.get();
+  size_t i = 0;
+  while (i < s.size()) {
+    uint32_t code;
+    if (f->two_byte) {
+      if (i + 1 >= s.size()) break;
+      code = ((uint8_t)s[i] << 8) | (uint8_t)s[i + 1];
+      i += 2;
+    } else {
+      code = (uint8_t)s[i++];
+    }
+    double w0 = f->width_for_code(code) / 1000.0;
+    // text rendering matrix
+    Matrix param{gs.font_size * gs.horiz_scale, 0, 0, gs.font_size,
+                 0, gs.rise};
+    Matrix trm = param.mul(tm).mul(gs.ctm);
+    uint32_t uni = f->unicode_for_code(code);
+    // glyph box in text space: x [0,w0], y [-0.25, 0.8] em approx
+    double gx0, gy0, gx1, gy1;
+    trm.apply(0, -0.22, &gx0, &gy0);
+    trm.apply(w0, 0.78, &gx1, &gy1);
+    Rect gb;
+    gb.grow(gx0, gy0);
+    gb.grow(gx1, gy1);
+    double asc2x, asc2y;
+    trm.apply(0, 0.78, &asc2x, &asc2y);
+    gb.grow(asc2x, asc2y);
+    trm.apply(w0, -0.22, &asc2x, &asc2y);
+    gb.grow(asc2x, asc2y);
+
+    bool is_space = (uni == ' ' || (uni == 0 && code == 32));
+    // span management: break on font change/size change/jump
+    double ox, oy;
+    trm.apply(0, 0, &ox, &oy);
+    double dev_size = gs.font_size * std::sqrt(std::fabs(
+        gs.ctm.a * gs.ctm.d - gs.ctm.b * gs.ctm.c));
+    if (span_open) {
+      bool same_line = std::fabs(oy - span_end_y) < dev_size * 0.4;
+      bool contiguous = std::fabs(ox - span_end_x) < dev_size * 0.75;
+      if (!same_line || !contiguous || cur_span.font != f->base_font ||
+          std::fabs(cur_span.size - dev_size) > 0.1) {
+        flush_span();
+      }
+    }
+    if (!span_open) {
+      span_open = true;
+      cur_span.font = f->base_font;
+      cur_span.size = dev_size;
+      cur_run.rgb[0] = gs.fill_rgb[0];
+      cur_run.rgb[1] = gs.fill_rgb[1];
+      cur_run.rgb[2] = gs.fill_rgb[2];
+      cur_run.clip = gs.clip;
+    }
+    if (!is_space || !cur_span.text.empty()) {
+      if (uni) utf8_append(&cur_span.text, uni);
+      else if (!f->is_cid) cur_span.text += (char)(code & 0x7F ? code : '?');
+      else cur_span.text += '?';
+      cur_span.bbox.grow(gb.x0, gb.y0);
+      cur_span.bbox.grow(gb.x1, gb.y1);
+    }
+    // glyph outlines for rasterization (skip invisible mode 3)
+    if (gs.render_mode != 3 && f->ttf && !is_space) {
+      uint16_t gid = f->gid_for_code(code);
+      if (gid) {
+        const Glyph* g = f->ttf->glyph(gid);
+        if (!g->contours.empty()) {
+          float upem = f->ttf->units_per_em();
+          std::vector<std::vector<std::pair<float, float>>> devc;
+          devc.reserve(g->contours.size());
+          for (auto& cont : g->contours) {
+            std::vector<std::pair<float, float>> dc;
+            dc.reserve(cont.size());
+            for (auto& pt : cont) {
+              double px, py;
+              trm.apply(pt.first / upem, pt.second / upem, &px, &py);
+              dc.push_back({(float)px, (float)py});
+            }
+            devc.push_back(std::move(dc));
+          }
+          cur_run.glyph_contours.push_back(std::move(devc));
+        }
+      }
+    }
+    // advance
+    double tx = (w0 * gs.font_size + gs.char_spacing +
+                 (is_space ? gs.word_spacing : 0)) *
+                gs.horiz_scale;
+    Matrix tr{1, 0, 0, 1, tx, 0};
+    tm = tr.mul(tm);
+    trm = param.mul(tm).mul(gs.ctm);
+    trm.apply(0, 0, &span_end_x, &span_end_y);
+  }
+}
+
+void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
+  if (subpaths.empty() || (!fill && !stroke && !pending_clip)) {
+    if (pending_clip) {
+      // clip with empty path -> leave as-is
+      pending_clip = false;
+    }
+    subpaths.clear();
+    return;
+  }
+  // device-space bbox
+  Rect bb;
+  size_t pts = 0;
+  for (auto& sp : subpaths)
+    for (auto& p : sp) {
+      bb.grow(p.first, p.second);
+      pts++;
+    }
+  if (fill || stroke) {
+    DrawItem item;
+    item.bbox = bb;
+    item.kind = fill && stroke ? 2 : (fill ? 1 : 0);
+    item.item_count = (int)subpaths.size();
+    // rect check: single 5-point closed subpath, axis aligned
+    if (subpaths.size() == 1 && (subpaths[0].size() == 5 || subpaths[0].size() == 4)) {
+      item.is_rect = true;
+      for (auto& p : subpaths[0])
+        if (std::fabs(p.first - bb.x0) > 0.01 && std::fabs(p.first - bb.x1) > 0.01)
+          item.is_rect = false;
+    }
+    // clip to current clip region for extraction sanity
+    if (bb.x1 >= gs.clip.x0 && bb.x0 <= gs.clip.x1 && bb.y1 >= gs.clip.y0 &&
+        bb.y0 <= gs.clip.y1)
+      out->drawings.push_back(item);
+
+    RenderPath rp;
+    rp.subpaths = subpaths;
+    rp.fill = fill;
+    rp.stroke = stroke;
+    rp.even_odd = even_odd;
+    rp.rgb_fill[0] = gs.fill_rgb[0];
+    rp.rgb_fill[1] = gs.fill_rgb[1];
+    rp.rgb_fill[2] = gs.fill_rgb[2];
+    rp.rgb_stroke[0] = gs.stroke_rgb[0];
+    rp.rgb_stroke[1] = gs.stroke_rgb[1];
+    rp.rgb_stroke[2] = gs.stroke_rgb[2];
+    double sc = std::sqrt(std::fabs(gs.ctm.a * gs.ctm.d - gs.ctm.b * gs.ctm.c));
+    rp.line_width = (float)(gs.line_width * sc);
+    rp.clip = gs.clip;
+    dl->order_kind.push_back(0);
+    dl->order_index.push_back((int)dl->paths.size());
+    dl->paths.push_back(std::move(rp));
+  }
+  if (pending_clip) {
+    // approximate: intersect clip with path bbox
+    gs.clip.x0 = std::max(gs.clip.x0, bb.x0);
+    gs.clip.y0 = std::max(gs.clip.y0, bb.y0);
+    gs.clip.x1 = std::min(gs.clip.x1, bb.x1);
+    gs.clip.y1 = std::min(gs.clip.y1, bb.y1);
+    pending_clip = false;
+  }
+  subpaths.clear();
+}
+
+void Interp::do_xobject(const std::string& name, const ObjPtr& resources) {
+  ObjPtr xobjs = doc->dict_get(resources, "XObject");
+  ObjPtr xo;
+  int obj_num = 0;
+  if (xobjs->is(ObjType::Dict)) {
+    auto it = xobjs->dict.find(name);
+    if (it != xobjs->dict.end()) {
+      if (it->second->is(ObjType::Ref)) obj_num = it->second->ref_num;
+      xo = doc->resolve(it->second);
+    }
+  }
+  if (!xo || !xo->is(ObjType::Stream)) return;
+  ObjPtr st = doc->dict_get(xo, "Subtype");
+  if (st->s == "Image") {
+    ImagePlacement ip;
+    ip.obj_num = obj_num;
+    double x00, y00, x10, y10, x01, y01, x11, y11;
+    gs.ctm.apply(0, 0, &x00, &y00);
+    gs.ctm.apply(1, 0, &x10, &y10);
+    gs.ctm.apply(0, 1, &x01, &y01);
+    gs.ctm.apply(1, 1, &x11, &y11);
+    ip.rect.grow(x00, y00);
+    ip.rect.grow(x10, y10);
+    ip.rect.grow(x01, y01);
+    ip.rect.grow(x11, y11);
+    ip.width = (int)doc->dict_get(xo, "Width")->num();
+    ip.height = (int)doc->dict_get(xo, "Height")->num();
+    out->images.push_back(ip);
+    RenderImage ri;
+    ri.obj_num = obj_num;
+    ri.img_to_page = gs.ctm;
+    ri.clip = gs.clip;
+    dl->order_kind.push_back(2);
+    dl->order_index.push_back((int)dl->images.size());
+    dl->images.push_back(std::move(ri));
+  } else if (st->s == "Form" && depth < 12) {
+    ObjPtr mtx = doc->dict_get(xo, "Matrix");
+    GState saved = gs;
+    if (mtx->is(ObjType::Array) && mtx->arr.size() == 6) {
+      Matrix m{doc->resolve(mtx->arr[0])->num(), doc->resolve(mtx->arr[1])->num(),
+               doc->resolve(mtx->arr[2])->num(), doc->resolve(mtx->arr[3])->num(),
+               doc->resolve(mtx->arr[4])->num(), doc->resolve(mtx->arr[5])->num()};
+      gs.ctm = m.mul(gs.ctm);
+    }
+    ObjPtr res2 = doc->dict_get(xo, "Resources");
+    if (!res2->is(ObjType::Dict)) res2 = resources;
+    depth++;
+    run_stream(doc->decode_stream(xo), res2);
+    depth--;
+    gs = saved;
+  }
+}
+
+void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
+  Lexer lx((const uint8_t*)content.data(), content.size());
+  std::vector<ObjPtr> st;
+  auto num = [&](int idx) -> double {
+    int k = (int)st.size() - idx;
+    return k >= 0 && k < (int)st.size() ? st[k]->num() : 0.0;
+  };
+  while (!lx.eof()) {
+    lx.skip_ws();
+    if (lx.eof()) break;
+    uint8_t c = ((const uint8_t*)content.data())[lx.pos()];
+    if (c == '/' || c == '[' || c == '(' || c == '<' ||
+        (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.') {
+      st.push_back(lx.parse_object());
+      if (st.size() > 64) st.erase(st.begin());
+      continue;
+    }
+    std::string op = lx.next_keyword();
+    if (op.empty()) {
+      lx.seek(lx.pos() + 1);
+      continue;
+    }
+    // --- graphics state
+    if (op == "q") {
+      gstack.push_back(gs);
+    } else if (op == "Q") {
+      if (!gstack.empty()) {
+        gs = gstack.back();
+        gstack.pop_back();
+      }
+    } else if (op == "cm" && st.size() >= 6) {
+      Matrix m{num(6), num(5), num(4), num(3), num(2), num(1)};
+      gs.ctm = m.mul(gs.ctm);
+    } else if (op == "w") {
+      gs.line_width = num(1);
+    } else if (op == "gs" || op == "ri" || op == "i" || op == "j" ||
+               op == "J" || op == "M" || op == "d") {
+      // ignored state ops
+    }
+    // --- color
+    else if (op == "rg" && st.size() >= 3) {
+      gs.fill_rgb[0] = (float)num(3);
+      gs.fill_rgb[1] = (float)num(2);
+      gs.fill_rgb[2] = (float)num(1);
+    } else if (op == "RG" && st.size() >= 3) {
+      gs.stroke_rgb[0] = (float)num(3);
+      gs.stroke_rgb[1] = (float)num(2);
+      gs.stroke_rgb[2] = (float)num(1);
+    } else if (op == "g") {
+      gs.fill_rgb[0] = gs.fill_rgb[1] = gs.fill_rgb[2] = (float)num(1);
+    } else if (op == "G") {
+      gs.stroke_rgb[0] = gs.stroke_rgb[1] = gs.stroke_rgb[2] = (float)num(1);
+    } else if (op == "k" && st.size() >= 4) {
+      double kk = num(1);
+      gs.fill_rgb[0] = (float)((1 - num(4)) * (1 - kk));
+      gs.fill_rgb[1] = (float)((1 - num(3)) * (1 - kk));
+      gs.fill_rgb[2] = (float)((1 - num(2)) * (1 - kk));
+    } else if (op == "K" && st.size() >= 4) {
+      double kk = num(1);
+      gs.stroke_rgb[0] = (float)((1 - num(4)) * (1 - kk));
+      gs.stroke_rgb[1] = (float)((1 - num(3)) * (1 - kk));
+      gs.stroke_rgb[2] = (float)((1 - num(2)) * (1 - kk));
+    } else if (op == "sc" || op == "scn") {
+      if (st.size() >= 3 && st[st.size() - 1]->is(ObjType::Real) +
+                                st[st.size() - 1]->is(ObjType::Int)) {
+        gs.fill_rgb[0] = (float)num(3);
+        gs.fill_rgb[1] = (float)num(2);
+        gs.fill_rgb[2] = (float)num(1);
+      } else if (st.size() >= 1) {
+        gs.fill_rgb[0] = gs.fill_rgb[1] = gs.fill_rgb[2] = (float)num(1);
+      }
+    } else if (op == "SC" || op == "SCN") {
+      if (st.size() >= 3) {
+        gs.stroke_rgb[0] = (float)num(3);
+        gs.stroke_rgb[1] = (float)num(2);
+        gs.stroke_rgb[2] = (float)num(1);
+      }
+    } else if (op == "cs" || op == "CS") {
+      // colorspace select: assume RGB/gray handled by sc/scn arity
+    }
+    // --- path construction (page->device transform applied immediately)
+    else if (op == "m" && st.size() >= 2) {
+      subpaths.push_back({});
+      double x, y;
+      gs.ctm.apply(num(2), num(1), &x, &y);
+      subpaths.back().push_back({(float)x, (float)y});
+      cur_x = num(2);
+      cur_y = num(1);
+    } else if (op == "l" && st.size() >= 2) {
+      if (subpaths.empty()) subpaths.push_back({});
+      double x, y;
+      gs.ctm.apply(num(2), num(1), &x, &y);
+      subpaths.back().push_back({(float)x, (float)y});
+      cur_x = num(2);
+      cur_y = num(1);
+    } else if ((op == "c" || op == "v" || op == "y")) {
+      double x1, y1, x2, y2, x3, y3;
+      if (op == "c" && st.size() >= 6) {
+        x1 = num(6); y1 = num(5); x2 = num(4); y2 = num(3);
+        x3 = num(2); y3 = num(1);
+      } else if (op == "v" && st.size() >= 4) {
+        x1 = cur_x; y1 = cur_y; x2 = num(4); y2 = num(3);
+        x3 = num(2); y3 = num(1);
+      } else if (op == "y" && st.size() >= 4) {
+        x1 = num(4); y1 = num(3); x3 = num(2); y3 = num(1);
+        x2 = x3; y2 = y3;
+      } else {
+        st.clear();
+        continue;
+      }
+      if (subpaths.empty()) subpaths.push_back({});
+      const int STEPS = 12;
+      for (int k = 1; k <= STEPS; k++) {
+        double t = (double)k / STEPS, u = 1 - t;
+        double bx = u * u * u * cur_x + 3 * u * u * t * x1 +
+                    3 * u * t * t * x2 + t * t * t * x3;
+        double by = u * u * u * cur_y + 3 * u * u * t * y1 +
+                    3 * u * t * t * y2 + t * t * t * y3;
+        double dx, dy;
+        gs.ctm.apply(bx, by, &dx, &dy);
+        subpaths.back().push_back({(float)dx, (float)dy});
+      }
+      cur_x = x3;
+      cur_y = y3;
+    } else if (op == "re" && st.size() >= 4) {
+      double x = num(4), y = num(3), w = num(2), h = num(1);
+      std::vector<std::pair<float, float>> r;
+      double dx, dy;
+      gs.ctm.apply(x, y, &dx, &dy);
+      r.push_back({(float)dx, (float)dy});
+      gs.ctm.apply(x + w, y, &dx, &dy);
+      r.push_back({(float)dx, (float)dy});
+      gs.ctm.apply(x + w, y + h, &dx, &dy);
+      r.push_back({(float)dx, (float)dy});
+      gs.ctm.apply(x, y + h, &dx, &dy);
+      r.push_back({(float)dx, (float)dy});
+      gs.ctm.apply(x, y, &dx, &dy);
+      r.push_back({(float)dx, (float)dy});
+      subpaths.push_back(std::move(r));
+      cur_x = x;
+      cur_y = y;
+    } else if (op == "h") {
+      if (!subpaths.empty() && !subpaths.back().empty())
+        subpaths.back().push_back(subpaths.back().front());
+    }
+    // --- path painting
+    else if (op == "S") paint_path(false, true, false);
+    else if (op == "s") {
+      if (!subpaths.empty() && !subpaths.back().empty())
+        subpaths.back().push_back(subpaths.back().front());
+      paint_path(false, true, false);
+    } else if (op == "f" || op == "F") paint_path(true, false, false);
+    else if (op == "f*") paint_path(true, false, true);
+    else if (op == "B") paint_path(true, true, false);
+    else if (op == "B*") paint_path(true, true, true);
+    else if (op == "b") {
+      if (!subpaths.empty() && !subpaths.back().empty())
+        subpaths.back().push_back(subpaths.back().front());
+      paint_path(true, true, false);
+    } else if (op == "b*") {
+      if (!subpaths.empty() && !subpaths.back().empty())
+        subpaths.back().push_back(subpaths.back().front());
+      paint_path(true, true, true);
+    } else if (op == "n") paint_path(false, false, false);
+    else if (op == "W") pending_clip = true;
+    else if (op == "W*") {
+      pending_clip = true;
+      pending_clip_eo = true;
+    }
+    // --- text
+    else if (op == "BT") {
+      in_text = true;
+      tm = Matrix::identity();
+      tlm = tm;
+    } else if (op == "ET") {
+      in_text = false;
+      flush_span();
+    } else if (op == "Tf" && st.size() >= 2) {
+      std::string fname = st[st.size() - 2]->s;
+      gs.font_size = num(1);
+      auto it = font_cache.find(fname);
+      if (it != font_cache.end()) {
+        gs.font = it->second;
+      } else {
+        ObjPtr fonts = doc->dict_get(resources, "Font");
+        ObjPtr fd = doc->dict_get(fonts, fname);
+        if (fd->is(ObjType::Dict)) {
+          gs.font = load_font(doc, fd);
+          font_cache[fname] = gs.font;
+        }
+      }
+    } else if (op == "Td" && st.size() >= 2) {
+      Matrix t{1, 0, 0, 1, num(2), num(1)};
+      tlm = t.mul(tlm);
+      tm = tlm;
+    } else if (op == "TD" && st.size() >= 2) {
+      gs.leading = -num(1);
+      Matrix t{1, 0, 0, 1, num(2), num(1)};
+      tlm = t.mul(tlm);
+      tm = tlm;
+    } else if (op == "Tm" && st.size() >= 6) {
+      tlm = Matrix{num(6), num(5), num(4), num(3), num(2), num(1)};
+      tm = tlm;
+    } else if (op == "T*") {
+      Matrix t{1, 0, 0, 1, 0, -gs.leading};
+      tlm = t.mul(tlm);
+      tm = tlm;
+    } else if (op == "TL") {
+      gs.leading = num(1);
+    } else if (op == "Tc") {
+      gs.char_spacing = num(1);
+    } else if (op == "Tw") {
+      gs.word_spacing = num(1);
+    } else if (op == "Tz") {
+      gs.horiz_scale = num(1) / 100.0;
+    } else if (op == "Ts") {
+      gs.rise = num(1);
+    } else if (op == "Tr") {
+      gs.render_mode = (int)num(1);
+    } else if (op == "Tj" && !st.empty()) {
+      op_show_text(st.back()->s, resources);
+    } else if (op == "'" && !st.empty()) {
+      Matrix t{1, 0, 0, 1, 0, -gs.leading};
+      tlm = t.mul(tlm);
+      tm = tlm;
+      op_show_text(st.back()->s, resources);
+    } else if (op == "\"" && st.size() >= 3) {
+      gs.word_spacing = num(3);
+      gs.char_spacing = num(2);
+      Matrix t{1, 0, 0, 1, 0, -gs.leading};
+      tlm = t.mul(tlm);
+      tm = tlm;
+      op_show_text(st.back()->s, resources);
+    } else if (op == "TJ" && !st.empty() && st.back()->is(ObjType::Array)) {
+      for (auto& el : st.back()->arr) {
+        if (el->is(ObjType::String)) {
+          op_show_text(el->s, resources);
+        } else {
+          double adj = -el->num() / 1000.0 * gs.font_size * gs.horiz_scale;
+          Matrix t{1, 0, 0, 1, adj, 0};
+          tm = t.mul(tm);
+        }
+      }
+    }
+    // --- xobjects & inline images
+    else if (op == "Do" && !st.empty()) {
+      flush_span();
+      do_xobject(st.back()->s, resources);
+    } else if (op == "BI") {
+      // inline image: parse key/value pairs until ID, then raw data to EI
+      ObjPtr d = std::make_shared<Object>();
+      d->type = ObjType::Dict;
+      while (!lx.eof()) {
+        lx.skip_ws();
+        if (lx.peek_keyword("ID")) {
+          lx.next_keyword();
+          break;
+        }
+        ObjPtr k = lx.parse_object();
+        ObjPtr v = lx.parse_object();
+        if (k->is(ObjType::Name)) d->dict[k->s] = v;
+      }
+      size_t p = lx.pos();
+      if (p < content.size() && (content[p] == ' ' || content[p] == '\n' ||
+                                 content[p] == '\r'))
+        p++;
+      // find EI delimiter
+      size_t q = p;
+      while (q + 2 < content.size()) {
+        if (content[q] == 'E' && content[q + 1] == 'I' &&
+            (q + 2 >= content.size() || isspace((uint8_t)content[q + 2])))
+          break;
+        q++;
+      }
+      lx.seek(std::min(q + 2, content.size()));
+      ImagePlacement ip;
+      ip.inline_image = true;
+      double x00, y00, x11, y11;
+      gs.ctm.apply(0, 0, &x00, &y00);
+      gs.ctm.apply(1, 1, &x11, &y11);
+      ip.rect.grow(x00, y00);
+      ip.rect.grow(x11, y11);
+      auto getk = [&](const char* a, const char* b) -> ObjPtr {
+        auto it = d->dict.find(a);
+        if (it == d->dict.end()) it = d->dict.find(b);
+        return it == d->dict.end() ? make_null() : it->second;
+      };
+      ip.width = (int)getk("Width", "W")->num();
+      ip.height = (int)getk("Height", "H")->num();
+      out->images.push_back(ip);
+      st.clear();
+      continue;
+    } else if (op == "BX" || op == "EX" || op == "MP" || op == "DP" ||
+               op == "BMC" || op == "BDC" || op == "EMC" || op == "sh") {
+      // marked content / shading: ignore
+    }
+    st.clear();
+  }
+}
+
+}  // namespace
+
+bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
+  ObjPtr pg = doc_->page(page_index);
+  if (!pg->is(ObjType::Dict)) return false;
+  double w, h;
+  doc_->page_size(page_index, &w, &h);
+  dl->page_w = w;
+  dl->page_h = h;
+
+  Interp in;
+  in.doc = doc_;
+  in.out = out;
+  in.dl = dl;
+  // device space: top-left origin, y down, units = points
+  in.gs.ctm = Matrix{1, 0, 0, -1, 0, h};
+  // account for MediaBox origin offset
+  ObjPtr mb = doc_->page_inherited(pg, "MediaBox");
+  if (mb->is(ObjType::Array) && mb->arr.size() == 4) {
+    double x0 = doc_->resolve(mb->arr[0])->num();
+    double y0 = doc_->resolve(mb->arr[1])->num();
+    Matrix shift{1, 0, 0, 1, -x0, -y0};
+    in.gs.ctm = shift.mul(in.gs.ctm);
+  }
+  in.gs.clip = Rect{0, 0, w, h};
+
+  ObjPtr resources = doc_->page_inherited(pg, "Resources");
+  ObjPtr contents = doc_->dict_get(pg, "Contents");
+  std::string all;
+  if (contents->is(ObjType::Stream)) {
+    all = doc_->decode_stream(contents);
+  } else if (contents->is(ObjType::Array)) {
+    for (auto& c : contents->arr) {
+      ObjPtr s = doc_->resolve(c);
+      if (s->is(ObjType::Stream)) {
+        all += doc_->decode_stream(s);
+        all += "\n";
+      }
+    }
+  }
+  in.run_stream(all, resources);
+  in.flush_span();
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// image decode (embedded XObject -> RGB8)
+// ---------------------------------------------------------------------------
+
+std::vector<uint8_t> decode_image_rgb(Document* doc, int obj_num, int* w,
+                                      int* h) {
+  ObjPtr xo = doc->get_object(obj_num);
+  if (!xo->is(ObjType::Stream)) return {};
+  *w = (int)doc->dict_get(xo, "Width")->num();
+  *h = (int)doc->dict_get(xo, "Height")->num();
+  if (*w <= 0 || *h <= 0 || (int64_t)(*w) * (*h) > (int64_t)64 << 20)
+    return {};
+  int bpc = (int)doc->dict_get(xo, "BitsPerComponent")->num();
+  if (bpc == 0) bpc = 8;
+  ObjPtr cs = doc->dict_get(xo, "ColorSpace");
+  ObjPtr filter = doc->dict_get(xo, "Filter");
+  std::string fname = filter->is(ObjType::Array) && !filter->arr.empty()
+                          ? doc->resolve(filter->arr.back())->s
+                          : filter->s;
+  if (fname == "DCTDecode" || fname == "JPXDecode") {
+    // run non-DCT pre-filters via decode_stream (it skips DCT), then jpeg
+    std::string data = doc->decode_stream(xo);
+    if (fname == "JPXDecode") return {};  // JPEG2000 unsupported
+    std::vector<uint8_t> rgb =
+        dct_decode_rgb((const uint8_t*)data.data(), data.size(), w, h);
+    return rgb;
+  }
+  std::string data = doc->decode_stream(xo);
+  // color space analysis
+  int ncomp = 1;
+  std::string csname = cs->s;
+  std::vector<uint8_t> palette;  // indexed
+  int pal_ncomp = 3;
+  if (cs->is(ObjType::Array) && !cs->arr.empty()) {
+    ObjPtr c0 = doc->resolve(cs->arr[0]);
+    csname = c0->s;
+    if (csname == "Indexed" && cs->arr.size() >= 4) {
+      ObjPtr basecs = doc->resolve(cs->arr[1]);
+      std::string basename = basecs->s;
+      if (basecs->is(ObjType::Array) && !basecs->arr.empty())
+        basename = doc->resolve(basecs->arr[0])->s;
+      pal_ncomp = (basename == "DeviceCMYK") ? 4
+                  : (basename == "DeviceGray" || basename == "CalGray") ? 1 : 3;
+      ObjPtr lookup = doc->resolve(cs->arr[3]);
+      if (lookup->is(ObjType::Stream)) {
+        std::string lu = doc->decode_stream(lookup);
+        palette.assign(lu.begin(), lu.end());
+      } else if (lookup->is(ObjType::String)) {
+        palette.assign(lookup->s.begin(), lookup->s.end());
+      }
+    } else if (csname == "ICCBased" && cs->arr.size() >= 2) {
+      ObjPtr prof = doc->resolve(cs->arr[1]);
+      ncomp = (int)doc->dict_get(prof, "N")->num();
+      csname = ncomp == 1 ? "DeviceGray" : (ncomp == 4 ? "DeviceCMYK" : "DeviceRGB");
+    }
+  }
+  if (csname == "DeviceRGB" || csname == "CalRGB") ncomp = 3;
+  else if (csname == "DeviceCMYK") ncomp = 4;
+  else if (csname == "DeviceGray" || csname == "CalGray") ncomp = 1;
+  else if (csname == "Indexed") ncomp = 1;
+
+  std::vector<uint8_t> out((size_t)(*w) * (*h) * 3, 255);
+  size_t rowbytes = ((size_t)(*w) * ncomp * bpc + 7) / 8;
+  auto sample = [&](size_t row, int x, int comp) -> int {
+    size_t bitpos = (size_t)x * ncomp * bpc + (size_t)comp * bpc;
+    size_t idx = row * rowbytes + bitpos / 8;
+    if (idx >= data.size()) return 0;
+    if (bpc == 8) return (uint8_t)data[idx];
+    if (bpc == 1) return (((uint8_t)data[idx] >> (7 - bitpos % 8)) & 1) * 255;
+    if (bpc == 4) {
+      uint8_t v = (bitpos % 8 == 0) ? ((uint8_t)data[idx] >> 4)
+                                    : ((uint8_t)data[idx] & 0xF);
+      return v * 17;
+    }
+    if (bpc == 16) return (uint8_t)data[idx];
+    return 0;
+  };
+  for (int y = 0; y < *h; y++) {
+    for (int x = 0; x < *w; x++) {
+      uint8_t* px = out.data() + ((size_t)y * (*w) + x) * 3;
+      if (csname == "Indexed") {
+        int rawidx;
+        size_t bitpos = (size_t)x * bpc;
+        size_t idx = (size_t)y * rowbytes + bitpos / 8;
+        if (idx >= data.size()) continue;
+        if (bpc == 8) rawidx = (uint8_t)data[idx];
+        else if (bpc == 4)
+          rawidx = (bitpos % 8 == 0) ? ((uint8_t)data[idx] >> 4)
+                                     : ((uint8_t)data[idx] & 0xF);
+        else if (bpc == 1)
+          rawidx = ((uint8_t)data[idx] >> (7 - bitpos % 8)) & 1;
+        else if (bpc == 2)
+          rawidx = ((uint8_t)data[idx] >> (6 - (bitpos % 8))) & 3;
+        else rawidx = 0;
+        for (int k = 0; k < 3; k++) {
+          size_t pi = (size_t)rawidx * pal_ncomp + (pal_ncomp == 1 ? 0 : k);
+          px[k] = pi < palette.size() ? palette[pi] : 0;
+        }
+      } else if (ncomp == 1) {
+        int v = sample(y, x, 0);
+        px[0] = px[1] = px[2] = (uint8_t)v;
+      } else if (ncomp == 3) {
+        px[0] = (uint8_t)sample(y, x, 0);
+        px[1] = (uint8_t)sample(y, x, 1);
+        px[2] = (uint8_t)sample(y, x, 2);
+      } else if (ncomp == 4) {
+        int cc = sample(y, x, 0), m = sample(y, x, 1), yy = sample(y, x, 2),
+            k = sample(y, x, 3);
+        px[0] = (uint8_t)((255 - cc) * (255 - k) / 255);
+        px[1] = (uint8_t)((255 - m) * (255 - k) / 255);
+        px[2] = (uint8_t)((255 - yy) * (255 - k) / 255);
+      }
+    }
+  }
+  return out;
+}
+
+}  // namespace spdf

@@ -1,0 +1,300 @@
+// Scanline rasterizer: anti-aliased polygon fill (nonzero / even-odd),
+// stroke expansion, glyph runs, and image blits. Replaces fitz
+// page.get_pixmap(matrix, clip) (ref pdf_image_segmentation.py:3638-3657).
+#include "spdf.h"
+
+#include <algorithm>
+#include <cmath>
+#include <cstring>
+
+namespace spdf {
+
+namespace {
+
+struct Canvas {
+  std::vector<uint8_t> px;  // RGB8
+  int w = 0, h = 0;
+  double scale = 1.0;
+  double off_x = 0, off_y = 0;  // page pts of top-left corner
+
+  inline void to_dev(float px_, float py_, float* dx, float* dy) const {
+    *dx = (float)((px_ - off_x) * scale);
+    *dy = (float)((py_ - off_y) * scale);
+  }
+};
+
+struct Edge {
+  float x0, y0, x1, y1;
+  int dir;  // +1 down, -1 up
+};
+
+void gather_edges(const std::vector<std::vector<std::pair<float, float>>>& sps,
+                  const Canvas& cv, std::vector<Edge>* edges, float* ymin,
+                  float* ymax, float* xmin, float* xmax) {
+  *ymin = 1e30f;
+  *ymax = -1e30f;
+  *xmin = 1e30f;
+  *xmax = -1e30f;
+  for (auto& sp : sps) {
+    if (sp.size() < 2) continue;
+    size_t n = sp.size();
+    for (size_t i = 0; i < n; i++) {
+      float ax, ay, bx, by;
+      cv.to_dev(sp[i].first, sp[i].second, &ax, &ay);
+      size_t j = (i + 1) % n;  // implicit close
+      cv.to_dev(sp[j].first, sp[j].second, &bx, &by);
+      if (ay == by) continue;
+      Edge e;
+      if (ay < by) {
+        e = {ax, ay, bx, by, 1};
+      } else {
+        e = {bx, by, ax, ay, -1};
+      }
+      edges->push_back(e);
+      *ymin = std::min(*ymin, e.y0);
+      *ymax = std::max(*ymax, e.y1);
+      *xmin = std::min({*xmin, ax, bx});
+      *xmax = std::max({*xmax, ax, bx});
+    }
+  }
+}
+
+// AA polygon fill with 4x vertical supersampling + fractional horizontal
+// coverage, blended into the canvas.
+void fill_polygon(Canvas* cv,
+                  const std::vector<std::vector<std::pair<float, float>>>& sps,
+                  const float rgb[3], bool even_odd, const Rect& clip_pts) {
+  std::vector<Edge> edges;
+  float ymin, ymax, xmin, xmax;
+  gather_edges(sps, *cv, &edges, &ymin, &ymax, &xmin, &xmax);
+  if (edges.empty()) return;
+  // device clip
+  float cx0, cy0, cx1, cy1;
+  cv->to_dev((float)clip_pts.x0, (float)clip_pts.y0, &cx0, &cy0);
+  cv->to_dev((float)clip_pts.x1, (float)clip_pts.y1, &cx1, &cy1);
+  int y_start = std::max({0, (int)std::floor(ymin), (int)std::floor(cy0)});
+  int y_end = std::min({cv->h - 1, (int)std::ceil(ymax), (int)std::ceil(cy1)});
+  int x_lo = std::max({0, (int)std::floor(xmin), (int)std::floor(cx0)});
+  int x_hi = std::min({cv->w - 1, (int)std::ceil(xmax), (int)std::ceil(cx1)});
+  if (y_start > y_end || x_lo > x_hi) return;
+
+  std::vector<float> cov((size_t)x_hi - x_lo + 2, 0.0f);
+  std::vector<std::pair<float, int>> xs;
+  const int SS = 4;
+  for (int y = y_start; y <= y_end; y++) {
+    std::fill(cov.begin(), cov.end(), 0.0f);
+    for (int s = 0; s < SS; s++) {
+      float sy = y + (s + 0.5f) / SS;
+      xs.clear();
+      for (auto& e : edges) {
+        if (sy < e.y0 || sy >= e.y1) continue;
+        float t = (sy - e.y0) / (e.y1 - e.y0);
+        xs.push_back({e.x0 + t * (e.x1 - e.x0), e.dir});
+      }
+      if (xs.empty()) continue;
+      std::sort(xs.begin(), xs.end());
+      // build spans
+      if (even_odd) {
+        for (size_t i = 0; i + 1 < xs.size(); i += 2) {
+          float xa = xs[i].first, xb = xs[i + 1].first;
+          // accumulate [xa, xb)
+          xa = std::max(xa, (float)x_lo);
+          xb = std::min(xb, (float)x_hi + 1);
+          if (xb <= xa) continue;
+          int ia = (int)xa, ib = (int)xb;
+          if (ia == ib) {
+            cov[ia - x_lo] += (xb - xa) / SS;
+          } else {
+            cov[ia - x_lo] += (ia + 1 - xa) / SS;
+            for (int k = ia + 1; k < ib; k++) cov[k - x_lo] += 1.0f / SS;
+            if (ib - x_lo < (int)cov.size()) cov[ib - x_lo] += (xb - ib) / SS;
+          }
+        }
+      } else {
+        int wind = 0;
+        float span_start = 0;
+        for (size_t i = 0; i < xs.size(); i++) {
+          int prev = wind;
+          wind += xs[i].second;
+          if (prev == 0 && wind != 0) {
+            span_start = xs[i].first;
+          } else if (prev != 0 && wind == 0) {
+            float xa = std::max(span_start, (float)x_lo);
+            float xb = std::min(xs[i].first, (float)x_hi + 1);
+            if (xb <= xa) continue;
+            int ia = (int)xa, ib = (int)xb;
+            if (ia == ib) {
+              cov[ia - x_lo] += (xb - xa) / SS;
+            } else {
+              cov[ia - x_lo] += (ia + 1 - xa) / SS;
+              for (int k = ia + 1; k < ib; k++) cov[k - x_lo] += 1.0f / SS;
+              if (ib - x_lo < (int)cov.size())
+                cov[ib - x_lo] += (xb - ib) / SS;
+            }
+          }
+        }
+      }
+    }
+    // blend scanline
+    uint8_t* row = cv->px.data() + ((size_t)y * cv->w + x_lo) * 3;
+    for (int x = x_lo; x <= x_hi; x++, row += 3) {
+      float a = cov[x - x_lo];
+      if (a <= 0.002f) continue;
+      if (a > 1.0f) a = 1.0f;
+      row[0] = (uint8_t)(row[0] + (rgb[0] * 255.0f - row[0]) * a);
+      row[1] = (uint8_t)(row[1] + (rgb[1] * 255.0f - row[1]) * a);
+      row[2] = (uint8_t)(row[2] + (rgb[2] * 255.0f - row[2]) * a);
+    }
+  }
+}
+
+// expand a polyline into stroke quads (with square joins/caps)
+void stroke_subpath(Canvas* cv, const std::vector<std::pair<float, float>>& sp,
+                    float width_pts, const float rgb[3], const Rect& clip) {
+  if (sp.size() < 2) return;
+  float hw = std::max((float)(width_pts * cv->scale), 0.9f) * 0.5f /
+             (float)cv->scale;  // half width in page pts
+  std::vector<std::vector<std::pair<float, float>>> quads;
+  for (size_t i = 0; i + 1 < sp.size(); i++) {
+    float x0 = sp[i].first, y0 = sp[i].second;
+    float x1 = sp[i + 1].first, y1 = sp[i + 1].second;
+    float dx = x1 - x0, dy = y1 - y0;
+    float len = std::sqrt(dx * dx + dy * dy);
+    if (len < 1e-9f) continue;
+    float px = -dy / len * hw, py = dx / len * hw;
+    // extend ends by hw for cap/join coverage
+    float ex = dx / len * hw, ey = dy / len * hw;
+    quads.push_back({{x0 - ex + px, y0 - ey + py},
+                     {x1 + ex + px, y1 + ey + py},
+                     {x1 + ex - px, y1 + ey - py},
+                     {x0 - ex - px, y0 - ey - py}});
+  }
+  for (auto& q : quads) {
+    std::vector<std::vector<std::pair<float, float>>> one{q};
+    fill_polygon(cv, one, rgb, false, clip);
+  }
+}
+
+void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
+                std::unordered_map<int, std::tuple<std::vector<uint8_t>, int, int>>*
+                    img_cache) {
+  const std::vector<uint8_t>* pix = nullptr;
+  int iw = 0, ih = 0;
+  std::tuple<std::vector<uint8_t>, int, int> local;
+  if (ri.inline_image) {
+    pix = &ri.inline_rgb;
+    iw = ri.inline_w;
+    ih = ri.inline_h;
+  } else {
+    auto it = img_cache->find(ri.obj_num);
+    if (it == img_cache->end()) {
+      int w = 0, h = 0;
+      std::vector<uint8_t> rgb = decode_image_rgb(doc, ri.obj_num, &w, &h);
+      (*img_cache)[ri.obj_num] = {std::move(rgb), w, h};
+      it = img_cache->find(ri.obj_num);
+    }
+    pix = &std::get<0>(it->second);
+    iw = std::get<1>(it->second);
+    ih = std::get<2>(it->second);
+  }
+  if (!pix || pix->empty() || iw <= 0 || ih <= 0) return;
+  // invert img_to_page: page pt -> unit square
+  const Matrix& m = ri.img_to_page;
+  double det = m.a * m.d - m.b * m.c;
+  if (std::fabs(det) < 1e-12) return;
+  double ia = m.d / det, ib = -m.b / det, ic = -m.c / det, id = m.a / det;
+  double ie = -(m.e * ia + m.f * ic), iff = -(m.e * ib + m.f * id);
+  // device bbox of unit square
+  Rect bb;
+  for (int k = 0; k < 4; k++) {
+    double ux = k & 1, uy = k >> 1;
+    double pxp = m.a * ux + m.c * uy + m.e;
+    double pyp = m.b * ux + m.d * uy + m.f;
+    float dx, dy;
+    cv->to_dev((float)pxp, (float)pyp, &dx, &dy);
+    bb.grow(dx, dy);
+  }
+  float ccx0, ccy0, ccx1, ccy1;
+  cv->to_dev((float)ri.clip.x0, (float)ri.clip.y0, &ccx0, &ccy0);
+  cv->to_dev((float)ri.clip.x1, (float)ri.clip.y1, &ccx1, &ccy1);
+  int x0 = std::max({0, (int)std::floor(bb.x0), (int)std::floor(ccx0)});
+  int y0 = std::max({0, (int)std::floor(bb.y0), (int)std::floor(ccy0)});
+  int x1 = std::min({cv->w - 1, (int)std::ceil(bb.x1), (int)std::ceil(ccx1)});
+  int y1 = std::min({cv->h - 1, (int)std::ceil(bb.y1), (int)std::ceil(ccy1)});
+  for (int y = y0; y <= y1; y++) {
+    for (int x = x0; x <= x1; x++) {
+      // device px center -> page pts
+      double pxp = cv->off_x + (x + 0.5) / cv->scale;
+      double pyp = cv->off_y + (y + 0.5) / cv->scale;
+      double ux = ia * pxp + ic * pyp + ie;
+      double uy = ib * pxp + id * pyp + iff;
+      if (ux < 0 || ux >= 1 || uy < 0 || uy >= 1) continue;
+      // PDF image space: (0,0) bottom-left; row 0 of samples = top
+      double fx = ux * iw - 0.5, fy = (1.0 - uy) * ih - 0.5;
+      int sx = (int)std::floor(fx), sy = (int)std::floor(fy);
+      double ax = fx - sx, ay = fy - sy;
+      auto at = [&](int yy, int xx, int k) -> double {
+        yy = std::min(std::max(yy, 0), ih - 1);
+        xx = std::min(std::max(xx, 0), iw - 1);
+        return (*pix)[((size_t)yy * iw + xx) * 3 + k];
+      };
+      uint8_t* out = cv->px.data() + ((size_t)y * cv->w + x) * 3;
+      for (int k = 0; k < 3; k++) {
+        double v = at(sy, sx, k) * (1 - ax) * (1 - ay) +
+                   at(sy, sx + 1, k) * ax * (1 - ay) +
+                   at(sy + 1, sx, k) * (1 - ax) * ay +
+                   at(sy + 1, sx + 1, k) * ax * ay;
+        out[k] = (uint8_t)std::min(255.0, std::max(0.0, v));
+      }
+    }
+  }
+}
+
+}  // namespace
+
+std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
+                               double scale, const double* clip_pts,
+                               int* out_w, int* out_h) {
+  Canvas cv;
+  double cx0 = 0, cy0 = 0, cx1 = dl.page_w, cy1 = dl.page_h;
+  if (clip_pts) {
+    cx0 = clip_pts[0];
+    cy0 = clip_pts[1];
+    cx1 = clip_pts[2];
+    cy1 = clip_pts[3];
+  }
+  cv.scale = scale;
+  cv.off_x = cx0;
+  cv.off_y = cy0;
+  cv.w = std::max(1, (int)std::lround((cx1 - cx0) * scale));
+  cv.h = std::max(1, (int)std::lround((cy1 - cy0) * scale));
+  if ((int64_t)cv.w * cv.h > (int64_t)256 << 20) {
+    *out_w = *out_h = 0;
+    return {};
+  }
+  cv.px.assign((size_t)cv.w * cv.h * 3, 255);  // white page
+
+  std::unordered_map<int, std::tuple<std::vector<uint8_t>, int, int>> img_cache;
+  for (size_t i = 0; i < dl.order_kind.size(); i++) {
+    int kind = dl.order_kind[i], idx = dl.order_index[i];
+    if (kind == 0) {
+      const RenderPath& rp = dl.paths[idx];
+      if (rp.fill) fill_polygon(&cv, rp.subpaths, rp.rgb_fill, rp.even_odd, rp.clip);
+      if (rp.stroke) {
+        for (auto& sp : rp.subpaths)
+          stroke_subpath(&cv, sp, rp.line_width, rp.rgb_stroke, rp.clip);
+      }
+    } else if (kind == 1) {
+      const RenderGlyphRun& gr = dl.glyphs[idx];
+      for (auto& glyph : gr.glyph_contours)
+        fill_polygon(&cv, glyph, gr.rgb, false, gr.clip);
+    } else {
+      blit_image(&cv, doc, dl.images[idx], &img_cache);
+    }
+  }
+  *out_w = cv.w;
+  *out_h = cv.h;
+  return std::move(cv.px);
+}
+
+}  // namespace spdf

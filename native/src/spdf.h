@@ -1,0 +1,321 @@
+// spdf — first-party PDF parse/extract/rasterize engine for synapta_tpu.
+//
+// Replaces the reference's PyMuPDF dependency (ref pdf_image_segmentation.py:
+// 2731, 3154, 3274, 3290, 3651) with a native library purpose-built for the
+// pipeline's needs: per-page text spans with geometry, vector-drawing bboxes,
+// embedded-image placement + decode, and full-page / clipped-region RGB
+// rasterization at arbitrary DPI.
+//
+// Uses only system zlib + libjpeg. Fonts: embedded TrueType parsed directly
+// (cmap/loca/glyf/hmtx, composite glyphs); non-embedded fonts substitute
+// DejaVu from disk.
+#pragma once
+
+#include <cstdint>
+#include <map>
+#include <memory>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace spdf {
+
+// ---------------------------------------------------------------------------
+// Object model
+// ---------------------------------------------------------------------------
+
+struct Object;
+using ObjPtr = std::shared_ptr<Object>;
+
+enum class ObjType : uint8_t {
+  Null, Bool, Int, Real, String, Name, Array, Dict, Stream, Ref
+};
+
+struct Object {
+  ObjType type = ObjType::Null;
+  bool b = false;
+  int64_t i = 0;
+  double r = 0.0;
+  std::string s;                       // String payload or Name text
+  std::vector<ObjPtr> arr;
+  std::map<std::string, ObjPtr> dict;  // also stream dict
+  std::string stream_raw;              // raw (undecoded) stream bytes
+  int ref_num = 0, ref_gen = 0;
+
+  double num() const { return type == ObjType::Int ? (double)i : r; }
+  bool is(ObjType t) const { return type == t; }
+};
+
+ObjPtr make_null();
+ObjPtr make_int(int64_t v);
+ObjPtr make_real(double v);
+ObjPtr make_name(const std::string& n);
+
+// ---------------------------------------------------------------------------
+// Lexer / parser over a byte range
+// ---------------------------------------------------------------------------
+
+class Lexer {
+ public:
+  Lexer(const uint8_t* data, size_t size, size_t pos = 0)
+      : d_(data), n_(size), p_(pos) {}
+  ObjPtr parse_object();       // any object (handles R refs by lookahead)
+  void skip_ws();
+  size_t pos() const { return p_; }
+  void seek(size_t p) { p_ = p; }
+  bool eof() const { return p_ >= n_; }
+  const uint8_t* data() const { return d_; }
+  size_t size() const { return n_; }
+  std::string next_keyword();  // e.g. "obj", "stream", "endobj"
+  bool peek_keyword(const char* kw);
+
+ private:
+  ObjPtr parse_number_or_ref();
+  ObjPtr parse_string();
+  ObjPtr parse_hex_string();
+  ObjPtr parse_name();
+  ObjPtr parse_array();
+  ObjPtr parse_dict_or_stream();
+  const uint8_t* d_;
+  size_t n_, p_;
+};
+
+// ---------------------------------------------------------------------------
+// Document
+// ---------------------------------------------------------------------------
+
+struct XrefEntry {
+  uint64_t offset = 0;   // or object-stream number when in_objstm
+  int gen = 0;
+  bool in_objstm = false;
+  uint32_t objstm_index = 0;
+  bool free_entry = true;
+};
+
+class Document {
+ public:
+  bool load(const std::string& path);
+  bool load_bytes(std::vector<uint8_t> bytes);
+
+  ObjPtr resolve(const ObjPtr& o);            // follow Ref chains
+  ObjPtr get_object(int num);
+  ObjPtr dict_get(const ObjPtr& dict, const std::string& key);  // resolved
+  std::string decode_stream(const ObjPtr& stream_obj);          // all filters
+
+  int page_count();
+  ObjPtr page(int index);                      // page dict
+  void page_size(int index, double* w, double* h);
+  ObjPtr page_inherited(const ObjPtr& page, const std::string& key);
+
+  const std::string& error() const { return err_; }
+
+  std::vector<uint8_t> bytes_;
+
+ private:
+  bool parse_xref();
+  bool parse_xref_section(size_t pos, std::vector<size_t>* seen, int depth);
+  bool parse_xref_stream_obj(const ObjPtr& stm);
+  void load_object_stream(int num);
+  void collect_pages(const ObjPtr& node, int depth);
+  bool scan_all_objects();                     // fallback for broken xref
+
+  std::unordered_map<int, XrefEntry> xref_;
+  std::unordered_map<int, ObjPtr> cache_;
+  std::unordered_map<int, bool> objstm_loaded_;
+  ObjPtr trailer_;
+  std::vector<ObjPtr> pages_;
+  bool pages_collected_ = false;
+  std::string err_;
+};
+
+// Filters
+std::string flate_decode(const std::string& in);
+std::string apply_png_predictor(const std::string& in, int colors,
+                                int bpc, int columns);
+std::string ascii_hex_decode(const std::string& in);
+std::string ascii85_decode(const std::string& in);
+std::string runlength_decode(const std::string& in);
+std::string lzw_decode(const std::string& in, int early);
+
+// DCT (JPEG) decode -> RGB8; returns empty on failure.
+std::vector<uint8_t> dct_decode_rgb(const uint8_t* data, size_t size,
+                                    int* w, int* h);
+
+// ---------------------------------------------------------------------------
+// Geometry
+// ---------------------------------------------------------------------------
+
+struct Matrix {  // [a b c d e f]
+  double a = 1, b = 0, c = 0, d = 1, e = 0, f = 0;
+  static Matrix identity() { return {}; }
+  Matrix mul(const Matrix& m) const {  // this * m (apply this, then m)
+    return {a * m.a + b * m.c, a * m.b + b * m.d,
+            c * m.a + d * m.c, c * m.b + d * m.d,
+            e * m.a + f * m.c + m.e, e * m.b + f * m.d + m.f};
+  }
+  void apply(double x, double y, double* ox, double* oy) const {
+    *ox = a * x + c * y + e;
+    *oy = b * x + d * y + f;
+  }
+};
+
+struct Rect {
+  double x0 = 1e30, y0 = 1e30, x1 = -1e30, y1 = -1e30;
+  void grow(double x, double y) {
+    if (x < x0) x0 = x;
+    if (y < y0) y0 = y;
+    if (x > x1) x1 = x;
+    if (y > y1) y1 = y;
+  }
+  bool valid() const { return x1 >= x0 && y1 >= y0; }
+  double w() const { return x1 - x0; }
+  double h() const { return y1 - y0; }
+};
+
+// ---------------------------------------------------------------------------
+// Fonts
+// ---------------------------------------------------------------------------
+
+struct Glyph {
+  // Flattened contours in font units (closed polylines).
+  std::vector<std::vector<std::pair<float, float>>> contours;
+  float advance = 0;  // font units
+  bool loaded = false;
+};
+
+class TrueTypeFont {
+ public:
+  bool load(std::string data);
+  uint16_t glyph_for_unicode(uint32_t cp) const;
+  const Glyph* glyph(uint16_t gid);   // lazy outline parse + flatten
+  float units_per_em() const { return upem_; }
+  float advance_for_gid(uint16_t gid) const;
+
+ private:
+  bool parse_tables();
+  bool parse_cmap();
+  void parse_glyph_outline(uint16_t gid, Glyph* g, int depth);
+  std::string data_;
+  std::unordered_map<std::string, std::pair<uint32_t, uint32_t>> tables_;
+  std::unordered_map<uint32_t, uint16_t> cmap_;
+  std::vector<uint32_t> loca_;
+  bool long_loca_ = false;
+  float upem_ = 1000;
+  uint16_t num_glyphs_ = 0;
+  std::vector<uint16_t> hmtx_advances_;
+  std::unordered_map<uint16_t, Glyph> glyph_cache_;
+};
+
+struct PdfFont {
+  std::string base_font;
+  bool is_cid = false;
+  bool two_byte = false;                 // Identity-H style codes
+  double default_width = 500;
+  std::unordered_map<uint32_t, double> widths;      // code -> 1000/em width
+  std::unordered_map<uint32_t, uint32_t> to_unicode; // code -> codepoint
+  std::unordered_map<uint32_t, uint32_t> code_to_gid;// code -> gid (CID fonts)
+  std::unordered_map<uint32_t, std::string> differences; // code -> glyph name
+  std::shared_ptr<TrueTypeFont> ttf;     // embedded or substitute
+  bool symbolic_cmap = false;            // use (3,0) cmap w/ raw codes
+  std::string encoding;                  // WinAnsi / MacRoman / ""
+
+  double width_for_code(uint32_t code) const;
+  uint32_t unicode_for_code(uint32_t code) const;
+  uint16_t gid_for_code(uint32_t code) const;
+};
+
+// ---------------------------------------------------------------------------
+// Page content extraction
+// ---------------------------------------------------------------------------
+
+struct TextSpan {
+  std::string text;      // UTF-8
+  Rect bbox;             // device space (top-left origin, 72dpi points)
+  double size = 0;       // font size in device units
+  std::string font;
+  double x_advance = 0;
+};
+
+struct DrawItem {
+  Rect bbox;
+  int kind = 0;          // 0 stroke, 1 fill, 2 fill+stroke
+  bool is_rect = false;
+  int item_count = 1;    // path segment count
+};
+
+struct ImagePlacement {
+  int obj_num = 0;
+  Rect rect;             // device space
+  int width = 0, height = 0;  // intrinsic pixels
+  bool inline_image = false;
+};
+
+struct PageContent {
+  std::vector<TextSpan> spans;
+  std::vector<DrawItem> drawings;
+  std::vector<ImagePlacement> images;
+};
+
+// Render-ops: a resolution-independent display list captured alongside
+// extraction, replayed by the rasterizer at any scale/clip.
+struct RenderPath {
+  std::vector<std::vector<std::pair<float, float>>> subpaths;  // page space
+  bool fill = false, stroke = false, even_odd = false;
+  float rgb_fill[3] = {0, 0, 0};
+  float rgb_stroke[3] = {0, 0, 0};
+  float line_width = 1.0f;
+  Rect clip;             // device-space clip at time of paint
+};
+
+struct RenderGlyphRun {
+  // Glyph outlines already transformed to page space (top-left origin pts).
+  std::vector<std::vector<std::vector<std::pair<float, float>>>> glyph_contours;
+  float rgb[3] = {0, 0, 0};
+  Rect clip;
+};
+
+struct RenderImage {
+  int obj_num = 0;
+  Matrix img_to_page;    // unit square -> page space
+  Rect clip;
+  bool inline_image = false;
+  std::vector<uint8_t> inline_rgb;  // decoded inline image pixels
+  int inline_w = 0, inline_h = 0;
+};
+
+struct DisplayList {
+  std::vector<RenderPath> paths;
+  std::vector<RenderGlyphRun> glyphs;
+  std::vector<RenderImage> images;
+  std::vector<int> order_kind;   // replay order: 0=path,1=glyphrun,2=image
+  std::vector<int> order_index;
+  double page_w = 612, page_h = 792;
+};
+
+class ContentEngine {
+ public:
+  explicit ContentEngine(Document* doc) : doc_(doc) {}
+  // Extract text/drawings/images and build the display list for page i.
+  bool run(int page_index, PageContent* out, DisplayList* dl);
+
+ private:
+  Document* doc_;
+};
+
+// Decode an image XObject (by object number) to RGB8.
+// Returns empty on failure. smask applied as white-matte if present=false.
+std::vector<uint8_t> decode_image_rgb(Document* doc, int obj_num,
+                                      int* w, int* h);
+
+// ---------------------------------------------------------------------------
+// Rasterizer
+// ---------------------------------------------------------------------------
+
+// Render display list to RGB8. scale = dpi/72. clip in page points
+// (top-left origin); pass null for full page. Output size set to
+// round(clip_w*scale) x round(clip_h*scale).
+std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
+                               double scale, const double* clip_pts,
+                               int* out_w, int* out_h);
+
+}  // namespace spdf

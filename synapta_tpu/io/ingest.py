@@ -1,0 +1,208 @@
+"""PDF ingest: Python binding over the native spdf engine.
+
+Replaces the reference's PyMuPDF usage (ref pdf_image_segmentation.py:2731,
+3154, 3274, 3290-3298, 3638-3657) with the first-party C++ engine in
+``native/`` (built to ``synapta_tpu/io/_pdf_native.so``). The public surface
+mirrors what the detection layers need:
+
+  - ``Document.page_count`` / ``page_size(i)``
+  - ``page_text_blocks(i)``   -> [{text, bbox, size}]   (fitz get_text("dict"))
+  - ``page_spans(i)``         -> raw spans with font size
+  - ``page_drawings(i)``      -> [{bbox, kind, is_rect, items}]  (get_drawings)
+  - ``page_images(i)``        -> [{obj, bbox, width, height}]    (get_image_rects)
+  - ``decode_image(obj)``     -> np.uint8 HxWx3                  (extract_image)
+  - ``render(i, dpi, clip)``  -> np.uint8 HxWx3                  (get_pixmap)
+
+All geometry is top-left-origin PDF points, matching the reference.
+"""
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_SO_PATH = os.path.join(os.path.dirname(__file__), "_pdf_native.so")
+
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH):
+        raise RuntimeError(
+            f"native PDF engine not built: {_SO_PATH} missing — run `make -C native`"
+        )
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.spdf_open.argtypes = [ctypes.c_char_p]
+    lib.spdf_open.restype = ctypes.c_void_p
+    lib.spdf_open_bytes.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.spdf_open_bytes.restype = ctypes.c_void_p
+    lib.spdf_close.argtypes = [ctypes.c_void_p]
+    lib.spdf_page_count.argtypes = [ctypes.c_void_p]
+    lib.spdf_page_count.restype = ctypes.c_int
+    lib.spdf_page_size.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.spdf_page_metadata.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.spdf_page_metadata.restype = ctypes.c_void_p
+    lib.spdf_render.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.spdf_render.restype = ctypes.c_void_p
+    lib.spdf_decode_image.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.spdf_decode_image.restype = ctypes.c_void_p
+    lib.spdf_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+class Document:
+    """One open PDF. Thread-compatible for read-only page access."""
+
+    def __init__(self, path: Optional[str] = None, data: Optional[bytes] = None):
+        lib = _load_lib()
+        if path is not None:
+            self._h = lib.spdf_open(path.encode())
+        elif data is not None:
+            self._h = lib.spdf_open_bytes(data, len(data))
+        else:
+            raise ValueError("need path or data")
+        if not self._h:
+            raise IOError(f"failed to parse PDF: {path or '<bytes>'}")
+        self._lib = lib
+        self._meta_cache: Dict[int, Dict[str, Any]] = {}
+        self.path = path or "<bytes>"
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.spdf_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+    # -- pages ---------------------------------------------------------------
+
+    @property
+    def page_count(self) -> int:
+        return self._lib.spdf_page_count(self._h)
+
+    def __len__(self) -> int:
+        return self.page_count
+
+    def page_size(self, index: int) -> Tuple[float, float]:
+        w = ctypes.c_double()
+        h = ctypes.c_double()
+        self._lib.spdf_page_size(self._h, index, ctypes.byref(w), ctypes.byref(h))
+        return w.value, h.value
+
+    def _metadata(self, index: int) -> Dict[str, Any]:
+        if index not in self._meta_cache:
+            p = self._lib.spdf_page_metadata(self._h, index)
+            try:
+                raw = ctypes.string_at(p)
+            finally:
+                self._lib.spdf_free(p)
+            self._meta_cache[index] = json.loads(raw.decode("utf-8", "replace"))
+        return self._meta_cache[index]
+
+    def page_spans(self, index: int) -> List[Dict[str, Any]]:
+        return self._metadata(index)["spans"]
+
+    def page_drawings(self, index: int) -> List[Dict[str, Any]]:
+        return self._metadata(index)["drawings"]
+
+    def page_images(self, index: int) -> List[Dict[str, Any]]:
+        return [im for im in self._metadata(index)["images"] if not im["inline"]]
+
+    def page_text_blocks(self, index: int) -> List[Dict[str, Any]]:
+        """Spans merged into reading blocks (the fitz 'dict' block analog):
+        spans whose baselines are vertically adjacent and horizontally
+        overlapping merge into one block."""
+        spans = self.page_spans(index)
+        blocks: List[Dict[str, Any]] = []
+        for s in sorted(spans, key=lambda s: (round(s["bbox"][1], 1), s["bbox"][0])):
+            sb = s["bbox"]
+            merged = False
+            for b in blocks:
+                bb = b["bbox"]
+                v_gap = sb[1] - bb[3]
+                x_overlap = min(sb[2], bb[2]) - max(sb[0], bb[0])
+                same_line = abs(sb[1] - bb[1]) < s["size"] * 0.6
+                if (same_line and -2.0 <= sb[0] - bb[2] <= s["size"] * 1.2) or (
+                    -2.0 <= v_gap <= s["size"] * 0.62 and x_overlap > -s["size"]
+                ):
+                    b["text"] += (" " if not same_line or sb[0] - bb[2] > 0.1 else "") + s["text"]
+                    b["bbox"] = [
+                        min(bb[0], sb[0]), min(bb[1], sb[1]),
+                        max(bb[2], sb[2]), max(bb[3], sb[3]),
+                    ]
+                    b["size"] = max(b["size"], s["size"])
+                    merged = True
+                    break
+            if not merged:
+                blocks.append(
+                    {"text": s["text"], "bbox": list(sb), "size": s["size"]}
+                )
+        return blocks
+
+    def decode_image(self, obj_num: int) -> Optional[np.ndarray]:
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        p = self._lib.spdf_decode_image(self._h, obj_num, ctypes.byref(w), ctypes.byref(h))
+        if not p:
+            return None
+        try:
+            buf = ctypes.string_at(p, w.value * h.value * 3)
+        finally:
+            self._lib.spdf_free(p)
+        return np.frombuffer(buf, dtype=np.uint8).reshape(h.value, w.value, 3).copy()
+
+    def render(
+        self,
+        index: int,
+        dpi: float = 150.0,
+        clip: Optional[Sequence[float]] = None,
+    ) -> np.ndarray:
+        """Rasterize a page (or clip region, page points top-left origin)
+        to RGB uint8 at the given DPI."""
+        if not 0 <= index < self.page_count:
+            raise IndexError(f"page {index} out of range (0..{self.page_count - 1})")
+        scale = dpi / 72.0
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        carr = None
+        if clip is not None:
+            carr = (ctypes.c_double * 4)(*[float(v) for v in clip])
+        p = self._lib.spdf_render(self._h, index, scale, carr, ctypes.byref(w), ctypes.byref(h))
+        if not p:
+            raise RuntimeError(f"render failed for page {index}")
+        try:
+            buf = ctypes.string_at(p, w.value * h.value * 3)
+        finally:
+            self._lib.spdf_free(p)
+        return np.frombuffer(buf, dtype=np.uint8).reshape(h.value, w.value, 3).copy()
+
+
+def open_pdf(path: str) -> Document:
+    return Document(path=path)

@@ -1,0 +1,658 @@
+"""Synthetic textbook PDF generator (test fixtures + benchmark inputs).
+
+A minimal first-party PDF 1.4 writer — no external PDF libs exist in this
+environment — that emits textbook-like pages: body paragraphs, figure
+captions, vector charts (bar/line/pie), flowchart diagrams, and embedded
+raster images, together with machine ground truth (visual bboxes, captions,
+text blocks) for detection/OCR parity tests. The reference pipeline consumed
+arbitrary textbooks via PyMuPDF (ref pdf_image_segmentation.py:2731); our
+framework's ingest engine is validated against books produced here, where
+exact geometry is known.
+
+Coordinates in the public API are TOP-LEFT origin PDF points (matching the
+reference's fitz geometry); the writer flips to PDF's bottom-left space
+internally.
+"""
+from __future__ import annotations
+
+import io
+import zlib
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+DEJAVU_BOLD = "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf"
+
+PAGE_W, PAGE_H = 612.0, 792.0  # US Letter in points
+
+
+# ---------------------------------------------------------------------------
+# font metrics via PIL (advance widths in milli-em units for /Widths arrays)
+# ---------------------------------------------------------------------------
+
+_FONT_CACHE: Dict[str, Any] = {}
+
+
+def _pil_font(path: str, size: int = 1000):
+    from PIL import ImageFont
+
+    key = f"{path}@{size}"
+    if key not in _FONT_CACHE:
+        _FONT_CACHE[key] = ImageFont.truetype(path, size)
+    return _FONT_CACHE[key]
+
+
+def text_width(text: str, size: float, font_path: str = DEJAVU) -> float:
+    """Advance width of ``text`` at ``size`` pt."""
+    f = _pil_font(font_path)
+    return f.getlength(text) * size / 1000.0
+
+
+def _widths_array(font_path: str) -> List[int]:
+    """Advance widths for chars 32..255 (latin-1) in 1000/em units."""
+    f = _pil_font(font_path)
+    out = []
+    for code in range(32, 256):
+        try:
+            out.append(int(round(f.getlength(chr(code)))))
+        except Exception:
+            out.append(600)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ground truth records
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class VisualTruth:
+    kind: str                      # chart_bar | chart_line | chart_pie | flowchart | image | table_image
+    bbox: Tuple[float, float, float, float]  # top-left-origin pts
+    caption: Optional[str] = None
+    figure_number: Optional[str] = None
+    texts: List[str] = field(default_factory=list)  # strings drawn inside the visual
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class PageTruth:
+    page_no: int                   # 0-based
+    visuals: List[VisualTruth] = field(default_factory=list)
+    text_blocks: List[Dict[str, Any]] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# low-level PDF document builder
+# ---------------------------------------------------------------------------
+
+
+class PDFBuilder:
+    """Accumulates numbered objects and serializes a classic xref-table PDF."""
+
+    def __init__(self) -> None:
+        self.objects: List[bytes] = []  # index i -> object number i+1
+
+    def add(self, body: bytes) -> int:
+        self.objects.append(body)
+        return len(self.objects)
+
+    def reserve(self) -> int:
+        self.objects.append(b"")
+        return len(self.objects)
+
+    def set(self, num: int, body: bytes) -> None:
+        self.objects[num - 1] = body
+
+    def stream_obj(self, dict_entries: str, data: bytes, compress: bool = True) -> int:
+        if compress:
+            data = zlib.compress(data)
+            dict_entries += " /Filter /FlateDecode"
+        head = f"<< {dict_entries} /Length {len(data)} >>\nstream\n".encode("latin-1")
+        return self.add(head + data + b"\nendstream")
+
+    def serialize(self, root_num: int) -> bytes:
+        buf = io.BytesIO()
+        buf.write(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0] * (len(self.objects) + 1)
+        for i, body in enumerate(self.objects):
+            offsets[i + 1] = buf.tell()
+            buf.write(f"{i + 1} 0 obj\n".encode("latin-1"))
+            buf.write(body)
+            buf.write(b"\nendobj\n")
+        xref_at = buf.tell()
+        buf.write(f"xref\n0 {len(self.objects) + 1}\n".encode("latin-1"))
+        buf.write(b"0000000000 65535 f \n")
+        for off in offsets[1:]:
+            buf.write(f"{off:010d} 00000 n \n".encode("latin-1"))
+        buf.write(
+            (
+                f"trailer\n<< /Size {len(self.objects) + 1} /Root {root_num} 0 R >>\n"
+                f"startxref\n{xref_at}\n%%EOF\n"
+            ).encode("latin-1")
+        )
+        return buf.getvalue()
+
+
+class PageCanvas:
+    """Content-stream builder for one page, top-left-origin API."""
+
+    def __init__(self, width: float = PAGE_W, height: float = PAGE_H):
+        self.w, self.h = width, height
+        self.ops: List[str] = []
+        self.images: List[Tuple[str, np.ndarray, Tuple[float, float, float, float]]] = []
+        self.truth = PageTruth(page_no=-1)
+        self._img_counter = 0
+
+    # -- primitives ---------------------------------------------------------
+
+    def _y(self, y: float) -> float:
+        return self.h - y
+
+    def text(
+        self,
+        x: float,
+        y: float,
+        s: str,
+        size: float = 10.0,
+        bold: bool = False,
+        record: bool = True,
+    ) -> Tuple[float, float, float, float]:
+        """Draw ``s`` with its baseline such that the glyph box top sits at
+        ``y`` (top-left origin). Returns the text bbox (x0,y0,x1,y1)."""
+        font = "/F2" if bold else "/F1"
+        ascent, descent = 0.76, 0.24  # DejaVuSans approx, of em
+        baseline = y + ascent * size
+        esc = s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        self.ops.append(
+            f"0 0 0 rg BT {font} {size:.2f} Tf {x:.2f} {self._y(baseline):.2f} Td ({esc}) Tj ET"
+        )
+        wpath = DEJAVU_BOLD if bold else DEJAVU
+        bbox = (x, y, x + text_width(s, size, wpath), y + (ascent + descent) * size)
+        if record:
+            self.truth.text_blocks.append({"text": s, "bbox": list(bbox), "size": size})
+        return bbox
+
+    def rect(self, x0, y0, x1, y1, fill=None, stroke=(0, 0, 0), width=1.0):
+        cmds = [f"{width:.2f} w"]
+        if fill is not None:
+            cmds.append(f"{fill[0]:.3f} {fill[1]:.3f} {fill[2]:.3f} rg")
+        if stroke is not None:
+            cmds.append(f"{stroke[0]:.3f} {stroke[1]:.3f} {stroke[2]:.3f} RG")
+        cmds.append(
+            f"{x0:.2f} {self._y(y1):.2f} {x1 - x0:.2f} {y1 - y0:.2f} re"
+        )
+        if fill is not None and stroke is not None:
+            cmds.append("B")
+        elif fill is not None:
+            cmds.append("f")
+        else:
+            cmds.append("S")
+        self.ops.append(" ".join(cmds))
+
+    def line(self, x0, y0, x1, y1, width=1.0, color=(0, 0, 0)):
+        self.ops.append(
+            f"{width:.2f} w {color[0]:.3f} {color[1]:.3f} {color[2]:.3f} RG "
+            f"{x0:.2f} {self._y(y0):.2f} m {x1:.2f} {self._y(y1):.2f} l S"
+        )
+
+    def polyline(self, pts: Sequence[Tuple[float, float]], width=1.5, color=(0, 0, 0)):
+        parts = [f"{width:.2f} w {color[0]:.3f} {color[1]:.3f} {color[2]:.3f} RG"]
+        x, y = pts[0]
+        parts.append(f"{x:.2f} {self._y(y):.2f} m")
+        for x, y in pts[1:]:
+            parts.append(f"{x:.2f} {self._y(y):.2f} l")
+        parts.append("S")
+        self.ops.append(" ".join(parts))
+
+    def polygon(self, pts, fill=None, stroke=(0, 0, 0), width=1.0):
+        parts = [f"{width:.2f} w"]
+        if fill is not None:
+            parts.append(f"{fill[0]:.3f} {fill[1]:.3f} {fill[2]:.3f} rg")
+        if stroke is not None:
+            parts.append(f"{stroke[0]:.3f} {stroke[1]:.3f} {stroke[2]:.3f} RG")
+        x, y = pts[0]
+        parts.append(f"{x:.2f} {self._y(y):.2f} m")
+        for x, y in pts[1:]:
+            parts.append(f"{x:.2f} {self._y(y):.2f} l")
+        parts.append("h")
+        if fill is not None and stroke is not None:
+            parts.append("B")
+        elif fill is not None:
+            parts.append("f")
+        else:
+            parts.append("S")
+        self.ops.append(" ".join(parts))
+
+    def circle(self, cx, cy, r, fill=None, stroke=(0, 0, 0), width=1.0):
+        # four-arc cubic bezier approximation
+        k = 0.5523 * r
+        cyf = self._y(cy)
+        parts = [f"{width:.2f} w"]
+        if fill is not None:
+            parts.append(f"{fill[0]:.3f} {fill[1]:.3f} {fill[2]:.3f} rg")
+        if stroke is not None:
+            parts.append(f"{stroke[0]:.3f} {stroke[1]:.3f} {stroke[2]:.3f} RG")
+        parts.append(f"{cx + r:.2f} {cyf:.2f} m")
+        for dx1, dy1, dx2, dy2, dx3, dy3 in [
+            (r, k, k, r, 0, r),
+            (-k, r, -r, k, -r, 0),
+            (-r, -k, -k, -r, 0, -r),
+            (k, -r, r, -k, r, 0),
+        ]:
+            parts.append(
+                f"{cx + dx1:.2f} {cyf + dy1:.2f} {cx + dx2:.2f} {cyf + dy2:.2f} "
+                f"{cx + dx3:.2f} {cyf + dy3:.2f} c"
+            )
+        parts.append("B" if (fill is not None and stroke is not None) else ("f" if fill is not None else "S"))
+        self.ops.append(" ".join(parts))
+
+    def arrow(self, x0, y0, x1, y1, width=1.2):
+        self.line(x0, y0, x1, y1, width=width)
+        dx, dy = x1 - x0, y1 - y0
+        n = max((dx * dx + dy * dy) ** 0.5, 1e-6)
+        ux, uy = dx / n, dy / n
+        px, py = -uy, ux
+        hl, hw = 7.0, 3.5
+        self.polygon(
+            [
+                (x1, y1),
+                (x1 - hl * ux + hw * px, y1 - hl * uy + hw * py),
+                (x1 - hl * ux - hw * px, y1 - hl * uy - hw * py),
+            ],
+            fill=(0, 0, 0),
+            stroke=None,
+        )
+
+    def image(self, arr: np.ndarray, x0, y0, x1, y1) -> str:
+        """Place an RGB uint8 HxWx3 array as an image XObject."""
+        self._img_counter += 1
+        name = f"Im{self._img_counter}"
+        self.images.append((name, arr, (x0, y0, x1, y1)))
+        w, h = x1 - x0, y1 - y0
+        self.ops.append(
+            f"q {w:.2f} 0 0 {h:.2f} {x0:.2f} {self._y(y1):.2f} cm /{name} Do Q"
+        )
+        return name
+
+    def paragraph(self, x, y, words: str, size=10.0, max_width=460.0, leading=1.35):
+        """Greedy-wrapped body text; returns bottom y."""
+        line: List[str] = []
+        cy = y
+        for word in words.split():
+            candidate = " ".join(line + [word])
+            if line and text_width(candidate, size) > max_width:
+                self.text(x, cy, " ".join(line), size)
+                cy += size * leading
+                line = [word]
+            else:
+                line.append(word)
+        if line:
+            self.text(x, cy, " ".join(line), size)
+            cy += size * leading
+        return cy
+
+
+# ---------------------------------------------------------------------------
+# document assembly
+# ---------------------------------------------------------------------------
+
+
+class SyntheticBook:
+    """Collects pages and serializes the final PDF with embedded DejaVu fonts."""
+
+    def __init__(self, width: float = PAGE_W, height: float = PAGE_H,
+                 jpeg_images: bool = False):
+        self.w, self.h = width, height
+        self.pages: List[PageCanvas] = []
+        self.jpeg_images = jpeg_images
+
+    def new_page(self) -> PageCanvas:
+        c = PageCanvas(self.w, self.h)
+        c.truth.page_no = len(self.pages)
+        self.pages.append(c)
+        return c
+
+    @property
+    def truths(self) -> List[PageTruth]:
+        return [p.truth for p in self.pages]
+
+    def _font_objects(self, b: PDFBuilder, path: str, ps_name: str) -> int:
+        data = open(path, "rb").read()
+        ff = b.stream_obj(f"/Length1 {len(data)}", data, compress=True)
+        widths = _widths_array(path)
+        desc = b.add(
+            (
+                f"<< /Type /FontDescriptor /FontName /{ps_name} /Flags 32 "
+                f"/FontBBox [-1021 -463 1793 1232] /ItalicAngle 0 /Ascent 760 "
+                f"/Descent -240 /CapHeight 730 /StemV 80 /FontFile2 {ff} 0 R >>"
+            ).encode("latin-1")
+        )
+        wtxt = " ".join(str(w) for w in widths)
+        return b.add(
+            (
+                f"<< /Type /Font /Subtype /TrueType /BaseFont /{ps_name} "
+                f"/FirstChar 32 /LastChar 255 /Widths [{wtxt}] "
+                f"/Encoding /WinAnsiEncoding /FontDescriptor {desc} 0 R >>"
+            ).encode("latin-1")
+        )
+
+    def _image_object(self, b: PDFBuilder, arr: np.ndarray) -> int:
+        h, w = arr.shape[:2]
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        if self.jpeg_images:
+            from PIL import Image
+
+            bio = io.BytesIO()
+            Image.fromarray(arr).save(bio, format="JPEG", quality=90)
+            return b.stream_obj(
+                f"/Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode",
+                bio.getvalue(),
+                compress=False,
+            )
+        return b.stream_obj(
+            f"/Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceRGB /BitsPerComponent 8",
+            arr.astype(np.uint8).tobytes(),
+            compress=True,
+        )
+
+    def tobytes(self) -> bytes:
+        b = PDFBuilder()
+        catalog = b.reserve()
+        pages_obj = b.reserve()
+        f1 = self._font_objects(b, DEJAVU, "DejaVuSans")
+        f2 = self._font_objects(b, DEJAVU_BOLD, "DejaVuSans-Bold")
+        kids = []
+        for page in self.pages:
+            xobj_entries = []
+            for name, arr, _rect in page.images:
+                num = self._image_object(b, arr)
+                xobj_entries.append(f"/{name} {num} 0 R")
+            content = b.stream_obj("", "\n".join(page.ops).encode("latin-1"))
+            res = f"/Font << /F1 {f1} 0 R /F2 {f2} 0 R >>"
+            if xobj_entries:
+                res += f" /XObject << {' '.join(xobj_entries)} >>"
+            pg = b.add(
+                (
+                    f"<< /Type /Page /Parent {pages_obj} 0 R "
+                    f"/MediaBox [0 0 {page.w:.2f} {page.h:.2f}] "
+                    f"/Resources << {res} >> /Contents {content} 0 R >>"
+                ).encode("latin-1")
+            )
+            kids.append(f"{pg} 0 R")
+        b.set(
+            pages_obj,
+            (
+                f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(kids)} >>"
+            ).encode("latin-1"),
+        )
+        b.set(catalog, f"<< /Type /Catalog /Pages {pages_obj} 0 R >>".encode("latin-1"))
+        return b.serialize(catalog)
+
+    def save(self, path: str) -> List[PageTruth]:
+        with open(path, "wb") as f:
+            f.write(self.tobytes())
+        return self.truths
+
+
+# ---------------------------------------------------------------------------
+# page templates (textbook-like content with known ground truth)
+# ---------------------------------------------------------------------------
+
+_LOREM = (
+    "The portfolio return depends on the weighted average of individual asset "
+    "returns where weights reflect the fraction of wealth allocated to each "
+    "position. Diversification lowers total variance because asset returns "
+    "are imperfectly correlated, so idiosyncratic shocks partially offset. "
+    "The investor chooses the allocation that maximizes expected utility "
+    "subject to the budget constraint and a tolerance for risk."
+)
+
+
+def _caption(c: PageCanvas, x: float, y: float, fig: str, text: str) -> str:
+    s = f"Figure {fig} {text}"
+    c.text(x, y, s, size=9.0, bold=False)
+    return s
+
+
+def add_bar_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Generator):
+    texts: List[str] = []
+    pad_l, pad_b, pad_t = 42, 30, 12
+    ax0, ay0, ax1, ay1 = x0 + pad_l, y0 + pad_t, x1 - 10, y1 - pad_b
+    # grid
+    for i in range(5):
+        gy = ay0 + (ay1 - ay0) * i / 4
+        c.line(ax0, gy, ax1, gy, width=0.4, color=(0.75, 0.75, 0.75))
+    # axes
+    c.line(ax0, ay0, ax0, ay1, width=1.2)
+    c.line(ax0, ay1, ax1, ay1, width=1.2)
+    n = int(rng.integers(4, 7))
+    bw = (ax1 - ax0) / (n * 1.6)
+    colors = [(0.12, 0.35, 0.65), (0.85, 0.45, 0.1), (0.2, 0.55, 0.25)]
+    vals = rng.uniform(0.25, 1.0, size=n)
+    for i in range(n):
+        bx = ax0 + (i + 0.35) * (ax1 - ax0) / n
+        bh = (ay1 - ay0 - 6) * vals[i]
+        c.rect(bx, ay1 - bh, bx + bw, ay1, fill=colors[i % 3], stroke=None)
+        lbl = f"Q{i + 1}"
+        b = c.text(bx, ay1 + 4, lbl, size=7.0, record=False)
+        texts.append(lbl)
+        c.truth.text_blocks.append({"text": lbl, "bbox": list(b), "size": 7.0})
+    # y tick labels
+    for i in range(5):
+        v = f"{int(100 - 25 * i)}"
+        gy = ay0 + (ay1 - ay0) * i / 4
+        b = c.text(x0 + 10, gy - 4, v, size=7.0, record=False)
+        c.truth.text_blocks.append({"text": v, "bbox": list(b), "size": 7.0})
+        texts.append(v)
+    yl = "Return %"
+    b = c.text(x0 + 2, y0 + 2, yl, size=7.5, record=False)
+    c.truth.text_blocks.append({"text": yl, "bbox": list(b), "size": 7.5})
+    texts.append(yl)
+    cap = _caption(c, x0, y1 + 8, fig, "Quarterly returns by period")
+    c.truth.visuals.append(
+        VisualTruth("chart_bar", (x0, y0, x1, y1 + 22), caption=cap,
+                    figure_number=f"Figure {fig}", texts=texts,
+                    extra={"bars": n, "grid": True})
+    )
+
+
+def add_line_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Generator):
+    texts: List[str] = []
+    pad_l, pad_b, pad_t = 42, 30, 12
+    ax0, ay0, ax1, ay1 = x0 + pad_l, y0 + pad_t, x1 - 10, y1 - pad_b
+    for i in range(5):
+        gy = ay0 + (ay1 - ay0) * i / 4
+        c.line(ax0, gy, ax1, gy, width=0.4, color=(0.8, 0.8, 0.8))
+    c.line(ax0, ay0, ax0, ay1, width=1.2)
+    c.line(ax0, ay1, ax1, ay1, width=1.2)
+    for s, color in enumerate([(0.1, 0.3, 0.7), (0.8, 0.2, 0.15)]):
+        k = int(rng.integers(8, 14))
+        ys = rng.uniform(0.15, 0.9, size=k)
+        pts = [
+            (ax0 + (ax1 - ax0) * i / (k - 1), ay1 - (ay1 - ay0 - 8) * ys[i])
+            for i in range(k)
+        ]
+        c.polyline(pts, width=1.6, color=color)
+    for i, lbl in enumerate(["2019", "2020", "2021", "2022"]):
+        bx = ax0 + (ax1 - ax0) * i / 3 - 8
+        b = c.text(bx, ay1 + 4, lbl, size=7.0, record=False)
+        c.truth.text_blocks.append({"text": lbl, "bbox": list(b), "size": 7.0})
+        texts.append(lbl)
+    leg = ["Stocks", "Bonds"]
+    for i, item in enumerate(leg):
+        ly = y0 + 16 + i * 13
+        c.line(x1 - 72, ly + 4, x1 - 58, ly + 4, width=1.6,
+               color=[(0.1, 0.3, 0.7), (0.8, 0.2, 0.15)][i])
+        b = c.text(x1 - 54, ly - 2, item, size=7.0, record=False)
+        c.truth.text_blocks.append({"text": item, "bbox": list(b), "size": 7.0})
+        texts.append(item)
+    xl = "Year"
+    b = c.text((ax0 + ax1) / 2 - 12, y1 - 12, xl, size=7.5, record=False)
+    c.truth.text_blocks.append({"text": xl, "bbox": list(b), "size": 7.5})
+    texts.append(xl)
+    cap = _caption(c, x0, y1 + 8, fig, "Cumulative performance of stocks and bonds")
+    c.truth.visuals.append(
+        VisualTruth("chart_line", (x0, y0, x1, y1 + 22), caption=cap,
+                    figure_number=f"Figure {fig}", texts=texts,
+                    extra={"series": 2, "grid": True})
+    )
+
+
+def add_pie_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Generator):
+    texts: List[str] = []
+    cx, cy = (x0 + x1) / 2 - 30, (y0 + y1) / 2
+    r = min(x1 - x0, y1 - y0) / 2 - 28
+    c.circle(cx, cy, r, fill=(0.93, 0.8, 0.3), stroke=(0, 0, 0), width=1.0)
+    # wedge separators
+    angles = np.cumsum(rng.dirichlet(np.ones(4))) * 2 * np.pi
+    for a in angles:
+        c.line(cx, cy, cx + r * np.cos(a), cy + r * np.sin(a), width=1.0)
+    for i, item in enumerate(["Equities", "Bonds", "Cash", "Alts"]):
+        ly = y0 + 18 + i * 13
+        c.rect(x1 - 86, ly, x1 - 76, ly + 8, fill=(0.3 + 0.15 * i, 0.4, 0.7 - 0.1 * i), stroke=None)
+        b = c.text(x1 - 72, ly - 2, item, size=7.0, record=False)
+        c.truth.text_blocks.append({"text": item, "bbox": list(b), "size": 7.0})
+        texts.append(item)
+    cap = _caption(c, x0, y1 + 8, fig, "Asset allocation of the model portfolio")
+    c.truth.visuals.append(
+        VisualTruth("chart_pie", (x0, y0, x1, y1 + 22), caption=cap,
+                    figure_number=f"Figure {fig}", texts=texts,
+                    extra={"slices": 4})
+    )
+
+
+def add_flowchart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Generator):
+    texts: List[str] = []
+    w = x1 - x0
+    boxes = [
+        ("Start", x0 + w / 2 - 40, y0 + 8),
+        ("Screen assets", x0 + w / 2 - 40, y0 + 58),
+        ("Risk check", x0 + w / 2 - 40, y0 + 108),
+    ]
+    for label, bx, by in boxes:
+        c.rect(bx, by, bx + 80, by + 26, fill=(0.9, 0.93, 1.0), stroke=(0, 0, 0))
+        b = c.text(bx + 8, by + 7, label, size=7.5, record=False)
+        c.truth.text_blocks.append({"text": label, "bbox": list(b), "size": 7.5})
+        texts.append(label)
+    c.arrow(x0 + w / 2, y0 + 34, x0 + w / 2, y0 + 56)
+    c.arrow(x0 + w / 2, y0 + 84, x0 + w / 2, y0 + 106)
+    # decision diamond
+    dx, dy = x0 + w / 2, y0 + 168
+    c.polygon(
+        [(dx, dy - 20), (dx + 48, dy), (dx, dy + 20), (dx - 48, dy)],
+        fill=(1.0, 0.95, 0.85),
+    )
+    b = c.text(dx - 26, dy - 6, "Approve?", size=7.5, record=False)
+    c.truth.text_blocks.append({"text": "Approve?", "bbox": list(b), "size": 7.5})
+    texts.append("Approve?")
+    c.arrow(dx, y0 + 134, dx, dy - 22)
+    c.arrow(dx + 48, dy, x1 - 60, dy)
+    yes = c.text(x1 - 56, dy - 6, "Execute", size=7.5, record=False)
+    c.truth.text_blocks.append({"text": "Execute", "bbox": list(yes), "size": 7.5})
+    texts.append("Execute")
+    cap = _caption(c, x0, y1 + 8, fig, "Investment decision process")
+    c.truth.visuals.append(
+        VisualTruth("flowchart", (x0, y0, x1, y1 + 22), caption=cap,
+                    figure_number=f"Figure {fig}", texts=texts,
+                    extra={"nodes": 5, "arrows": 4, "decision": True})
+    )
+
+
+def _photo_array(rng: np.random.Generator, h: int = 180, w: int = 300) -> np.ndarray:
+    """Smooth pseudo-photo: low-frequency noise blended across channels."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.zeros((h, w, 3), np.float32)
+    for ch in range(3):
+        f1, f2 = rng.uniform(0.5, 2.5, size=2)
+        p1, p2 = rng.uniform(0, 6.28, size=2)
+        img[..., ch] = (
+            0.5
+            + 0.25 * np.sin(f1 * 6.28 * xx / w + p1)
+            + 0.25 * np.cos(f2 * 6.28 * yy / h + p2)
+        )
+    img += rng.normal(0, 0.04, size=img.shape).astype(np.float32)
+    return np.clip(img * 255, 0, 255).astype(np.uint8)
+
+
+def _table_array(rng: np.random.Generator) -> np.ndarray:
+    """A rendered spreadsheet-like table image (text-dense embedded graphic)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    w, h = 460, 260
+    img = Image.new("RGB", (w, h), (255, 255, 255))
+    d = ImageDraw.Draw(img)
+    font = ImageFont.truetype(DEJAVU, 13)
+    headers = ["Asset", "Weight", "Return", "Vol"]
+    rows = [
+        [f"Fund {chr(65 + i)}", f"{rng.uniform(5, 40):.1f}%", f"{rng.uniform(-5, 15):.2f}%", f"{rng.uniform(4, 25):.1f}%"]
+        for i in range(7)
+    ]
+    for j, hd in enumerate(headers):
+        d.text((14 + j * 112, 10), hd, fill=(0, 0, 0), font=font)
+    d.line([(8, 34), (w - 8, 34)], fill=(0, 0, 0), width=2)
+    for i, row in enumerate(rows):
+        for j, cell in enumerate(row):
+            d.text((14 + j * 112, 44 + i * 28), cell, fill=(20, 20, 20), font=font)
+        d.line([(8, 66 + i * 28), (w - 8, 66 + i * 28)], fill=(180, 180, 180), width=1)
+    return np.asarray(img)
+
+
+def add_embedded_image(c: PageCanvas, x0, y0, x1, y1, rng: np.random.Generator,
+                       table: bool = False):
+    arr = _table_array(rng) if table else _photo_array(rng)
+    c.image(arr, x0, y0, x1, y1)
+    c.truth.visuals.append(
+        VisualTruth("table_image" if table else "image", (x0, y0, x1, y1),
+                    extra={"shape": list(arr.shape)})
+    )
+
+
+# ---------------------------------------------------------------------------
+# book templates
+# ---------------------------------------------------------------------------
+
+
+def make_test_book(path: str, pages: int = 12, seed: int = 0,
+                   jpeg_images: bool = False) -> List[PageTruth]:
+    """A textbook-like PDF cycling through visual templates.
+
+    Page cycle: [text, bar chart, line chart, flowchart, embedded photo,
+    pie chart, table image, two-visuals]."""
+    rng = np.random.default_rng(seed)
+    book = SyntheticBook(jpeg_images=jpeg_images)
+    chapter = 1
+    for p in range(pages):
+        c = book.new_page()
+        kind = p % 8
+        c.text(72, 40, f"Chapter {chapter}: Portfolio Theory", size=15.0, bold=True)
+        y = c.paragraph(72, 76, _LOREM, size=10.0)
+        fig = f"{chapter}.{(p % 8) + 1}"
+        if kind == 0:
+            c.paragraph(72, y + 8, _LOREM, size=10.0)
+            c.paragraph(72, y + 140, _LOREM, size=10.0)
+        elif kind == 1:
+            add_bar_chart(c, 110, y + 30, 470, y + 240, fig, rng)
+        elif kind == 2:
+            add_line_chart(c, 110, y + 30, 470, y + 240, fig, rng)
+        elif kind == 3:
+            add_flowchart(c, 140, y + 30, 460, y + 250, fig, rng)
+        elif kind == 4:
+            add_embedded_image(c, 150, y + 40, 450, y + 220, rng)
+        elif kind == 5:
+            add_pie_chart(c, 130, y + 30, 450, y + 230, fig, rng)
+        elif kind == 6:
+            add_embedded_image(c, 110, y + 40, 480, y + 250, rng, table=True)
+        else:
+            add_bar_chart(c, 90, y + 30, 300, y + 190, fig, rng)
+            add_embedded_image(c, 330, y + 50, 520, y + 180, rng)
+        c.paragraph(72, 620, _LOREM, size=10.0)
+        c.text(290, 752, str(p + 1), size=9.0)
+        if (p + 1) % 8 == 0:
+            chapter += 1
+    return book.save(path)
