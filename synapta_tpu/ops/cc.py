@@ -1,0 +1,129 @@
+"""Connected components on TPU via segmented max-scans.
+
+Replaces cv2.findContours / SimpleBlobDetector call sites
+(ref pdf_image_segmentation.py:1401-1409, 1596-1617, 1758-1775) with a
+data-parallel labeling: every masked pixel starts with a unique id and
+labels propagate to the component maximum through alternating row/column
+segmented cumulative-max scans plus an 8-neighbor max step, inside a
+bounded while_loop. Fully batched and jit-compatible: (B, H, W) masks in,
+(B, H, W) int32 label maps out.
+
+Per-component scalar stats (area, bbox) are computed with one host-side
+vectorized pass over the label map — label maps leave HBM once per crop
+batch, the pixel-heavy work stays on device.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _seg_max_scan(values: jnp.ndarray, mask: jnp.ndarray, axis: int,
+                  reverse: bool) -> jnp.ndarray:
+    """Segmented running max along ``axis``: the max resets wherever
+    mask == 0. values/mask: (..., N) along axis."""
+    flags = 1.0 - mask  # 1 = segment boundary (non-ink)
+
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        v = jnp.where(fb > 0, vb, jnp.maximum(va, vb))
+        f = jnp.maximum(fa, fb)
+        return v, f
+
+    v, _ = lax.associative_scan(
+        combine, (values, flags), axis=axis, reverse=reverse
+    )
+    return v * mask
+
+
+def connected_components(mask: jnp.ndarray, max_iters: int = 64,
+                         connectivity: int = 8) -> jnp.ndarray:
+    """8- (or 4-) connected labeling of a (B, H, W) {0,1} mask.
+
+    Returns int32 labels (0 = background); labels are arbitrary unique ints
+    (the max initial id in each component). Use connectivity=4 when labeling
+    background/hole regions (the standard complement convention, so thin
+    diagonal ink boundaries don't leak).
+    """
+    B, H, W = mask.shape
+    m = mask.astype(jnp.float32)
+    init = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2)
+        + 1
+    ).astype(jnp.float32) * m
+
+    if connectivity == 8:
+        offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    else:
+        offsets = [(-1, 0), (0, -1), (0, 1), (1, 0)]
+
+    def neighbor_max(lbl):
+        p = jnp.pad(lbl, ((0, 0), (1, 1), (1, 1)))
+        best = lbl
+        for dy, dx in offsets:
+            best = jnp.maximum(best, p[:, 1 + dy:H + 1 + dy, 1 + dx:W + 1 + dx])
+        return best * m
+
+    def step(lbl):
+        lbl = neighbor_max(lbl)
+        lbl = _seg_max_scan(lbl, m, axis=2, reverse=False)
+        lbl = _seg_max_scan(lbl, m, axis=2, reverse=True)
+        lbl = _seg_max_scan(lbl, m, axis=1, reverse=False)
+        lbl = _seg_max_scan(lbl, m, axis=1, reverse=True)
+        return lbl
+
+    def cond(state):
+        i, lbl, changed = state
+        return (i < max_iters) & changed
+
+    def body(state):
+        i, lbl, _ = state
+        new = step(lbl)
+        return i + 1, new, jnp.any(new != lbl)
+
+    _, labels, _ = lax.while_loop(cond, body, (0, step(init), jnp.array(True)))
+    return labels.astype(jnp.int32)
+
+
+def component_stats(labels: np.ndarray, min_area: int = 1) -> List[Dict]:
+    """Host-side per-component stats from ONE label map (H, W).
+
+    Returns [{label, area, bbox(x0,y0,x1,y1 inclusive-exclusive), w, h}],
+    sorted by area descending.
+    """
+    lab = np.asarray(labels)
+    flat = lab.ravel()
+    nz = flat[flat > 0]
+    if nz.size == 0:
+        return []
+    uniq, inv_idx, counts = np.unique(nz, return_inverse=True, return_counts=True)
+    ys, xs = np.nonzero(lab)
+    # inv maps each nonzero pixel -> component index
+    x0 = np.full(len(uniq), np.inf)
+    x1 = np.full(len(uniq), -np.inf)
+    y0 = np.full(len(uniq), np.inf)
+    y1 = np.full(len(uniq), -np.inf)
+    np.minimum.at(x0, inv_idx, xs)
+    np.maximum.at(x1, inv_idx, xs)
+    np.minimum.at(y0, inv_idx, ys)
+    np.maximum.at(y1, inv_idx, ys)
+    out = []
+    for i in np.argsort(-counts):
+        if counts[i] < min_area:
+            continue
+        out.append(
+            {
+                "label": int(uniq[i]),
+                "area": int(counts[i]),
+                "bbox": (int(x0[i]), int(y0[i]), int(x1[i]) + 1, int(y1[i]) + 1),
+                "w": int(x1[i] - x0[i] + 1),
+                "h": int(y1[i] - y0[i] + 1),
+            }
+        )
+    return out

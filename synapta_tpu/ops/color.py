@@ -1,0 +1,37 @@
+"""Color conversions (VPU elementwise; XLA fuses these into consumers)."""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., 3) uint8/float -> (...) float32 luma in [0, 255].
+
+    Matches OpenCV's BGR2GRAY weights (ref OCRProcessor channel handling,
+    pdf_image_segmentation.py:1114-1122) for decision parity.
+    """
+    r = rgb[..., 0].astype(jnp.float32)
+    g = rgb[..., 1].astype(jnp.float32)
+    b = rgb[..., 2].astype(jnp.float32)
+    return 0.299 * r + 0.587 * g + 0.114 * b
+
+
+def rgb_to_hsv(rgb: jnp.ndarray):
+    """(..., 3) uint8 -> (h, s, v) float32 with OpenCV ranges
+    (h in [0,180), s in [0,255], v in [0,255]) so the reference's
+    HSV mask thresholds (ref :1574) carry over unchanged."""
+    f = rgb.astype(jnp.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = v - mn
+    safe_c = jnp.where(c == 0, 1.0, c)
+    h = jnp.where(
+        v == r,
+        (g - b) / safe_c,
+        jnp.where(v == g, 2.0 + (b - r) / safe_c, 4.0 + (r - g) / safe_c),
+    )
+    h = (h * 30.0) % 180.0
+    h = jnp.where(c == 0, 0.0, h)
+    s = jnp.where(v == 0, 0.0, c / jnp.where(v == 0, 1.0, v) * 255.0)
+    return h, s, v

@@ -14,6 +14,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from synapta_tpu.utils.jaxsetup import setup_jax  # noqa: E402
+setup_jax()
+
 import pytest  # noqa: E402
 
 GOLDEN_DIR = Path("/root/reference/extracted_visuals_excelSS")
