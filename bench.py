@@ -1,0 +1,93 @@
+"""End-to-end benchmark: pages/sec/chip on a synthetic textbook_001.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.md): a 1,000-page book in < 60 s/chip
+== 16.67 pages/s; vs_baseline is measured_pages_per_s / 16.67.
+
+The run is the full local pipeline — native PDF parse + metadata
+extraction, two-pass detection, region rasterization, batched TPU
+features + OCR, heuristic classification, per-type payloads, structured
+text, caption re-detection, concept linking, JSONL+JSON+CSV+PNG outputs —
+with the network vision-LLM disabled (it is off the critical path by
+design and externally bound).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("SYNAPTA_LOG_LEVEL", "WARNING")
+
+BASELINE_PAGES_PER_S = 1000.0 / 60.0
+
+def main() -> None:
+    from synapta_tpu.utils.jaxsetup import setup_jax
+
+    setup_jax()
+    from synapta_tpu.config import PipelineConfig
+    from synapta_tpu.io.pdf_writer import make_test_book
+    from synapta_tpu.io.xlsx import write_xlsx
+    from synapta_tpu.pipeline import VisualSegmentationPipeline
+
+    pages = int(os.environ.get("SYNAPTA_BENCH_PAGES", "128"))
+    tmp = tempfile.mkdtemp(prefix="synapta_bench_")
+    pdf_path = os.path.join(tmp, "textbook_001.pdf")
+    make_test_book(pdf_path, pages=pages, seed=42)
+    tax_path = os.path.join(tmp, "taxonomy.xlsx")
+    write_xlsx(
+        tax_path,
+        [["Level", "Concept", "Tag(s)", "Rationale", "Page(s)"]]
+        + [
+            ["1", c, t, "", ""]
+            for c, t in [
+                ("Portfolio Diversification", "risk variance"),
+                ("Expected Return", "mean"),
+                ("Risk-Free Rate", "treasury"),
+                ("Asset Allocation", "weights"),
+                ("Utility Maximization", "preference"),
+                ("Cumulative Performance", "stocks bonds"),
+                ("Quarterly Returns", "periods"),
+                ("Investment Decision Process", "screening approval"),
+            ]
+        ],
+    )
+
+    def run(book_id: str, pdf: str) -> float:
+        cfg = PipelineConfig(use_vision_llm=False)
+        pipe = VisualSegmentationPipeline(
+            book_id=book_id,
+            pdf_path=pdf,
+            taxonomy_path=tax_path,
+            output_dir=os.path.join(tmp, book_id),
+            use_mermaid=False,
+            config=cfg,
+            resume=False,
+        )
+        t0 = time.time()
+        pipe.process()
+        return time.time() - t0
+
+    # warmup: pays XLA compile / cache load on a tiny book
+    warm_pdf = os.path.join(tmp, "warm.pdf")
+    make_test_book(warm_pdf, pages=8, seed=7)
+    run("warmup", warm_pdf)
+
+    wall = run("textbook_001", pdf_path)
+    pages_per_s = pages / wall
+    print(
+        json.dumps(
+            {
+                "metric": "pages_per_sec_per_chip_end_to_end_textbook_001",
+                "value": round(pages_per_s, 3),
+                "unit": "pages/s",
+                "vs_baseline": round(pages_per_s / BASELINE_PAGES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,126 @@
+"""Synthetic text-line generator for recognizer training.
+
+Renders random textbook-like strings (financial vocabulary, numbers,
+currencies, figure labels) with the same DejaVu font family our PDF
+fixtures embed, normalized to the recognizer's (32, W) tile. Because the
+deployment domain is *rendered* PDF rasters (not camera scans), synthetic
+training data is distribution-matched by construction.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from synapta_tpu.io.pdf_writer import DEJAVU, DEJAVU_BOLD
+from synapta_tpu.models import charset
+
+DEJAVU_SERIF = "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf"
+DEJAVU_MONO = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf"
+FONTS = [DEJAVU, DEJAVU_BOLD, DEJAVU_SERIF, DEJAVU_MONO]
+
+WORDS = (
+    "the of portfolio return risk asset bond stock equity market value price "
+    "rate interest yield option futures swap hedge capital income expected "
+    "variance deviation correlation beta alpha index fund investor allocation "
+    "weight diversification model theory figure exhibit chart table period "
+    "quarter year annual growth dividend earnings ratio margin cost revenue "
+    "cash flow discount present future net gross total average percent basis "
+    "Start Screen Approve Execute Risk Check Assets Inputs Output Model "
+    "Black-Scholes-Merton Binomial Quarterly Cumulative Performance Stocks "
+    "Bonds Cash Alts Equities Year Return Time Value Price Amount Q1 Q2 Q3 Q4"
+).split()
+
+
+def random_text(rng: np.random.Generator) -> str:
+    kind = rng.random()
+    if kind < 0.25:  # numeric / currency / ticks
+        style = rng.integers(0, 6)
+        v = rng.uniform(-5000, 100000)
+        return [
+            f"{v:,.2f}",
+            f"${abs(v):,.0f}",
+            f"{rng.uniform(-99, 99):.1f}%",
+            f"{rng.integers(1900, 2030)}",
+            f"{rng.uniform(0, 100):.2f}",
+            f"{rng.uniform(0.1, 9.9):.1f}{rng.choice(['K', 'M', 'B'])}",
+        ][style]
+    if kind < 0.35:  # figure labels
+        return (
+            f"{rng.choice(['Figure', 'Fig.', 'Exhibit', 'Chart', 'Diagram'])} "
+            f"{rng.integers(1, 30)}.{rng.integers(1, 20)}"
+        )
+    n = int(rng.integers(1, 7))
+    words = [WORDS[rng.integers(0, len(WORDS))] for _ in range(n)]
+    s = " ".join(words)
+    if rng.random() < 0.3:
+        s = s.capitalize()
+    if rng.random() < 0.1:
+        s = s.upper()
+    return s
+
+
+_FONT_CACHE = {}
+
+
+def _font(path: str, size: int):
+    from PIL import ImageFont
+
+    key = (path, size)
+    if key not in _FONT_CACHE:
+        _FONT_CACHE[key] = ImageFont.truetype(path, size)
+    return _FONT_CACHE[key]
+
+
+def render_line(
+    text: str,
+    rng: np.random.Generator,
+    height: int = 32,
+    max_width: int = 384,
+) -> np.ndarray:
+    """Render one line to a (height, max_width) float32 tile in [0,1]
+    (1.0 = white background, matching rendered-PDF polarity)."""
+    from PIL import Image, ImageDraw
+
+    font_path = FONTS[rng.integers(0, len(FONTS))]
+    px = int(rng.integers(14, 30))
+    font = _font(font_path, px)
+    # measure
+    tmp = Image.new("L", (8, 8))
+    d = ImageDraw.Draw(tmp)
+    l, t, r, b = d.textbbox((0, 0), text, font=font)
+    w = max(r - l, 1)
+    h = max(b - t, 1)
+    img = Image.new("L", (w + 8, h + 8), 255)
+    d = ImageDraw.Draw(img)
+    gray = int(rng.integers(0, 90))
+    d.text((4 - l, 4 - t), text, fill=gray, font=font)
+    # scale to target height
+    scale = (height - 2 * int(rng.integers(0, 4))) / img.height
+    new_w = max(1, min(int(img.width * scale), max_width))
+    img = img.resize((new_w, max(1, int(img.height * scale))), Image.BILINEAR)
+    tile = np.full((height, max_width), 255, np.uint8)
+    y0 = (height - img.height) // 2
+    tile[y0 : y0 + img.height, : img.width] = np.asarray(img)[:, :max_width]
+    out = tile.astype(np.float32) / 255.0
+    if rng.random() < 0.3:  # mild contrast/noise jitter
+        out = np.clip(out + rng.normal(0, 0.02, out.shape).astype(np.float32), 0, 1)
+    return out
+
+
+def make_batch(
+    rng: np.random.Generator,
+    batch: int = 64,
+    height: int = 32,
+    width: int = 384,
+    max_label: int = 48,
+):
+    """-> (images (B,H,W,1) f32, labels (B,max_label) i32, label_lens (B,))"""
+    imgs = np.zeros((batch, height, width, 1), np.float32)
+    labels = np.zeros((batch, max_label), np.int32)
+    lens = np.zeros((batch,), np.int32)
+    for i in range(batch):
+        text = random_text(rng)
+        imgs[i, :, :, 0] = render_line(text, rng, height, width)
+        ids, n = charset.encode(text, max_label)
+        labels[i] = ids
+        lens[i] = n
+    return imgs, labels, lens

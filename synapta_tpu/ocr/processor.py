@@ -1,0 +1,161 @@
+"""Batched on-TPU OCR driver — the PaddleOCR replacement.
+
+Mirrors the reference OCRProcessor surface (ref
+pdf_image_segmentation.py:1082-1195) but operates on whole crop *batches*:
+device-side line detection (linedet), height-normalized line tiles batched
+through the CTC recognizer in fixed-shape chunks, greedy decode, then the
+chart/diagram enrichment fields. Emits the exact OCRResult schema: blocks
+with pixel AABBs and 0-100 confidences, 0-1 mean confidence
+(ref :1144-1195).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from synapta_tpu.config import OCRConfig
+from synapta_tpu.models.charset import BLANK, decode_greedy
+from synapta_tpu.models.recognizer import Recognizer
+from synapta_tpu.ocr import heuristics as H
+from synapta_tpu.ocr.linedet import detect_lines
+from synapta_tpu.schema import OCRResult
+
+
+class TPUOCR:
+    """Loads recognizer weights once; recognizes line batches on device."""
+
+    def __init__(self, cfg: OCRConfig = OCRConfig(), weights_path: Optional[str] = None):
+        from synapta_tpu.models.train import WEIGHTS_PATH, load_params
+
+        self.cfg = cfg
+        path = weights_path or WEIGHTS_PATH
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"recognizer weights missing at {path} — run "
+                "`python -m synapta_tpu.models.train`"
+            )
+        self.params = load_params(path)
+        self.model = Recognizer()
+        self._apply = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x)
+        )
+
+    # ---------------------------------------------------------------- lines
+
+    def _line_tile(self, crop: np.ndarray, box: List[int]) -> np.ndarray:
+        """Cut a line box from a crop and normalize to (32, W) float32."""
+        from PIL import Image
+
+        cfg = self.cfg
+        x0, y0, x1, y1 = box
+        pad = 2
+        y0 = max(0, y0 - pad)
+        x0 = max(0, x0 - pad)
+        y1 = min(crop.shape[0], y1 + pad)
+        x1 = min(crop.shape[1], x1 + pad)
+        sub = crop[y0:y1, x0:x1]
+        gray = (
+            0.299 * sub[..., 0] + 0.587 * sub[..., 1] + 0.114 * sub[..., 2]
+        ).astype(np.uint8)
+        h, w = gray.shape
+        target_h = cfg.line_height - 4
+        scale = target_h / max(h, 1)
+        new_w = max(1, min(int(w * scale), cfg.line_max_width))
+        img = Image.fromarray(gray).resize((new_w, target_h), Image.BILINEAR)
+        tile = np.full((cfg.line_height, cfg.line_max_width), 255, np.uint8)
+        tile[2 : 2 + target_h, :new_w] = np.asarray(img)
+        return tile.astype(np.float32) / 255.0
+
+    def recognize_tiles(self, tiles: np.ndarray) -> List[Dict]:
+        """(N, 32, W) tiles -> [{'text', 'confidence' 0-100}] via fixed-shape
+        device batches."""
+        cfg = self.cfg
+        n = tiles.shape[0]
+        out: List[Dict] = []
+        for start in range(0, n, cfg.line_batch):
+            chunk = tiles[start : start + cfg.line_batch]
+            pad_n = cfg.line_batch - chunk.shape[0]
+            if pad_n:
+                chunk = np.concatenate(
+                    [chunk, np.ones((pad_n,) + chunk.shape[1:], np.float32)]
+                )
+            logits = self._apply(self.params, chunk[..., None])
+            probs = jax.nn.softmax(logits, axis=-1)
+            best = np.asarray(jnp.argmax(logits, axis=-1))
+            conf = np.asarray(jnp.max(probs, axis=-1))
+            for i in range(chunk.shape[0] - pad_n):
+                text = decode_greedy(best[i])
+                nonblank = best[i] != BLANK
+                c = float(conf[i][nonblank].mean()) if nonblank.any() else 0.0
+                out.append({"text": text, "confidence": c * 100.0})
+        return out
+
+    # ---------------------------------------------------------------- crops
+
+    def process_batch(
+        self,
+        crops: np.ndarray,
+        arrows: Optional[Sequence[int]] = None,
+        sizes: Optional[Sequence[tuple]] = None,
+    ) -> List[OCRResult]:
+        """(B, H, W, 3) uint8 crop batch -> one OCRResult per crop.
+
+        ``arrows``: per-crop arrow counts from the feature pass (the
+        reference computed them inside OCR enrichment, ref :1185).
+        ``sizes``: true (h, w) of each crop before padding.
+        """
+        per_crop_boxes = detect_lines(crops)
+        # flatten every line into one tile batch
+        tiles, owners, boxes_flat = [], [], []
+        for ci, boxes in enumerate(per_crop_boxes):
+            for b in boxes:
+                tiles.append(self._line_tile(crops[ci], b))
+                owners.append(ci)
+                boxes_flat.append(b)
+        results: List[List[Dict]] = [[] for _ in range(crops.shape[0])]
+        if tiles:
+            recs = self.recognize_tiles(np.stack(tiles))
+            for owner, box, rec in zip(owners, boxes_flat, recs):
+                if not rec["text"].strip():
+                    continue
+                results[owner].append(
+                    {
+                        "text": rec["text"],
+                        "bbox": [int(v) for v in box],
+                        "confidence": rec["confidence"],
+                    }
+                )
+        out: List[OCRResult] = []
+        for ci in range(crops.shape[0]):
+            blocks = results[ci]
+            raw_text = "\n".join(b["text"] for b in blocks)
+            mean_conf = (
+                float(np.mean([b["confidence"] for b in blocks])) / 100.0
+                if blocks
+                else 0.0
+            )
+            size = (
+                (sizes[ci][1], sizes[ci][0])
+                if sizes is not None
+                else (crops.shape[2], crops.shape[1])
+            )
+            ocr = OCRResult(
+                raw_text=raw_text,
+                blocks=blocks,
+                confidence=mean_conf,
+                axis_labels=H.detect_axis_labels(raw_text),
+                legend_items=H.detect_legend_advanced(
+                    OCRResult(raw_text=raw_text, blocks=blocks), size
+                ),
+                tick_labels=H.extract_tick_labels(
+                    OCRResult(raw_text=raw_text, blocks=blocks)
+                ),
+                node_texts=H.node_texts(blocks),
+                detected_arrows=int(arrows[ci]) if arrows is not None else 0,
+            )
+            out.append(ocr)
+        return out

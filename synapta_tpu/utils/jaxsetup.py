@@ -17,6 +17,16 @@ def setup_jax(cache_dir: str | None = None) -> None:
     _DONE = True
     import jax
 
+    # The environment's axon sitecustomize force-appends its TPU platform
+    # to jax_platforms, overriding JAX_PLATFORMS=cpu; re-assert the user's
+    # explicit choice so CPU-forced runs (tests, virtual meshes) stay CPU.
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "axon" not in want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
     cache_dir = cache_dir or os.environ.get(
         "SYNAPTA_JAX_CACHE", os.path.expanduser("~/.cache/synapta_jax")
     )
