@@ -376,3 +376,72 @@ class PixtralClient:
 
     def shutdown(self) -> None:
         self._pool.shutdown(wait=True)
+
+
+# ---------------------------------------------------------------------------
+# old-algorithm variant calls (SURVEY.md §2.2): separate classify + summary
+# ---------------------------------------------------------------------------
+
+
+def _old_algo_methods():
+    """Mixin-style attach to keep the class body above focused."""
+
+    def classify_visual(self, pixels: np.ndarray,
+                        ocr: Optional[OCRResult]):
+        """Stand-alone classification call (old_algo :295-419, max_tokens
+        300, temperature 0.1). Returns (VisualType, confidence, method)."""
+        if not self.enabled:
+            return VisualType.FIGURE, 0.3, "fallback_heuristic"
+        content = self._post(
+            self._vision_payload(
+                prompts.classify_prompt(ocr.raw_text if ocr else None),
+                encode_image_png(pixels, self.cfg.max_image_dim),
+                300,
+                0.1,
+            ),
+            self.cfg.mermaid_timeout,
+        )
+        if content:
+            m = re.search(r"\{.*\}", content, re.DOTALL)
+            if m:
+                try:
+                    data = json.loads(m.group())
+                    category = str(data.get("category", "FIGURE")).upper()
+                    conf = float(data.get("confidence", 0.7))
+                    return (
+                        _CATEGORY_MAP.get(category, VisualType.FIGURE),
+                        min(conf, self.cfg.confidence_cap),
+                        "mistral_vision",
+                    )
+                except (json.JSONDecodeError, TypeError, ValueError):
+                    pass
+        return VisualType.FIGURE, 0.3, "fallback_heuristic"
+
+    def generate_summary(self, pixels: np.ndarray, visual_type: VisualType,
+                         caption: Optional[str], ocr: Optional[OCRResult]):
+        """Stand-alone type-aware summary call (old_algo :422-594,
+        max_tokens 500, temperature 0.3, strips **bold** markdown).
+        Returns (summary or None, confidence)."""
+        if not self.enabled:
+            return None, 0.0
+        content = self._post(
+            self._vision_payload(
+                prompts.summary_prompt(
+                    visual_type.value, caption, ocr.raw_text if ocr else None
+                ),
+                encode_image_png(pixels, self.cfg.max_image_dim),
+                500,
+                0.3,
+            ),
+            self.cfg.mermaid_timeout,
+        )
+        if content:
+            summary = re.sub(r"\*\*.*?\*\*:?\s*", "", content.strip()).strip()
+            return summary, 0.85
+        return None, 0.0
+
+    PixtralClient.classify_visual = classify_visual
+    PixtralClient.generate_summary = generate_summary
+
+
+_old_algo_methods()

@@ -80,3 +80,43 @@ Report, as a single JSON object with no prose around it:
 - "verification": {{"verified": bool, "matches": bool, "differences": [strings]}} — recompute the outputs from the inputs and formulas where possible and report whether they agree.
 
 Only report values that are literally visible; empty arrays are correct when nothing qualifies."""
+
+
+def classify_prompt(ocr_text: Optional[str]) -> str:
+    """Stand-alone classification (old-algorithm variant,
+    ref pdf_image_segmentation_old_algo.py:295-419)."""
+    ocr_context = (
+        f"\n**Text detected in the image:**\n{ocr_text[:300]}\n" if ocr_text else ""
+    )
+    return f"""Classify this textbook visual into exactly one category, preferring the most specific one that fits:
+
+- CHART: quantitative data plotted on numerical axes or as pie slices (line, bar, scatter, histogram, pie, yield curve). Axis scales/tick marks are the tell; a chart captioned "Figure 2.1" is still a CHART.
+- FLOWCHART: sequential steps with flowchart shapes — process rectangles, decision diamonds, directed arrows, a start/end.
+- DIAGRAM: labeled nodes and connections showing relationships, hierarchy, or system structure, without numeric axes or sequential decision flow.
+- IMAGE: photograph, screenshot, illustration, scanned page, or embedded table/graphic; may contain text but no axes or flow structure.
+- FIGURE: only for composites mixing several of the above or genuinely unclassifiable visuals.
+{ocr_context}
+Reply with one JSON object only: {{"category": "CHART|FLOWCHART|DIAGRAM|IMAGE|FIGURE", "confidence": 0.0-1.0, "reasoning": "one sentence"}}"""
+
+
+_SUMMARY_GUIDES = {
+    "chart": "State the chart type, the variables on each axis, every data series, the value ranges, the key trend or comparison the chart makes, and any notable outliers or inflection points.",
+    "flowchart": "Walk the flow start to finish: each stage in order, every decision point with its branches, and the possible outcomes.",
+    "diagram": "Explain what system or concept the diagram models, each labeled component, how the components connect, and the key relationship it conveys.",
+    "image": "Describe what the image shows, any visible text or numbers, its layout, and what a student should take away from it.",
+    "figure": "Describe the figure's parts, their arrangement, the purpose of the composite, and its main takeaway.",
+    "unknown": "Describe the visible content and its likely educational purpose.",
+}
+
+
+def summary_prompt(visual_type: str, caption: Optional[str],
+                   ocr_text: Optional[str]) -> str:
+    """Type-aware stand-alone summary (old-algorithm variant,
+    ref old_algo :480-594)."""
+    guide = _SUMMARY_GUIDES.get(visual_type, _SUMMARY_GUIDES["unknown"])
+    ctx = ""
+    if caption:
+        ctx += f"\nCaption: {caption[:200]}"
+    if ocr_text:
+        ctx += f"\nDetected text: {ocr_text[:400]}"
+    return f"""Write an educational summary (4-7 sentences, plain prose, no markdown) of this {visual_type} for a student who cannot see it. {guide}{ctx}"""

@@ -2,10 +2,9 @@
 
 The detection stage of the on-TPU OCR path (PaddleOCR's DBNet equivalent for
 *rendered* documents): binarize ink, dilate horizontally to fuse glyphs into
-line blobs (device-side, batched), then extract per-line AABBs from the CC
-label maps. For crisp PDF rasters this deterministic pipeline matches or
-beats a learned detector; a trainable DB-style head can swap in behind the
-same interface later.
+line blobs, label with connected components, and reduce to per-line AABBs —
+ALL on device. Only a compact (B, K, 5) box tensor crosses to the host
+(label maps never do: bulk D2H over the TPU tunnel costs seconds per map).
 
 Output boxes are pixel AABBs in crop space, reading-ordered (top-to-bottom,
 left-to-right), matching the reference's OCR block geometry
@@ -14,20 +13,28 @@ left-to-right), matching the reference's OCR block geometry
 from __future__ import annotations
 
 import functools
-from typing import Dict, List
+from typing import List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from synapta_tpu.ops.cc import component_stats, connected_components
+from synapta_tpu.ops.cc import component_stats_device, connected_components
 from synapta_tpu.ops.color import rgb_to_gray
 from synapta_tpu.ops.filters import binarize_ink, dilate, erode
 
+MAX_LINES = 128
 
-@functools.partial(jax.jit, static_argnames=("merge_x", "ink_thresh"))
-def line_masks(rgb: jnp.ndarray, merge_x: int = 7, ink_thresh: float = 200.0):
-    """(B, H, W, 3) uint8 -> int32 line-component label maps.
+
+@functools.partial(jax.jit, static_argnames=("merge_x", "ink_thresh", "k"))
+def line_boxes_device(
+    rgb: jnp.ndarray,
+    merge_x: int = 7,
+    ink_thresh: float = 200.0,
+    k: int = MAX_LINES,
+):
+    """(B, H, W, 3) uint8 -> (B, k, 5) [x0, y0, x1, y1, area] float32,
+    largest-first; empty slots have area 0.
 
     Horizontal close (dilate then erode) with a 1 x merge_x element fuses
     intra-word and inter-word gaps; a small vertical close joins accents
@@ -37,39 +44,46 @@ def line_masks(rgb: jnp.ndarray, merge_x: int = 7, ink_thresh: float = 200.0):
     ink = binarize_ink(gray, ink_thresh)
     fused = erode(dilate(ink, 1, merge_x), 1, max(merge_x - 2, 1))
     fused = erode(dilate(fused, 2, 1), 1, 1)
-    return connected_components(fused)
+    # fused text lines are horizontally convex — few propagation rounds
+    labels = connected_components(fused, max_iters=8)
+    stats = component_stats_device(labels, k=k)
+    return jnp.stack(
+        [
+            stats["x0"].astype(jnp.float32),
+            stats["y0"].astype(jnp.float32),
+            stats["x1"].astype(jnp.float32) + 1.0,
+            stats["y1"].astype(jnp.float32) + 1.0,
+            stats["area"],
+        ],
+        axis=-1,
+    )
 
 
 def extract_line_boxes(
-    labels: np.ndarray,
+    boxes: np.ndarray,
     min_w: int = 6,
     min_h: int = 5,
     max_h: int = 64,
     min_area: int = 24,
 ) -> List[List[int]]:
-    """One crop's label map -> reading-ordered [x0, y0, x1, y1] line boxes.
-
-    Components taller than max_h (drawings, bars) and smaller than the
-    minima (specks) are rejected; overlapping same-row fragments merge.
-    """
-    stats = component_stats(np.asarray(labels), min_area=min_area)
-    boxes = []
-    for s in stats:
-        x0, y0, x1, y1 = s["bbox"]
-        w, h = s["w"], s["h"]
+    """One crop's (K, 5) device boxes -> reading-ordered [x0, y0, x1, y1]
+    line boxes. Components taller than max_h (drawings, bars) and smaller
+    than the minima (specks) are rejected; same-row fragments merge."""
+    out = []
+    for x0, y0, x1, y1, area in np.asarray(boxes):
+        if area < min_area:
+            continue
+        w, h = x1 - x0, y1 - y0
         if w < min_w or h < min_h or h > max_h:
             continue
-        # text lines are wider than tall (generous: allow short tokens)
-        if w < h * 0.6:
+        if w < h * 0.6:  # text lines are wider than tall
             continue
-        # reject sparse frames (outline boxes) — text fills its bbox
-        if s["area"] < 0.25 * w * h:
+        if area < 0.25 * w * h:  # reject sparse frames (outline boxes)
             continue
-        boxes.append([x0, y0, x1, y1])
-    # merge horizontally adjacent boxes on the same baseline row
-    boxes.sort(key=lambda b: (b[1], b[0]))
+        out.append([int(x0), int(y0), int(x1), int(y1)])
+    out.sort(key=lambda b: (b[1], b[0]))
     merged: List[List[int]] = []
-    for b in boxes:
+    for b in out:
         if merged:
             m = merged[-1]
             same_row = abs(b[1] - m[1]) < 0.6 * (m[3] - m[1])
@@ -85,6 +99,7 @@ def extract_line_boxes(
 
 
 def detect_lines(rgb_batch: np.ndarray) -> List[List[List[int]]]:
-    """Crop batch -> per-crop reading-ordered line boxes."""
-    labels = np.asarray(line_masks(jnp.asarray(rgb_batch)))
-    return [extract_line_boxes(labels[i]) for i in range(labels.shape[0])]
+    """Crop batch -> per-crop reading-ordered line boxes (one compact
+    device->host transfer for the whole batch)."""
+    boxes = np.asarray(line_boxes_device(jnp.asarray(rgb_batch)))
+    return [extract_line_boxes(boxes[i]) for i in range(boxes.shape[0])]

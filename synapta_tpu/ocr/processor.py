@@ -40,31 +40,67 @@ class TPUOCR:
             )
         self.params = load_params(path)
         self.model = Recognizer()
-        self._apply = jax.jit(
-            lambda p, x: self.model.apply({"params": p}, x)
-        )
+
+        def _decode(p, x):
+            logits = self.model.apply({"params": p}, x)
+            best = jnp.argmax(logits, axis=-1)
+            conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
+            # pack into one f32 array -> ONE D2H transfer per batch
+            return jnp.concatenate(
+                [best.astype(jnp.float32)[..., None], conf[..., None]], axis=-1
+            )
+
+        self._decode = jax.jit(_decode)
 
     # ---------------------------------------------------------------- lines
 
-    def _line_tile(self, crop: np.ndarray, box: List[int]) -> np.ndarray:
-        """Cut a line box from a crop and normalize to (32, W) float32."""
+    def _line_tile(self, crop: np.ndarray, box: List[int],
+                   ctx=None) -> np.ndarray:
+        """Normalize one text line to a (32, W) float32 tile.
+
+        With a render context (doc, page_num, bbox, scale) the line is
+        RE-RENDERED from the PDF at the recognizer's native glyph height —
+        crops are downscaled to fit the device canvas, so cutting tiles
+        from them blurs small text; the source document has no such limit.
+        """
         from PIL import Image
 
         cfg = self.cfg
-        x0, y0, x1, y1 = box
-        pad = 2
-        y0 = max(0, y0 - pad)
-        x0 = max(0, x0 - pad)
-        y1 = min(crop.shape[0], y1 + pad)
-        x1 = min(crop.shape[1], x1 + pad)
-        sub = crop[y0:y1, x0:x1]
-        gray = (
-            0.299 * sub[..., 0] + 0.587 * sub[..., 1] + 0.114 * sub[..., 2]
-        ).astype(np.uint8)
-        h, w = gray.shape
         target_h = cfg.line_height - 4
-        scale = target_h / max(h, 1)
-        new_w = max(1, min(int(w * scale), cfg.line_max_width))
+        x0, y0, x1, y1 = box
+        gray = None
+        if ctx is not None:
+            doc, page_num, bbox, scale = ctx
+            pad_pt = 2.0 / scale
+            clip = [
+                bbox.x0 + x0 / scale - pad_pt,
+                bbox.y0 + y0 / scale - pad_pt,
+                bbox.x0 + x1 / scale + pad_pt,
+                bbox.y0 + y1 / scale + pad_pt,
+            ]
+            h_px = max(y1 - y0, 1)
+            dpi = 72.0 * scale * min(max(target_h / h_px, 1.0), 6.0)
+            try:
+                arr = doc.render(page_num, dpi=dpi, clip=clip)
+                gray = (
+                    0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+                    + 0.114 * arr[..., 2]
+                ).astype(np.uint8)
+            except Exception:
+                gray = None
+        if gray is None:
+            pad = 2
+            yy0 = max(0, y0 - pad)
+            xx0 = max(0, x0 - pad)
+            yy1 = min(crop.shape[0], y1 + pad)
+            xx1 = min(crop.shape[1], x1 + pad)
+            sub = crop[yy0:yy1, xx0:xx1]
+            gray = (
+                0.299 * sub[..., 0] + 0.587 * sub[..., 1] + 0.114 * sub[..., 2]
+            ).astype(np.uint8)
+        h, w = gray.shape
+        scale_t = target_h / max(h, 1)
+        new_w = max(1, min(int(w * scale_t), cfg.line_max_width))
         img = Image.fromarray(gray).resize((new_w, target_h), Image.BILINEAR)
         tile = np.full((cfg.line_height, cfg.line_max_width), 255, np.uint8)
         tile[2 : 2 + target_h, :new_w] = np.asarray(img)
@@ -83,10 +119,9 @@ class TPUOCR:
                 chunk = np.concatenate(
                     [chunk, np.ones((pad_n,) + chunk.shape[1:], np.float32)]
                 )
-            logits = self._apply(self.params, chunk[..., None])
-            probs = jax.nn.softmax(logits, axis=-1)
-            best = np.asarray(jnp.argmax(logits, axis=-1))
-            conf = np.asarray(jnp.max(probs, axis=-1))
+            packed = np.asarray(self._decode(self.params, chunk[..., None]))
+            best = packed[..., 0].astype(np.int32)
+            conf = packed[..., 1]
             for i in range(chunk.shape[0] - pad_n):
                 text = decode_greedy(best[i])
                 nonblank = best[i] != BLANK
@@ -101,19 +136,23 @@ class TPUOCR:
         crops: np.ndarray,
         arrows: Optional[Sequence[int]] = None,
         sizes: Optional[Sequence[tuple]] = None,
+        render_ctx: Optional[Sequence] = None,
     ) -> List[OCRResult]:
         """(B, H, W, 3) uint8 crop batch -> one OCRResult per crop.
 
         ``arrows``: per-crop arrow counts from the feature pass (the
         reference computed them inside OCR enrichment, ref :1185).
         ``sizes``: true (h, w) of each crop before padding.
+        ``render_ctx``: optional per-crop (doc, page_num, bbox, scale) to
+        re-render line tiles from the source PDF at native glyph size.
         """
         per_crop_boxes = detect_lines(crops)
         # flatten every line into one tile batch
         tiles, owners, boxes_flat = [], [], []
         for ci, boxes in enumerate(per_crop_boxes):
+            ctx = render_ctx[ci] if render_ctx is not None else None
             for b in boxes:
-                tiles.append(self._line_tile(crops[ci], b))
+                tiles.append(self._line_tile(crops[ci], b, ctx))
                 owners.append(ci)
                 boxes_flat.append(b)
         results: List[List[Dict]] = [[] for _ in range(crops.shape[0])]

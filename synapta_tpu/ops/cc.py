@@ -127,3 +127,65 @@ def component_stats(labels: np.ndarray, min_area: int = 1) -> List[Dict]:
             }
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# device-side component statistics (no label-map transfers)
+# ---------------------------------------------------------------------------
+
+
+def component_stats_device(labels: jnp.ndarray, k: int = 128):
+    """Per-component stats computed ON DEVICE from a (B, H, W) label map.
+
+    Returns a dict of (B, k) arrays — x0, y0, x1, y1 (inclusive), area —
+    for the k largest components, plus the full per-bin (B, H*W+1) area
+    and bbox arrays for census reductions. Only the compact top-k arrays
+    should leave the device: label maps are never transferred (the tunnel
+    to the TPU makes bulk D2H prohibitively slow, and a host round-trip
+    per crop is exactly what the north star forbids).
+    """
+    B, H, W = labels.shape
+    N = H * W + 1
+    flat = labels.reshape(B, -1)
+    ones = jnp.ones_like(flat, jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2).reshape(B, -1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1).reshape(B, -1)
+
+    def per_image(ids, xs_r, ys_r, ones_r):
+        area = jax.ops.segment_sum(ones_r, ids, num_segments=N)
+        x0 = jax.ops.segment_min(xs_r, ids, num_segments=N)
+        x1 = jax.ops.segment_max(xs_r, ids, num_segments=N)
+        y0 = jax.ops.segment_min(ys_r, ids, num_segments=N)
+        y1 = jax.ops.segment_max(ys_r, ids, num_segments=N)
+        return area, x0, x1, y0, y1
+
+    area, x0, x1, y0, y1 = jax.vmap(per_image)(flat, xs, ys, ones)
+    area = area.at[:, 0].set(0.0)  # drop background bin
+    top_area, top_idx = jax.lax.top_k(area, k)
+    take = jax.vmap(jnp.take)
+    return {
+        "area": top_area,
+        "x0": take(x0, top_idx),
+        "y0": take(y0, top_idx),
+        "x1": take(x1, top_idx),
+        "y1": take(y1, top_idx),
+        "_full_area": area,
+        "_full_x0": x0,
+        "_full_x1": x1,
+        "_full_y0": y0,
+        "_full_y1": y1,
+    }
+
+
+def census_counts(stats, pred):
+    """Count components (per image) satisfying ``pred(area, w, h, x0, y0,
+    x1, y1)`` over the FULL per-bin stats — stays on device."""
+    area = stats["_full_area"]
+    w = (stats["_full_x1"] - stats["_full_x0"] + 1).astype(jnp.float32)
+    h = (stats["_full_y1"] - stats["_full_y0"] + 1).astype(jnp.float32)
+    mask = (area > 0) & pred(
+        area, w, h,
+        stats["_full_x0"], stats["_full_y0"],
+        stats["_full_x1"], stats["_full_y1"],
+    )
+    return jnp.sum(mask.astype(jnp.float32), axis=1)

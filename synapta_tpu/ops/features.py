@@ -48,27 +48,162 @@ def _run_length_rows(mask: jnp.ndarray, min_len: int) -> jnp.ndarray:
     return box_count(runs > 0)
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity",))
-def _cc_jit(mask, connectivity=8):
-    return connected_components(mask, connectivity=connectivity)
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def _cc_jit(mask, connectivity=8, max_iters=64):
+    return connected_components(mask, max_iters=max_iters,
+                                connectivity=connectivity)
+
+
+def _enclosed_mask(ink: jnp.ndarray) -> jnp.ndarray:
+    """Non-ink pixels with ink on all four sides (ray casting via
+    directional cumulative max) — the interiors of outlined shapes.
+
+    A cheap stand-in for labeling the ENTIRE background: the global
+    background component snakes between text lines and needs tens of
+    propagation iterations to converge, whereas shape interiors are small
+    and convex-ish; four scans + a small CC find them directly."""
+    from jax import lax
+
+    def cmax(a, axis, rev):
+        return lax.associative_scan(jnp.maximum, a, axis=axis, reverse=rev)
+
+    left = cmax(ink, 2, False) > 0
+    right = cmax(ink, 2, True) > 0
+    top = cmax(ink, 1, False) > 0
+    bottom = cmax(ink, 1, True) > 0
+    return (left & right & top & bottom & (ink == 0)).astype(jnp.float32)
+
+
+@jax.jit
+def _component_censuses(ink, vink, bg, sizes):
+    """Per-component censuses computed entirely on device (label maps never
+    leave HBM — bulk D2H over the TPU tunnel costs seconds per map, and a
+    host round-trip per crop is what the north star forbids).
+
+    sizes: (B, 2) int32 true (h, w) of each crop before padding.
+    Returns (B,) scalars: blob_count, tall_bars, rect/circle/diamond counts.
+    """
+    from synapta_tpu.ops.cc import census_counts, component_stats_device
+
+    true_h = sizes[:, 0:1].astype(jnp.float32)
+    true_w = sizes[:, 1:2].astype(jnp.float32)
+
+    # glyph/blob components converge in a handful of propagation rounds
+    ink_stats = component_stats_device(_cc_jit(ink, max_iters=12), k=8)
+    # SimpleBlobDetector-equivalent: small ink components (ref :1596-1617)
+    blob_count = census_counts(
+        ink_stats, lambda a, w, h, *_: (a >= 10) & (a <= 150)
+    )
+    # solid shapes (filled rects/diamonds/circles) from ink components
+    def solid_pred(kind):
+        def pred(a, w, h, x0, y0, x1, y1):
+            fill = a / jnp.maximum(w * h, 1.0)
+            base = (a >= 120) & (w >= 12) & (h >= 12)
+            if kind == "rect":
+                return base & (fill > 0.85)
+            if kind == "circle":
+                return base & (fill > 0.65) & (fill <= 0.85)
+            return base & (fill > 0.35) & (fill <= 0.65)
+        return pred
+
+    ink_rect = census_counts(ink_stats, solid_pred("rect"))
+    ink_circle = census_counts(ink_stats, solid_pred("circle"))
+    ink_diamond = census_counts(ink_stats, solid_pred("diamond"))
+
+    # filled-bar census (tall vertical ink components, ref :1403-1406)
+    vink_stats = component_stats_device(_cc_jit(vink, max_iters=4), k=8)
+    tall_bars = census_counts(
+        vink_stats,
+        lambda a, w, h, *_: (h > 0.2 * true_h) & (h > 1.2 * w) & (w >= 5),
+    )
+
+    # outlined shapes via enclosed interiors (RETR_TREE analog): ray-cast
+    # containment then a small CC — never label the global background
+    bg_stats = component_stats_device(
+        _cc_jit(_enclosed_mask(1.0 - bg), connectivity=4, max_iters=16), k=8
+    )
+
+    def bg_pred(kind):
+        def pred(a, w, h, x0, y0, x1, y1):
+            fill = a / jnp.maximum(w * h, 1.0)
+            interior = (
+                (x0 > 0) & (y0 > 0)
+                & (x1.astype(jnp.float32) < true_w - 1)
+                & (y1.astype(jnp.float32) < true_h - 1)
+                & (a < 0.5 * true_h * true_w)
+            )
+            base = interior & (a >= 120) & (w >= 12) & (h >= 12)
+            if kind == "rect":
+                return base & (fill > 0.85)
+            if kind == "circle":
+                return base & (fill > 0.65) & (fill <= 0.85)
+            return base & (fill > 0.35) & (fill <= 0.65)
+        return pred
+
+    return {
+        "blob_count": blob_count,
+        "tall_bars": tall_bars,
+        "shapes_rect": ink_rect + census_counts(bg_stats, bg_pred("rect")),
+        "shapes_circle": ink_circle + census_counts(bg_stats, bg_pred("circle")),
+        "shapes_diamond": ink_diamond + census_counts(bg_stats, bg_pred("diamond")),
+    }
+
+
+_SCALAR_KEYS = (
+    "v_pixels", "h_pixels", "long_h_pixels", "grid_h", "grid_v",
+    "diag_pixels", "line_pixels", "ring_score", "ring_radius",
+    "circle_edge_density", "variance", "edge_count", "ink_count",
+    "v_ink_pixels", "blob_count", "tall_bars", "shapes_rect",
+    "shapes_circle", "shapes_diamond", "kmeans_masked",
+)
+
+
+@jax.jit
+def _pack(out: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Pack every per-crop output into ONE (B, 20 + 5*3 + 5) f32 array so a
+    single D2H transfer moves the whole feature batch (the TPU tunnel has
+    ~50ms latency per transfer; 25 separate pulls cost seconds)."""
+    cols = [out[k].astype(jnp.float32)[:, None] for k in _SCALAR_KEYS]
+    B = cols[0].shape[0]
+    cols.append(out["kmeans_centers"].reshape(B, -1))
+    cols.append(out["kmeans_counts"].reshape(B, -1))
+    return jnp.concatenate(cols, axis=1)
 
 
 def extract_crop_features(
     rgb: jnp.ndarray,
+    sizes=None,
     line_kernel: int = 20,
     grid_kernel: int = 25,
-) -> Dict[str, jnp.ndarray]:
-    """The feature pass over a crop batch. rgb: (B, H, W, 3) uint8.
+) -> Dict[str, "np.ndarray"]:
+    """The feature pass over a crop batch. rgb: (B, H, W, 3) uint8;
+    sizes: optional (B, 2) [true_h, true_w] before padding.
 
-    Composed of a few separately-jitted stages so the (expensive-to-compile)
-    connected-components executable compiles once and serves all four label
-    maps; XLA still fuses everything within each stage."""
+    Composed of separately-jitted stages (shared CC executable). Every
+    output is a compact per-crop value; the whole result crosses
+    device->host as one packed array. Returns HOST numpy arrays."""
+    import numpy as np
+
+    B, H, W = rgb.shape[:3]
+    if sizes is None:
+        sizes = jnp.full((B, 2), jnp.array([H, W]), jnp.int32)
+    else:
+        sizes = jnp.asarray(sizes, jnp.int32)
     out = dict(_core_features(rgb, line_kernel, grid_kernel))
-    out["labels_ink"] = _cc_jit(out.pop("_ink"))
-    out["labels_vopen"] = _cc_jit(out.pop("_vdet"))
-    out["labels_vink"] = _cc_jit(out.pop("_vink"))
-    out["labels_bg"] = _cc_jit(out.pop("_bg"), connectivity=4)
-    return out
+    out.update(
+        _component_censuses(
+            out.pop("_ink"), out.pop("_vink"), out.pop("_bg"), sizes
+        )
+    )
+    out.pop("_vdet", None)
+    packed = np.asarray(_pack(out))
+    res: Dict[str, np.ndarray] = {
+        k: packed[:, i] for i, k in enumerate(_SCALAR_KEYS)
+    }
+    n = len(_SCALAR_KEYS)
+    res["kmeans_centers"] = packed[:, n : n + 15].reshape(B, 5, 3)
+    res["kmeans_counts"] = packed[:, n + 15 : n + 20].reshape(B, 5)
+    return res
 
 
 @functools.partial(jax.jit, static_argnames=("line_kernel", "grid_kernel"))

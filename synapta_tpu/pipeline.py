@@ -35,6 +35,7 @@ from synapta_tpu.ocr import heuristics as H
 from synapta_tpu.ocr.processor import TPUOCR
 from synapta_tpu.schema import OCRResult, VisualSegment, VisualType
 from synapta_tpu.utils.log import PipelineStats, get_logger
+from synapta_tpu.utils.profiler import TIMERS
 from synapta_tpu.vision import captions as cap
 from synapta_tpu.vision import classify as C
 from synapta_tpu.vision import local_analysis as LA
@@ -126,7 +127,8 @@ class VisualSegmentationPipeline:
         regions: List[DetectedRegion] = []
         for p in pages:
             try:
-                regions.extend(self.engine.detect_page(p))
+                with TIMERS.stage("detect"):
+                    regions.extend(self.engine.detect_page(p))
             except Exception:
                 log.exception("detection failed on page %d", p)
         if not regions:
@@ -141,6 +143,7 @@ class VisualSegmentationPipeline:
         dims: List[tuple] = []
         pngs: List[bytes] = []
         keep: List[bool] = []
+        ctxs: List[Any] = []
         for i, r in enumerate(regions):
             try:
                 w_pt = max(r.bbox.x1 - r.bbox.x0, 1.0)
@@ -149,13 +152,15 @@ class VisualSegmentationPipeline:
                     self.cfg.detection.render_dpi,
                     72.0 * canvas_size / max(w_pt, h_pt),
                 )
-                arr = self.doc.render(
-                    r.page_num, dpi=dpi,
-                    clip=[r.bbox.x0, r.bbox.y0, r.bbox.x1, r.bbox.y1],
-                )
+                with TIMERS.stage("render"):
+                    arr = self.doc.render(
+                        r.page_num, dpi=dpi,
+                        clip=[r.bbox.x0, r.bbox.y0, r.bbox.x1, r.bbox.y1],
+                    )
                 h, w = arr.shape[:2]
                 canvases[i, :h, :w] = arr[:canvas_size, :canvas_size]
                 dims.append((min(h, canvas_size), min(w, canvas_size)))
+                ctxs.append((self.doc, r.page_num, r.bbox, dpi / 72.0))
                 if dpi >= self.cfg.detection.render_dpi - 1e-6:
                     png_arr = arr
                 else:
@@ -173,11 +178,13 @@ class VisualSegmentationPipeline:
                 dims.append((1, 1))
                 pngs.append(b"")
                 keep.append(False)
+                ctxs.append(None)
 
-        # one device pass: features + OCR
-        from synapta_tpu.ops.features import extract_crop_features
-
-        feats = extract_crop_features(canvases)
+        # one device pass per FIXED-SIZE chunk: features + OCR. Chunks are
+        # padded to cfg.ocr.crop_batch so every device program has a single
+        # static shape (one compile, cached forever).
+        with TIMERS.stage("device_pass"):
+            feats, ocr_results = self._device_pass(canvases, dims, ctxs)
         arrows = [
             C.count_arrows(
                 C.CropFeatures(feats, i, dims[i][0], dims[i][1]),
@@ -185,7 +192,8 @@ class VisualSegmentationPipeline:
             )
             for i in range(len(regions))
         ]
-        ocr_results = self.ocr.process_batch(canvases, arrows=arrows, sizes=dims)
+        for i, o in enumerate(ocr_results):
+            o.detected_arrows = arrows[i]
         self.stats.ocr_blocks += sum(len(o.blocks) for o in ocr_results)
 
         # submit LLM analyses for the whole batch up front (pool overlaps)
@@ -202,7 +210,8 @@ class VisualSegmentationPipeline:
             if not keep[i]:
                 continue
             try:
-                seg = self._build_segment(
+                with TIMERS.stage("build_segment"):
+                    seg = self._build_segment(
                     r,
                     C.CropFeatures(feats, i, dims[i][0], dims[i][1]),
                     ocr_results[i],
@@ -218,6 +227,48 @@ class VisualSegmentationPipeline:
                 log.exception(
                     "segment processing failed on page %d", r.page_num
                 )
+
+    def _device_pass(self, canvases: np.ndarray, dims: List[tuple],
+                     ctxs: Optional[List[Any]] = None):
+        """Run features + OCR over fixed-size padded chunks and reassemble
+        full-batch views."""
+        from synapta_tpu.ops.features import extract_crop_features
+
+        cb = self.cfg.ocr.crop_batch
+        n = canvases.shape[0]
+        feat_parts: List[Dict[str, Any]] = []
+        ocr_results: List[OCRResult] = []
+        for start in range(0, n, cb):
+            chunk = canvases[start : start + cb]
+            real = chunk.shape[0]
+            if real < cb:
+                pad = np.full((cb - real,) + chunk.shape[1:], 255, np.uint8)
+                chunk = np.concatenate([chunk, pad])
+            with TIMERS.stage("features"):
+                f = extract_crop_features(
+                    chunk,
+                    sizes=np.array(
+                        dims[start : start + real] + [(1, 1)] * (cb - real),
+                        np.int32,
+                    ),
+                )
+            feat_parts.append({k: np.asarray(v)[:real] for k, v in f.items()})
+            with TIMERS.stage("ocr"):
+              chunk_ctx = None
+              if ctxs is not None:
+                  chunk_ctx = ctxs[start : start + real] + [None] * (cb - real)
+              ocr_results.extend(
+                self.ocr.process_batch(
+                    chunk,
+                    sizes=dims[start : start + real] + [(1, 1)] * (cb - real),
+                    render_ctx=chunk_ctx,
+                )[:real]
+            )
+        feats = {
+            k: np.concatenate([p[k] for p in feat_parts])
+            for k in feat_parts[0]
+        }
+        return feats, ocr_results
 
     def _build_segment(
         self,

@@ -96,17 +96,10 @@ def detect_chart_subtype(
 
 
 def count_vertical_bars(f: CropFeatures) -> int:
-    """Tall vertical components (ref :1403-1406): union of the
-    edge-opened census and the filled-ink census, counting components
-    taller than 0.2*H with vertical aspect."""
-    stats = component_stats(f.labels_vink, min_area=8)
-    # w >= 5px excludes axis lines and steep 1-2px series strokes that
-    # survive the vertical erosion
-    return sum(
-        1
-        for s in stats
-        if s["h"] > f.height * 0.2 and s["h"] > 1.2 * s["w"] and s["w"] >= 5
-    )
+    """Tall vertical ink components (ref :1403-1406) — the census runs on
+    device inside the feature pass (h > 0.2*H, h > 1.2w, w >= 5px; the
+    width floor excludes axis lines and steep 1-2px series strokes)."""
+    return int(f.tall_bars)
 
 
 def detect_grid(f: CropFeatures, cfg: HeuristicsConfig = HeuristicsConfig()) -> bool:
@@ -131,13 +124,8 @@ def count_connections(f: CropFeatures, cfg: HeuristicsConfig = HeuristicsConfig(
 
 def estimate_data_points(f: CropFeatures, cfg: HeuristicsConfig = HeuristicsConfig()) -> int:
     """Blob-based data point estimate with edge-density fallback
-    (ref :1596-1617)."""
-    stats = component_stats(f.labels_ink, min_area=int(cfg.blob_area_range[0]))
-    blobs = sum(
-        1
-        for s in stats
-        if cfg.blob_area_range[0] <= s["area"] <= cfg.blob_area_range[1]
-    )
+    (ref :1596-1617); the blob census runs on device."""
+    blobs = int(f.blob_count)
     if blobs > 5:
         return blobs
     return int(min(float(f.edge_count) // cfg.edge_points_divisor, cfg.data_points_cap))
@@ -147,51 +135,11 @@ def detect_shapes(f: CropFeatures) -> Dict[str, int]:
     """Shape census over ink components (ref :1753-1775 — whose diamond
     branch was dead code; fixed here deliberately: a '4-corner' component
     whose extreme points sit mid-edge is counted as a diamond)."""
-    shapes = {"rectangles": 0, "circles": 0, "diamonds": 0}
-    H, W = np.asarray(f.labels_ink).shape
-
-    def classify_region(sub: np.ndarray) -> Optional[str]:
-        h, w = sub.shape
-        if h < 12 or w < 12:
-            return None
-        fill = sub.mean()
-        midrow = sub[h // 2, :].mean()
-        midcol = sub[:, w // 2].mean()
-        q_h, q_w = max(h // 4, 1), max(w // 4, 1)
-        corner = (
-            sub[:q_h, :q_w].mean() + sub[:q_h, -q_w:].mean()
-            + sub[-q_h:, :q_w].mean() + sub[-q_h:, -q_w:].mean()
-        ) / 4.0
-        if fill > 0.85:
-            return "rectangles"
-        if fill > 0.35 and midrow > 0.8 and midcol > 0.8:
-            if corner < 0.15:
-                return "diamonds" if fill < 0.65 else "circles"
-            if corner < 0.6:
-                return "circles"
-        return None
-
-    # solid ink shapes (filled rects/diamonds/circles)
-    ink_labels = np.asarray(f.labels_ink)
-    for s in component_stats(ink_labels, min_area=120)[:30]:
-        x0, y0, x1, y1 = s["bbox"]
-        kind = classify_region(ink_labels[y0:y1, x0:x1] == s["label"])
-        if kind:
-            shapes[kind] += 1
-
-    # outlined shapes via enclosed background interiors (RETR_TREE analog):
-    # skip regions touching the canvas border (outer background)
-    bg_labels = np.asarray(f.labels_bg)
-    for s in component_stats(bg_labels, min_area=120)[:40]:
-        x0, y0, x1, y1 = s["bbox"]
-        if x0 == 0 or y0 == 0 or x1 >= W or y1 >= H:
-            continue
-        if s["area"] > 0.5 * H * W:
-            continue
-        kind = classify_region(bg_labels[y0:y1, x0:x1] == s["label"])
-        if kind:
-            shapes[kind] += 1
-    return shapes
+    return {
+        "rectangles": int(f.shapes_rect),
+        "circles": int(f.shapes_circle),
+        "diamonds": int(f.shapes_diamond),
+    }
 
 
 def detect_decision_points(f: CropFeatures, ocr_text: str) -> bool:

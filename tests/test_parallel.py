@@ -1,0 +1,74 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh + model basics."""
+import jax
+import numpy as np
+import pytest
+
+from synapta_tpu.models import charset
+from synapta_tpu.models.recognizer import Recognizer
+from synapta_tpu.parallel.mesh import (
+    data_sharded,
+    make_mesh,
+    params_shardings,
+    shard_batch,
+    shard_params,
+)
+
+
+def test_charset_roundtrip():
+    text = "Figure 3.1: $1,500 (5%)"
+    ids, n = charset.encode(text, 48)
+    assert n > 10
+    # interleave blanks (a valid CTC frame path) and decode back exactly —
+    # adjacent repeated chars like "00" need the separating blank
+    frames = []
+    for i in ids[:n]:
+        frames += [i, 0]
+    assert charset.decode_greedy(frames) == text
+    # CTC collapse: blanks and repeats removed
+    assert charset.decode_greedy([0, 5, 5, 0, 5, 0]) == charset.ID_TO_CHAR[5] * 2
+
+
+def test_recognizer_shapes():
+    model = Recognizer(dim=64, blocks=1)
+    x = np.zeros((2, 32, 128, 1), np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    logits = model.apply({"params": params}, x)
+    assert logits.shape == (2, 32, charset.NUM_CLASSES)  # T = W/4
+    assert logits.dtype == np.float32
+
+
+def test_mesh_dp_tp_shardings():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8, model_axis=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    model = Recognizer(dim=128, blocks=1)
+    x = np.zeros((2, 32, 128, 1), np.float32)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    sharded = shard_params(params, mesh)
+    specs = params_shardings(params, mesh)
+    # at least one wide kernel actually TP-sharded
+    leaves = jax.tree.leaves(specs)
+    assert any("model" in str(s.spec) for s in leaves)
+    # batch sharding splits across 'data'
+    batch = shard_batch(np.zeros((8, 32, 128, 1), np.float32), mesh)
+    assert batch.sharding == data_sharded(mesh)
+    # forward under shardings compiles and runs
+    out = jax.jit(lambda p, b: model.apply({"params": p}, b))(sharded, batch)
+    assert out.shape == (8, 32, charset.NUM_CLASSES)
+
+
+def test_dryrun_multichip_full():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, (params, imgs) = g.entry()
+    out = jax.jit(fn)(params, imgs)
+    assert out.shape[0] == imgs.shape[0]
