@@ -124,3 +124,87 @@ def make_batch(
         labels[i] = ids
         lens[i] = n
     return imgs, labels, lens
+
+
+# ---------------------------------------------------------------------------
+# renderer-matched generation: lines rasterized by the spdf engine, exactly
+# like inference tiles (pdf -> native raster -> PIL bilinear resize to 28px)
+# ---------------------------------------------------------------------------
+
+
+def make_batch_spdf(
+    rng: np.random.Generator,
+    batch: int = 64,
+    height: int = 32,
+    width: int = 384,
+    max_label: int = 48,
+):
+    """Render `batch` random lines through the native PDF engine.
+
+    Builds ONE multi-line PDF page per batch, rasterizes it once at a
+    random crop-like scale, and cuts per-line tiles — matching the
+    inference distribution (synapta_tpu rasterizer AA, bilinear resize)
+    rather than PIL's text rendering."""
+    from PIL import Image
+
+    from synapta_tpu.io.ingest import Document
+    from synapta_tpu.io.pdf_writer import SyntheticBook
+
+    from synapta_tpu.models import charset as _cs
+
+    texts = [random_text(rng) for _ in range(batch)]
+    book = SyntheticBook(width=1000.0, height=float(batch * 28 + 40))
+    c = book.new_page()
+    metas = []
+    y = 16.0
+    for t in texts:
+        size = float(rng.integers(8, 19))
+        bold = bool(rng.random() < 0.25)
+        bbox = c.text(20.0, y, t, size=size, bold=bold, record=False)
+        metas.append(bbox)
+        y += 28.0
+    doc = Document(data=book.tobytes())
+    scale = float(rng.uniform(1.1, 2.2))  # crop-render scale range
+    page = doc.render(0, dpi=72.0 * scale)
+    imgs = np.zeros((batch, height, width, 1), np.float32)
+    labels = np.zeros((batch, max_label), np.int32)
+    lens = np.zeros((batch,), np.int32)
+    target_h = height - 4
+    for i, (t, bb) in enumerate(zip(texts, metas)):
+        x0 = max(0, int((bb[0] - 1) * scale))
+        y0 = max(0, int((bb[1] - 1) * scale))
+        x1 = min(page.shape[1], int((bb[2] + 2) * scale))
+        y1 = min(page.shape[0], int((bb[3] + 2) * scale))
+        sub = page[y0:y1, x0:x1]
+        gray = (
+            0.299 * sub[..., 0] + 0.587 * sub[..., 1] + 0.114 * sub[..., 2]
+        ).astype(np.uint8)
+        h, w = gray.shape
+        s = target_h / max(h, 1)
+        new_w = max(1, min(int(w * s), width))
+        img = Image.fromarray(gray).resize((new_w, target_h), Image.BILINEAR)
+        tile = np.full((height, width), 255, np.uint8)
+        tile[2 : 2 + target_h, :new_w] = np.asarray(img)
+        imgs[i, :, :, 0] = tile.astype(np.float32) / 255.0
+        ids, n = _cs.encode(t, max_label)
+        labels[i] = ids
+        lens[i] = n
+    doc.close()
+    return imgs, labels, lens
+
+
+def make_batch_mixed(
+    rng: np.random.Generator,
+    batch: int = 64,
+    height: int = 32,
+    width: int = 384,
+    max_label: int = 48,
+    spdf_frac: float = 0.5,
+):
+    """Mix PIL-rendered and spdf-rendered lines in one batch."""
+    n_spdf = int(batch * spdf_frac)
+    if n_spdf <= 0:
+        return make_batch(rng, batch, height, width, max_label)
+    a = make_batch_spdf(rng, n_spdf, height, width, max_label)
+    b = make_batch(rng, batch - n_spdf, height, width, max_label)
+    return tuple(np.concatenate([x, y]) for x, y in zip(a, b))

@@ -153,10 +153,15 @@ def train(
     out: str = WEIGHTS_PATH,
     use_mesh: bool = False,
     log_every: int = 100,
+    init_from: str | None = None,
+    data: str = "pil",
 ) -> float:
     setup_jax()
     model = create_model()
-    params = init_params(jax.random.PRNGKey(seed))
+    if init_from:
+        params = load_params(init_from)
+    else:
+        params = init_params(jax.random.PRNGKey(seed))
     tx = optax.adamw(
         optax.warmup_cosine_decay_schedule(0.0, lr, 100, steps), 0.9, 0.98
     )
@@ -166,10 +171,15 @@ def train(
         mesh = Mesh(np.array(jax.devices()), ("data",))
     step_fn = make_train_step(model, tx, mesh)
     rng = np.random.default_rng(seed)
+    if data == "mixed":
+        from synapta_tpu.models.synthdata import make_batch_mixed
+        gen = lambda r, batch: make_batch_mixed(r, batch=batch)  # noqa: E731
+    else:
+        gen = lambda r, batch: make_batch(r, batch=batch)  # noqa: E731
     t0 = time.time()
     loss = None
     for s in range(steps):
-        imgs, labels, lens = make_batch(rng, batch=batch)
+        imgs, labels, lens = gen(rng, batch)
         params, opt_state, loss = step_fn(params, opt_state, imgs, labels, lens)
         if (s + 1) % log_every == 0:
             print(
@@ -192,5 +202,8 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=WEIGHTS_PATH)
     ap.add_argument("--mesh", action="store_true")
+    ap.add_argument("--init-from", default=None)
+    ap.add_argument("--data", default="pil", choices=["pil", "mixed"])
     args = ap.parse_args()
-    train(args.steps, args.batch, args.lr, args.seed, args.out, args.mesh)
+    train(args.steps, args.batch, args.lr, args.seed, args.out, args.mesh,
+          init_from=args.init_from, data=args.data)

@@ -21,7 +21,12 @@ import numpy as np
 
 from synapta_tpu.ops.cc import component_stats_device, connected_components
 from synapta_tpu.ops.color import rgb_to_gray
-from synapta_tpu.ops.filters import binarize_ink, dilate, erode
+from synapta_tpu.ops.filters import (
+    binarize_ink,
+    diagonal_run_mask,
+    dilate,
+    erode,
+)
 
 MAX_LINES = 128
 
@@ -42,10 +47,18 @@ def line_boxes_device(
     """
     gray = rgb_to_gray(rgb)
     ink = binarize_ink(gray, ink_thresh)
+    # Erase long diagonal strokes (diamond outlines, arrows) BEFORE
+    # labeling: they are never text, and half-converged they fragment into
+    # digit-sized components that pass the text filters and decode as
+    # junk. With them gone, text lines converge in ~12 rounds.
+    diag = diagonal_run_mask(ink > 0, 12) | diagonal_run_mask(ink > 0, 12, anti=True)
+    ink = ink * (1.0 - dilate(diag.astype(jnp.float32), 3, 3))
     fused = erode(dilate(ink, 1, merge_x), 1, max(merge_x - 2, 1))
     fused = erode(dilate(fused, 2, 1), 1, 1)
-    # fused text lines are horizontally convex — few propagation rounds
-    labels = connected_components(fused, max_iters=8)
+    # shallow diagonals (diamond sides are ~2.4:1, not 45 deg) still need
+    # convergence so they unify and fail the fill filter; the while_loop
+    # exits early on ordinary text pages
+    labels = connected_components(fused, max_iters=32)
     stats = component_stats_device(labels, k=k)
     return jnp.stack(
         [

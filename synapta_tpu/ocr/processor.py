@@ -58,46 +58,36 @@ class TPUOCR:
                    ctx=None) -> np.ndarray:
         """Normalize one text line to a (32, W) float32 tile.
 
-        With a render context (doc, page_num, bbox, scale) the line is
-        RE-RENDERED from the PDF at the recognizer's native glyph height —
-        crops are downscaled to fit the device canvas, so cutting tiles
-        from them blurs small text; the source document has no such limit.
+        ``ctx`` may carry (hires_image, px_ratio): the 150-DPI render of the
+        same region (already produced for the output PNG). Cutting tiles
+        from it recovers small text that the device-canvas downscale blurs,
+        with zero re-render or alignment risk.
         """
         from PIL import Image
 
         cfg = self.cfg
         target_h = cfg.line_height - 4
         x0, y0, x1, y1 = box
-        gray = None
+        src = crop
         if ctx is not None:
-            doc, page_num, bbox, scale = ctx
-            pad_pt = 2.0 / scale
-            clip = [
-                bbox.x0 + x0 / scale - pad_pt,
-                bbox.y0 + y0 / scale - pad_pt,
-                bbox.x0 + x1 / scale + pad_pt,
-                bbox.y0 + y1 / scale + pad_pt,
-            ]
-            h_px = max(y1 - y0, 1)
-            dpi = 72.0 * scale * min(max(target_h / h_px, 1.0), 6.0)
-            try:
-                arr = doc.render(page_num, dpi=dpi, clip=clip)
-                gray = (
-                    0.299 * arr[..., 0] + 0.587 * arr[..., 1]
-                    + 0.114 * arr[..., 2]
-                ).astype(np.uint8)
-            except Exception:
-                gray = None
-        if gray is None:
-            pad = 2
-            yy0 = max(0, y0 - pad)
-            xx0 = max(0, x0 - pad)
-            yy1 = min(crop.shape[0], y1 + pad)
-            xx1 = min(crop.shape[1], x1 + pad)
-            sub = crop[yy0:yy1, xx0:xx1]
-            gray = (
-                0.299 * sub[..., 0] + 0.587 * sub[..., 1] + 0.114 * sub[..., 2]
-            ).astype(np.uint8)
+            hires, ratio = ctx
+            if hires is not None and ratio > 1.001:
+                src = hires
+                x0 = int(x0 * ratio)
+                y0 = int(y0 * ratio)
+                x1 = int(np.ceil(x1 * ratio))
+                y1 = int(np.ceil(y1 * ratio))
+        pad = 2
+        yy0 = max(0, y0 - pad)
+        xx0 = max(0, x0 - pad)
+        yy1 = min(src.shape[0], y1 + pad)
+        xx1 = min(src.shape[1], x1 + pad)
+        sub = src[yy0:yy1, xx0:xx1]
+        if sub.size == 0:
+            sub = np.full((8, 8, 3), 255, np.uint8)
+        gray = (
+            0.299 * sub[..., 0] + 0.587 * sub[..., 1] + 0.114 * sub[..., 2]
+        ).astype(np.uint8)
         h, w = gray.shape
         scale_t = target_h / max(h, 1)
         new_w = max(1, min(int(w * scale_t), cfg.line_max_width))
@@ -160,6 +150,14 @@ class TPUOCR:
             recs = self.recognize_tiles(np.stack(tiles))
             for owner, box, rec in zip(owners, boxes_flat, recs):
                 if not rec["text"].strip():
+                    continue
+                # drop low-confidence junk (arrowheads, stroke fragments) —
+                # the reference's PaddleOCR applied its own rec-score gate.
+                # Very short decodes must be near-certain: crisp digits
+                # score ~99; stroke fragments decode in the 55-85 band.
+                text = rec["text"].strip()
+                min_conf = 82.0 if len(text) <= 2 else 55.0
+                if rec["confidence"] < min_conf:
                     continue
                 results[owner].append(
                     {

@@ -160,11 +160,12 @@ class VisualSegmentationPipeline:
                 h, w = arr.shape[:2]
                 canvases[i, :h, :w] = arr[:canvas_size, :canvas_size]
                 dims.append((min(h, canvas_size), min(w, canvas_size)))
-                ctxs.append((self.doc, r.page_num, r.bbox, dpi / 72.0))
                 if dpi >= self.cfg.detection.render_dpi - 1e-6:
                     png_arr = arr
+                    ctxs.append(None)
                 else:
                     png_arr, _ = self.engine.render_region(r.page_num, r.bbox)
+                    ctxs.append((png_arr, self.cfg.detection.render_dpi / dpi))
                 import io as _io
 
                 from PIL import Image
