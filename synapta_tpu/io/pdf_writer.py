@@ -422,7 +422,7 @@ def _caption(c: PageCanvas, x: float, y: float, fig: str, text: str) -> str:
 
 def add_bar_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Generator):
     texts: List[str] = []
-    pad_l, pad_b, pad_t = 42, 30, 12
+    pad_l, pad_b, pad_t = 42, 30, 24
     ax0, ay0, ax1, ay1 = x0 + pad_l, y0 + pad_t, x1 - 10, y1 - pad_b
     # grid
     for i in range(5):

@@ -55,6 +55,8 @@ def random_text(rng: np.random.Generator) -> str:
         s = s.capitalize()
     if rng.random() < 0.1:
         s = s.upper()
+    if rng.random() < 0.15:  # flowchart/caption punctuation
+        s += rng.choice(["?", ":", ";", "!", ".", ")", "%"])
     return s
 
 
@@ -171,10 +173,13 @@ def make_batch_spdf(
     lens = np.zeros((batch,), np.int32)
     target_h = height - 4
     for i, (t, bb) in enumerate(zip(texts, metas)):
-        x0 = max(0, int((bb[0] - 1) * scale))
-        y0 = max(0, int((bb[1] - 1) * scale))
-        x1 = min(page.shape[1], int((bb[2] + 2) * scale))
-        y1 = min(page.shape[0], int((bb[3] + 2) * scale))
+        # +-1px crop jitter: inference line boxes land within a pixel or
+        # two of the glyphs; the recognizer must be shift-robust
+        jx, jy = int(rng.integers(-1, 2)), int(rng.integers(-1, 2))
+        x0 = max(0, int((bb[0] - 1) * scale) + jx)
+        y0 = max(0, int((bb[1] - 1) * scale) + jy)
+        x1 = min(page.shape[1], int((bb[2] + 2) * scale) + jx)
+        y1 = min(page.shape[0], int((bb[3] + 2) * scale) + jy)
         sub = page[y0:y1, x0:x1]
         gray = (
             0.299 * sub[..., 0] + 0.587 * sub[..., 1] + 0.114 * sub[..., 2]

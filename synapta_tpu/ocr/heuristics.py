@@ -189,3 +189,14 @@ def node_texts(blocks: List[Dict]) -> List[str]:
         if 3 < len(t) < 50:
             out.append(t)
     return out
+
+
+def detect_legend(text: str) -> List[str]:
+    """Simple line-based legend candidates (ref :1244-1253) — superseded by
+    detect_legend_advanced but kept for API parity."""
+    items = []
+    for line in (text or "").split("\n"):
+        clean = line.strip()
+        if 3 < len(clean) < 40 and not re.match(r"^[\d\-/.,\s%$]+$", clean):
+            items.append(clean)
+    return items[:10]

@@ -47,12 +47,22 @@ def line_boxes_device(
     """
     gray = rgb_to_gray(rgb)
     ink = binarize_ink(gray, ink_thresh)
-    # Erase long diagonal strokes (diamond outlines, arrows) BEFORE
-    # labeling: they are never text, and half-converged they fragment into
-    # digit-sized components that pass the text filters and decode as
-    # junk. With them gone, text lines converge in ~12 rounds.
+    # Erase non-text strokes BEFORE labeling:
+    # - long diagonal runs (diamond outlines, arrow shafts) fragment into
+    #   digit-sized junk when half-converged;
+    # - long horizontal/vertical RULES (axes, table borders, arrow shafts)
+    #   fuse with adjacent words into sparse components that the fill
+    #   filter then rejects wholesale, losing the text.
+    # Glyph strokes never form 40px continuous runs, so text is untouched.
     diag = diagonal_run_mask(ink > 0, 12) | diagonal_run_mask(ink > 0, 12, anti=True)
-    ink = ink * (1.0 - dilate(diag.astype(jnp.float32), 3, 3))
+    h_rule = dilate(erode(ink, 1, 41), 1, 45)
+    v_rule = dilate(erode(ink, 41, 1), 45, 1)
+    # solid regions (bars, legend color swatches, photo areas): glyph
+    # strokes are 1-3px and never survive a 5x5 erosion
+    solid = dilate(erode(ink, 5, 5), 9, 9)
+    strokes = dilate(diag.astype(jnp.float32), 3, 3)
+    kill = jnp.maximum(jnp.maximum(strokes, solid), jnp.maximum(h_rule, v_rule))
+    ink = ink * (1.0 - kill)
     fused = erode(dilate(ink, 1, merge_x), 1, max(merge_x - 2, 1))
     fused = erode(dilate(fused, 2, 1), 1, 1)
     # shallow diagonals (diamond sides are ~2.4:1, not 45 deg) still need

@@ -152,7 +152,7 @@ def _component_censuses(ink, vink, bg, sizes):
 _SCALAR_KEYS = (
     "v_pixels", "h_pixels", "long_h_pixels", "grid_h", "grid_v",
     "diag_pixels", "line_pixels", "ring_score", "ring_radius",
-    "circle_edge_density", "variance", "edge_count", "ink_count",
+    "circle_edge_density", "ring_coverage", "variance", "edge_count", "ink_count",
     "v_ink_pixels", "blob_count", "tall_bars", "shapes_rect",
     "shapes_circle", "shapes_diamond", "kmeans_masked",
 )
@@ -279,6 +279,25 @@ def _core_features(
     circle_edge_density = inside_edges / (
         jnp.pi * ring_radius * ring_radius + 1e-6
     )
+    # angular coverage at the ring: a true circle has edge pixels at nearly
+    # every angle around the centroid; box/diamond layouts only cross the
+    # ring radius at a few angles (the HoughCircles-strictness analog,
+    # ref :1426-1430 "exactly one large circle")
+    ABINS = 36
+    ang = jnp.arctan2(ys - cy[:, None, None], xs - cx[:, None, None])
+    abin = jnp.clip(
+        ((ang + jnp.pi) / (2 * jnp.pi) * ABINS).astype(jnp.int32), 0, ABINS - 1
+    )
+    on_ring = (
+        jnp.abs(r - ring_radius[:, None, None]) < (rmax / NBINS) * 1.5
+    ).astype(jnp.float32) * e
+    aseg = (
+        abin + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 0) * ABINS
+    ).reshape(-1)
+    ahist = jax.ops.segment_sum(
+        on_ring.reshape(-1), aseg, num_segments=B * ABINS
+    ).reshape(B, ABINS)
+    ring_coverage = jnp.mean((ahist > 0).astype(jnp.float32), axis=1)
 
     # stats
     variance = jnp.var(gray, axis=(1, 2))
@@ -305,6 +324,7 @@ def _core_features(
         "ring_score": ring_score,
         "ring_radius": ring_radius,
         "circle_edge_density": circle_edge_density,
+        "ring_coverage": ring_coverage,
         "variance": variance,
         "edge_count": edge_count,
         "ink_count": box_count(ink),

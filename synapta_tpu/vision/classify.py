@@ -85,6 +85,7 @@ def detect_chart_subtype(
             float(f.ring_score) > 3.0
             and float(f.ring_radius) > min_dim * 0.2
             and float(f.circle_edge_density) > cfg.pie_edge_density
+            and float(f.ring_coverage) > 0.8
         ):
             bump("pie", 2.5)
 

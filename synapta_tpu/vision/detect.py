@@ -161,10 +161,30 @@ class DetectionEngine:
         text_boundary = self._find_text_boundary(
             page_num, y_start, y_end, page_w
         )
+        figure_text = self._figure_text_blocks(page_num, y_start, y_end, page_w)
         return self._combine_signals(
             drawing_bounds, image_bounds, ws_boundary, text_boundary,
-            caption_bbox, page_w, page_h, y_start,
+            caption_bbox, page_w, page_h, y_start, figure_text,
         )
+
+    def _figure_text_blocks(self, page_num: int, y_start: float, y_end: float,
+                            page_w: float) -> List[List[float]]:
+        """Non-body text blocks in the search band — in-figure labels
+        (legends, ticks, node text) that must not be clipped off."""
+        cfg = self.cfg
+        out = []
+        for b in self.doc.page_text_blocks(page_num):
+            bb = b["bbox"]
+            if not (y_start <= bb[1] < y_end):
+                continue
+            text = (b.get("text") or "").strip()
+            is_body = (
+                bb[2] - bb[0] > page_w * cfg.body_text_width_frac
+                and len(text) > cfg.body_text_min_chars
+            )
+            if not is_body:
+                out.append(bb)
+        return out
 
     @staticmethod
     def _union(rects: List[List[float]]) -> Tuple[float, float, float, float]:
@@ -233,9 +253,13 @@ class DetectionEngine:
     def _combine_signals(
         self,
         drawing_bounds, image_bounds, ws_y, text_boundary,
-        caption_bbox, page_w, page_h, y_start,
+        caption_bbox, page_w, page_h, y_start, figure_text=None,
     ) -> Optional[BoundingBox]:
-        """Priority merge (ref :3426-3509)."""
+        """Priority merge (ref :3426-3509), with one deliberate improvement:
+        drawing/image bounds extend horizontally over in-figure text blocks
+        (legends, tick labels) that vertically overlap the visual — the
+        reference's drawings-only bounds clip legend text that extends past
+        the last vector path."""
         def boxed(x0, y0, x1, y1, min_w, min_h, max_h=None):
             if x1 - x0 > min_w and y1 - y0 > min_h and (
                 max_h is None or (y1 - y0) < max_h
@@ -243,10 +267,19 @@ class DetectionEngine:
                 return BoundingBox(x0, y0, x1, y1, page_w, page_h)
             return None
 
+        def widen(x0, y0, x1, y1):
+            for tb in figure_text or []:
+                overlap = min(y1, tb[3]) - max(y0, tb[1])
+                if overlap > 0.5 * (tb[3] - tb[1]):
+                    x0 = min(x0, tb[0])
+                    x1 = max(x1, tb[2])
+            return x0, x1
+
         if drawing_bounds:
             x0, y0, x1, y1 = drawing_bounds
             if ws_y is not None and ws_y > y0:
                 y0 = ws_y
+            x0, x1 = widen(x0, y0, x1, y1)
             b = boxed(
                 max(0.0, x0 - 10), max(y_start, y0 - 10),
                 min(page_w, x1 + 10), min(caption_bbox[1] - 5, y1 + 10),
@@ -258,6 +291,7 @@ class DetectionEngine:
             x0, y0, x1, y1 = image_bounds
             if ws_y is not None and ws_y > y0:
                 y0 = ws_y
+            x0, x1 = widen(x0, y0, x1, y1)
             b = boxed(
                 max(0.0, x0 - 5), max(y_start, y0 - 5),
                 min(page_w, x1 + 5), min(caption_bbox[1] - 5, y1 + 5),

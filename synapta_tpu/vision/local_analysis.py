@@ -44,6 +44,16 @@ def classify_heuristic(
     subtype = C.detect_chart_subtype(f, text, cfg)
     arrows = int(ocr.detected_arrows) if ocr else 0
     shapes = C.detect_shapes(f)
+    # embedded tables first: their row rules mimic a line chart's
+    # horizontal structure, but dense numeric text rows give them away
+    # line charts also have numeric-dense OCR, but their series strokes
+    # carry diagonal mass; table rules and text have none
+    if (
+        C.detect_embedded_table(text, cfg)
+        and int(f.tall_bars) == 0
+        and float(f.diag_pixels) < 60
+    ):
+        return VisualType.IMAGE, 0.6
     has_axes_structure = C.detect_grid(f, cfg) or subtype in (
         "bar", "line", "pie", "scatter", "candlestick", "histogram"
     )

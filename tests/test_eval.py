@@ -1,0 +1,19 @@
+"""Accuracy-harness smoke test (small book, hermetic)."""
+import os
+
+import pytest
+
+from synapta_tpu.models.train import WEIGHTS_PATH
+
+
+@pytest.mark.skipif(
+    not os.path.exists(WEIGHTS_PATH), reason="recognizer weights not trained"
+)
+def test_eval_harness_small():
+    from synapta_tpu.eval import evaluate_book
+
+    r = evaluate_book(pages=4, seed=5)
+    assert r["detection_recall@0.5"] == 1.0
+    assert r["mean_iou"] > 0.8
+    assert r["n_detected"] >= r["n_truth_visuals"]
+    assert 0.0 <= r["ocr_cer"] <= 1.0
