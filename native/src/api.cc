@@ -4,6 +4,7 @@
 
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 
 using namespace spdf;
@@ -12,7 +13,10 @@ namespace {
 
 struct DocHandle {
   Document doc;
-  // cached per-page extraction (content runs once; render reuses)
+  // cached per-page extraction (content runs once; render reuses).
+  // Mutex: Python calls in from a prefetch thread and the consume thread
+  // concurrently (ctypes releases the GIL during foreign calls).
+  std::mutex mu;
   std::unordered_map<int, std::shared_ptr<std::pair<PageContent, DisplayList>>>
       pages;
   std::shared_ptr<std::pair<PageContent, DisplayList>> get_page(int i) {
@@ -90,6 +94,7 @@ void spdf_page_size(void* handle, int index, double* w, double* h) {
 //        "images": [{"obj","bbox","width","height","inline"}...]}
 char* spdf_page_metadata(void* handle, int index) {
   auto* h = (DocHandle*)handle;
+  std::lock_guard<std::mutex> lock(h->mu);
   auto pc = h->get_page(index);
   std::string j = "{\"spans\":[";
   bool first = true;
@@ -143,6 +148,7 @@ char* spdf_page_metadata(void* handle, int index) {
 uint8_t* spdf_render(void* handle, int index, double scale,
                      const double* clip, int* out_w, int* out_h) {
   auto* h = (DocHandle*)handle;
+  std::lock_guard<std::mutex> lock(h->mu);
   auto pc = h->get_page(index);
   std::vector<uint8_t> px =
       rasterize(&h->doc, pc->second, scale, clip, out_w, out_h);
@@ -155,6 +161,7 @@ uint8_t* spdf_render(void* handle, int index, double scale,
 // Decode an embedded image XObject to RGB8.
 uint8_t* spdf_decode_image(void* handle, int obj_num, int* w, int* h) {
   auto* hd = (DocHandle*)handle;
+  std::lock_guard<std::mutex> lock(hd->mu);
   std::vector<uint8_t> px = decode_image_rgb(&hd->doc, obj_num, w, h);
   if (px.empty()) return nullptr;
   uint8_t* out = (uint8_t*)malloc(px.size());

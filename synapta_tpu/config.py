@@ -177,7 +177,7 @@ class OCRConfig:
     merge_dilation: int = 2
     # batching of crops for feature kernels
     crop_size: int = 512
-    crop_batch: int = 8
+    crop_batch: int = 16
 
 
 @dataclass
@@ -202,7 +202,9 @@ class PipelineConfig:
     use_vision_llm: bool = True                # False -> pure-local fallback path
     use_local_cv: bool = True                  # old-algo local feature extraction
     api_key_env: str = "MISTRAL_API_KEY"       # never hard-code keys (ref leaked one at :2707)
-    pages_per_batch: int = 8                   # pages rasterized/staged per device step
+    pages_per_batch: int = 64                  # pages per super-batch; large so
+                                               # device executables run many chunks
+                                               # back-to-back (tunnel swap ~2s)
     detection: DetectionConfig = field(default_factory=DetectionConfig)
     heuristics: HeuristicsConfig = field(default_factory=HeuristicsConfig)
     linker: LinkerConfig = field(default_factory=LinkerConfig)

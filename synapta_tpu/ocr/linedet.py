@@ -25,28 +25,17 @@ from synapta_tpu.ops.filters import (
     binarize_ink,
     diagonal_run_mask,
     dilate,
+    downsample2,
     erode,
 )
 
 MAX_LINES = 128
 
 
-@functools.partial(jax.jit, static_argnames=("merge_x", "ink_thresh", "k"))
-def line_boxes_device(
-    rgb: jnp.ndarray,
-    merge_x: int = 7,
-    ink_thresh: float = 200.0,
-    k: int = MAX_LINES,
-):
-    """(B, H, W, 3) uint8 -> (B, k, 5) [x0, y0, x1, y1, area] float32,
-    largest-first; empty slots have area 0.
-
-    Horizontal close (dilate then erode) with a 1 x merge_x element fuses
-    intra-word and inter-word gaps; a small vertical close joins accents
-    and broken strokes.
-    """
-    gray = rgb_to_gray(rgb)
-    ink = binarize_ink(gray, ink_thresh)
+def fuse_text_mask(ink: jnp.ndarray, merge_x: int = 7) -> jnp.ndarray:
+    """Ink -> fused text-line mask (strokes/rules/solids erased, glyphs
+    closed into line blobs). Shared by the standalone path below and the
+    merged single-dispatch kernel in ops/features.py."""
     # Erase non-text strokes BEFORE labeling:
     # - long diagonal runs (diamond outlines, arrow shafts) fragment into
     #   digit-sized junk when half-converged;
@@ -65,21 +54,46 @@ def line_boxes_device(
     ink = ink * (1.0 - kill)
     fused = erode(dilate(ink, 1, merge_x), 1, max(merge_x - 2, 1))
     fused = erode(dilate(fused, 2, 1), 1, 1)
-    # shallow diagonals (diamond sides are ~2.4:1, not 45 deg) still need
-    # convergence so they unify and fail the fill filter; the while_loop
-    # exits early on ordinary text pages
-    labels = connected_components(fused, max_iters=32)
+    return fused
+
+
+def line_boxes_from_ink(ink: jnp.ndarray, merge_x: int = 7,
+                        k: int = MAX_LINES) -> jnp.ndarray:
+    """Fused mask -> (B, k, 5) [x0, y0, x1, y1, area] float32, largest-first.
+
+    Shallow diagonals (diamond sides are ~2.4:1, not 45 deg) need enough CC
+    convergence to unify and fail the fill filter; the while_loop exits
+    early on ordinary text pages."""
+    fused = fuse_text_mask(ink, merge_x)
+    # label at HALF resolution: text lines stay connected under 2x max-pool,
+    # propagation distances halve (so do the shallow-diagonal worst cases),
+    # and each CC iteration moves a quarter of the bytes
+    labels = connected_components(downsample2(fused), max_iters=24)
     stats = component_stats_device(labels, k=k)
+    # stats are in half-res pixels: scale boxes x2, areas x4
     return jnp.stack(
         [
-            stats["x0"].astype(jnp.float32),
-            stats["y0"].astype(jnp.float32),
-            stats["x1"].astype(jnp.float32) + 1.0,
-            stats["y1"].astype(jnp.float32) + 1.0,
-            stats["area"],
+            stats["x0"].astype(jnp.float32) * 2.0,
+            stats["y0"].astype(jnp.float32) * 2.0,
+            (stats["x1"].astype(jnp.float32) + 1.0) * 2.0,
+            (stats["y1"].astype(jnp.float32) + 1.0) * 2.0,
+            stats["area"] * 4.0,
         ],
         axis=-1,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("merge_x", "ink_thresh", "k"))
+def line_boxes_device(
+    rgb: jnp.ndarray,
+    merge_x: int = 7,
+    ink_thresh: float = 200.0,
+    k: int = MAX_LINES,
+):
+    """(B, H, W, 3) uint8 -> (B, k, 5) line boxes (standalone path)."""
+    gray = rgb_to_gray(rgb)
+    ink = binarize_ink(gray, ink_thresh)
+    return line_boxes_from_ink(ink, merge_x, k)
 
 
 def extract_line_boxes(

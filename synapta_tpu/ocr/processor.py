@@ -127,16 +127,26 @@ class TPUOCR:
         arrows: Optional[Sequence[int]] = None,
         sizes: Optional[Sequence[tuple]] = None,
         render_ctx: Optional[Sequence] = None,
+        line_boxes=None,
     ) -> List[OCRResult]:
         """(B, H, W, 3) uint8 crop batch -> one OCRResult per crop.
 
         ``arrows``: per-crop arrow counts from the feature pass (the
         reference computed them inside OCR enrichment, ref :1185).
         ``sizes``: true (h, w) of each crop before padding.
-        ``render_ctx``: optional per-crop (doc, page_num, bbox, scale) to
-        re-render line tiles from the source PDF at native glyph size.
+        ``render_ctx``: optional per-crop (hires_image, ratio) pairs for
+        native-resolution line tiles.
+        ``line_boxes``: optional (B, K, 5) device box tensor from the fused
+        analysis pass — skips the separate line-detection dispatch.
         """
-        per_crop_boxes = detect_lines(crops)
+        if line_boxes is not None:
+            from synapta_tpu.ocr.linedet import extract_line_boxes
+
+            per_crop_boxes = [
+                extract_line_boxes(line_boxes[i]) for i in range(crops.shape[0])
+            ]
+        else:
+            per_crop_boxes = detect_lines(crops)
         # flatten every line into one tile batch
         tiles, owners, boxes_flat = [], [], []
         for ci, boxes in enumerate(per_crop_boxes):

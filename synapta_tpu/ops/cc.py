@@ -71,7 +71,11 @@ def connected_components(mask: jnp.ndarray, max_iters: int = 64,
         return best * m
 
     def step(lbl):
-        lbl = neighbor_max(lbl)
+        # For 4-connectivity the alternating row/column segmented scans
+        # already realize every connected path; the neighbor hop is only
+        # needed to carry labels across diagonal adjacencies (8-conn).
+        if connectivity == 8:
+            lbl = neighbor_max(lbl)
         lbl = _seg_max_scan(lbl, m, axis=2, reverse=False)
         lbl = _seg_max_scan(lbl, m, axis=2, reverse=True)
         lbl = _seg_max_scan(lbl, m, axis=1, reverse=False)

@@ -89,7 +89,7 @@ def _component_censuses(ink, vink, bg, sizes):
     true_w = sizes[:, 1:2].astype(jnp.float32)
 
     # glyph/blob components converge in a handful of propagation rounds
-    ink_stats = component_stats_device(_cc_jit(ink, max_iters=12), k=8)
+    ink_stats = component_stats_device(_cc_jit(ink, max_iters=8), k=8)
     # SimpleBlobDetector-equivalent: small ink components (ref :1596-1617)
     blob_count = census_counts(
         ink_stats, lambda a, w, h, *_: (a >= 10) & (a <= 150)
@@ -118,21 +118,28 @@ def _component_censuses(ink, vink, bg, sizes):
     )
 
     # outlined shapes via enclosed interiors (RETR_TREE analog): ray-cast
-    # containment then a small CC — never label the global background
+    # containment then a small CC at HALF resolution — never label the
+    # global background (shape interiors are >=12px; 2x max-pool keeps them)
+    from synapta_tpu.ops.filters import downsample2
+
     bg_stats = component_stats_device(
-        _cc_jit(_enclosed_mask(1.0 - bg), connectivity=4, max_iters=16), k=8
+        _cc_jit(downsample2(_enclosed_mask(1.0 - bg)), connectivity=4,
+                max_iters=10),
+        k=8,
     )
+    bg_scale = 2.0
 
     def bg_pred(kind):
         def pred(a, w, h, x0, y0, x1, y1):
+            # stats are half-resolution: thresholds scale accordingly
             fill = a / jnp.maximum(w * h, 1.0)
             interior = (
                 (x0 > 0) & (y0 > 0)
-                & (x1.astype(jnp.float32) < true_w - 1)
-                & (y1.astype(jnp.float32) < true_h - 1)
-                & (a < 0.5 * true_h * true_w)
+                & (x1.astype(jnp.float32) < true_w / bg_scale - 1)
+                & (y1.astype(jnp.float32) < true_h / bg_scale - 1)
+                & (a < 0.5 * true_h * true_w / (bg_scale * bg_scale))
             )
-            base = interior & (a >= 120) & (w >= 12) & (h >= 12)
+            base = interior & (a >= 120 / (bg_scale * bg_scale)) & (w >= 6) & (h >= 6)
             if kind == "rect":
                 return base & (fill > 0.85)
             if kind == "circle":
@@ -337,3 +344,46 @@ def _core_features(
         "kmeans_counts": ccounts,
         "kmeans_masked": n_masked,
     }
+
+
+@jax.jit
+def _analyze_jit(rgb: jnp.ndarray, sizes: jnp.ndarray) -> jnp.ndarray:
+    """ONE device dispatch for the whole per-crop analysis: visual features,
+    component censuses, AND text-line boxes, packed into a single f32 array
+    so exactly one D2H transfer happens per crop chunk. The TPU tunnel
+    costs ~50ms per round trip; collapsing 5 dispatches + 3 transfers into
+    1 + 1 dominates end-to-end throughput."""
+    from synapta_tpu.ocr.linedet import MAX_LINES, line_boxes_from_ink
+
+    out = dict(_core_features(rgb, 20, 25))
+    cen = _component_censuses(
+        out["_ink"], out["_vink"], out["_bg"], sizes
+    )
+    boxes = line_boxes_from_ink(out["_ink"])  # (B, MAX_LINES, 5)
+    out.update(cen)
+    for k in ("_ink", "_vdet", "_vink", "_bg"):
+        out.pop(k, None)
+    packed = _pack(out)
+    B = packed.shape[0]
+    return jnp.concatenate([packed, boxes.reshape(B, -1)], axis=1)
+
+
+def device_analyze(rgb, sizes=None):
+    """Crop batch -> (features dict of host numpy arrays, (B, 128, 5) line
+    boxes). The fused single-dispatch path used by the pipeline."""
+    import numpy as np
+
+    from synapta_tpu.ocr.linedet import MAX_LINES
+
+    B, H, W = rgb.shape[:3]
+    if sizes is None:
+        sizes = jnp.full((B, 2), jnp.array([H, W]), jnp.int32)
+    else:
+        sizes = jnp.asarray(sizes, jnp.int32)
+    packed = np.asarray(_analyze_jit(rgb, sizes))
+    n = len(_SCALAR_KEYS)
+    res = {k: packed[:, i] for i, k in enumerate(_SCALAR_KEYS)}
+    res["kmeans_centers"] = packed[:, n : n + 15].reshape(B, 5, 3)
+    res["kmeans_counts"] = packed[:, n + 15 : n + 20].reshape(B, 5)
+    boxes = packed[:, n + 20 :].reshape(B, MAX_LINES, 5)
+    return res, boxes

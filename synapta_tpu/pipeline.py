@@ -103,14 +103,34 @@ class VisualSegmentationPipeline:
         n_pages = self.doc.page_count
         log.info("processing %s: %d pages", self.cfg.pdf_path, n_pages)
         try:
+            from concurrent.futures import ThreadPoolExecutor
+
             batch = self.cfg.pages_per_batch
-            for start in range(0, n_pages, batch):
-                pages = range(start, min(start + batch, n_pages))
-                try:
-                    self._process_page_batch(pages)
-                except Exception:
-                    log.exception("page batch %s failed; continuing", list(pages))
-                self.stats.pages += len(pages)
+            spans = [
+                range(start, min(start + batch, n_pages))
+                for start in range(0, n_pages, batch)
+            ]
+            # software pipelining: the prefetch thread detects + renders
+            # batch N+1 (host/native work) while this thread runs batch N's
+            # device pass and enrichment
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                fut = pool.submit(self._prepare_batch, spans[0]) if spans else None
+                for i, pages in enumerate(spans):
+                    prepared = None
+                    try:
+                        prepared = fut.result()
+                    except Exception:
+                        log.exception("prepare failed for batch %s", list(pages))
+                    if i + 1 < len(spans):
+                        fut = pool.submit(self._prepare_batch, spans[i + 1])
+                    if prepared is not None:
+                        try:
+                            self._consume_batch(prepared)
+                        except Exception:
+                            log.exception(
+                                "page batch %s failed; continuing", list(pages)
+                            )
+                    self.stats.pages += len(pages)
         finally:
             self.writer.finalize()
             self.stats.wall_s = time.time() - t0
@@ -123,7 +143,8 @@ class VisualSegmentationPipeline:
 
     # -------------------------------------------------------------- stages
 
-    def _process_page_batch(self, pages: Sequence[int]) -> None:
+    def _prepare_batch(self, pages: Sequence[int]):
+        """Host/native stage: detection + region rasterization."""
         regions: List[DetectedRegion] = []
         for p in pages:
             try:
@@ -132,7 +153,7 @@ class VisualSegmentationPipeline:
             except Exception:
                 log.exception("detection failed on page %d", p)
         if not regions:
-            return
+            return None
         self.stats.regions += len(regions)
 
         # render crops: canvas-sized for the device, 150 DPI for the PNG
@@ -181,6 +202,11 @@ class VisualSegmentationPipeline:
                 keep.append(False)
                 ctxs.append(None)
 
+        return regions, canvases, dims, pngs, keep, ctxs
+
+    def _consume_batch(self, prepared) -> None:
+        """Device + enrichment stage for one prepared batch."""
+        regions, canvases, dims, pngs, keep, ctxs = prepared
         # one device pass per FIXED-SIZE chunk: features + OCR. Chunks are
         # padded to cfg.ocr.crop_batch so every device program has a single
         # static shape (one compile, cached forever).
@@ -233,38 +259,43 @@ class VisualSegmentationPipeline:
                      ctxs: Optional[List[Any]] = None):
         """Run features + OCR over fixed-size padded chunks and reassemble
         full-batch views."""
-        from synapta_tpu.ops.features import extract_crop_features
+        from synapta_tpu.ops.features import device_analyze
 
+        # PHASED execution: the tunnel charges ~2s to swap device
+        # executables, so run ALL analyze chunks back-to-back (one program),
+        # then ALL recognition batches (the other program) — never
+        # alternating per chunk.
         cb = self.cfg.ocr.crop_batch
         n = canvases.shape[0]
         feat_parts: List[Dict[str, Any]] = []
-        ocr_results: List[OCRResult] = []
+        chunk_meta = []
         for start in range(0, n, cb):
             chunk = canvases[start : start + cb]
             real = chunk.shape[0]
             if real < cb:
                 pad = np.full((cb - real,) + chunk.shape[1:], 255, np.uint8)
                 chunk = np.concatenate([chunk, pad])
+            chunk_sizes = dims[start : start + real] + [(1, 1)] * (cb - real)
             with TIMERS.stage("features"):
-                f = extract_crop_features(
-                    chunk,
-                    sizes=np.array(
-                        dims[start : start + real] + [(1, 1)] * (cb - real),
-                        np.int32,
-                    ),
+                f, boxes = device_analyze(
+                    chunk, sizes=np.array(chunk_sizes, np.int32)
                 )
             feat_parts.append({k: np.asarray(v)[:real] for k, v in f.items()})
+            chunk_meta.append((chunk, real, chunk_sizes, boxes, start))
+        ocr_results: List[OCRResult] = []
+        for chunk, real, chunk_sizes, boxes, start in chunk_meta:
             with TIMERS.stage("ocr"):
-              chunk_ctx = None
-              if ctxs is not None:
-                  chunk_ctx = ctxs[start : start + real] + [None] * (cb - real)
-              ocr_results.extend(
-                self.ocr.process_batch(
-                    chunk,
-                    sizes=dims[start : start + real] + [(1, 1)] * (cb - real),
-                    render_ctx=chunk_ctx,
-                )[:real]
-            )
+                chunk_ctx = None
+                if ctxs is not None:
+                    chunk_ctx = ctxs[start : start + real] + [None] * (cb - real)
+                ocr_results.extend(
+                    self.ocr.process_batch(
+                        chunk,
+                        sizes=chunk_sizes,
+                        render_ctx=chunk_ctx,
+                        line_boxes=boxes,
+                    )[:real]
+                )
         feats = {
             k: np.concatenate([p[k] for p in feat_parts])
             for k in feat_parts[0]
