@@ -2,7 +2,9 @@
 sharding paths compile and execute without TPU hardware."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the ambient JAX_PLATFORMS (the machine exports
+# the axon TPU platform; tests must run on the virtual 8-device CPU mesh)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
