@@ -112,9 +112,13 @@ class VisualSegmentationPipeline:
             ]
             # software pipelining: the prefetch thread detects + renders
             # batch N+1 (host/native work) while this thread runs batch N's
-            # device pass and enrichment
+            # device pass and enrichment. Super-batches are consumed in
+            # GROUPS so the two device executables (analyze, recognize)
+            # alternate once per group rather than once per batch.
+            GROUP = 4
             with ThreadPoolExecutor(max_workers=1) as pool:
                 fut = pool.submit(self._prepare_batch, spans[0]) if spans else None
+                group: List = []
                 for i, pages in enumerate(spans):
                     prepared = None
                     try:
@@ -124,13 +128,11 @@ class VisualSegmentationPipeline:
                     if i + 1 < len(spans):
                         fut = pool.submit(self._prepare_batch, spans[i + 1])
                     if prepared is not None:
-                        try:
-                            self._consume_batch(prepared)
-                        except Exception:
-                            log.exception(
-                                "page batch %s failed; continuing", list(pages)
-                            )
+                        group.append(prepared)
                     self.stats.pages += len(pages)
+                    if len(group) >= GROUP or i == len(spans) - 1:
+                        self._consume_group(group)
+                        group = []
         finally:
             self.writer.finalize()
             self.stats.wall_s = time.time() - t0
@@ -204,14 +206,35 @@ class VisualSegmentationPipeline:
 
         return regions, canvases, dims, pngs, keep, ctxs
 
-    def _consume_batch(self, prepared) -> None:
-        """Device + enrichment stage for one prepared batch."""
+    def _consume_group(self, group: List) -> None:
+        """Run the analyze phase for every prepared batch in the group, then
+        the OCR phase for each, then enrichment — two executable swaps per
+        group total."""
+        analyzed = []
+        for prepared in group:
+            regions, canvases, dims, pngs, keep, ctxs = prepared
+            try:
+                with TIMERS.stage("device_pass"):
+                    chunk_meta, feat_parts = self._analyze_stage(canvases, dims)
+                analyzed.append((prepared, chunk_meta, feat_parts))
+            except Exception:
+                log.exception("analyze stage failed; skipping batch")
+        for prepared, chunk_meta, feat_parts in analyzed:
+            try:
+                regions, canvases, dims, pngs, keep, ctxs = prepared
+                with TIMERS.stage("device_pass"):
+                    ocr_results = self._ocr_stage(chunk_meta, dims, ctxs)
+                feats = {
+                    k: np.concatenate([p[k] for p in feat_parts])
+                    for k in feat_parts[0]
+                }
+                self._consume_batch(prepared, feats, ocr_results)
+            except Exception:
+                log.exception("ocr/enrich stage failed; skipping batch")
+
+    def _consume_batch(self, prepared, feats, ocr_results) -> None:
+        """Enrichment stage for one prepared batch."""
         regions, canvases, dims, pngs, keep, ctxs = prepared
-        # one device pass per FIXED-SIZE chunk: features + OCR. Chunks are
-        # padded to cfg.ocr.crop_batch so every device program has a single
-        # static shape (one compile, cached forever).
-        with TIMERS.stage("device_pass"):
-            feats, ocr_results = self._device_pass(canvases, dims, ctxs)
         arrows = [
             C.count_arrows(
                 C.CropFeatures(feats, i, dims[i][0], dims[i][1]),
@@ -264,7 +287,19 @@ class VisualSegmentationPipeline:
         # PHASED execution: the tunnel charges ~2s to swap device
         # executables, so run ALL analyze chunks back-to-back (one program),
         # then ALL recognition batches (the other program) — never
-        # alternating per chunk.
+        # alternating per chunk. process() groups several super-batches so
+        # the two phases alternate once per GROUP.
+        chunk_meta, feat_parts = self._analyze_stage(canvases, dims)
+        ocr_results = self._ocr_stage(chunk_meta, dims, ctxs)
+        feats = {
+            k: np.concatenate([p[k] for p in feat_parts])
+            for k in feat_parts[0]
+        }
+        return feats, ocr_results
+
+    def _analyze_stage(self, canvases: np.ndarray, dims: List[tuple]):
+        from synapta_tpu.ops.features import device_analyze
+
         cb = self.cfg.ocr.crop_batch
         n = canvases.shape[0]
         feat_parts: List[Dict[str, Any]] = []
@@ -282,6 +317,10 @@ class VisualSegmentationPipeline:
                 )
             feat_parts.append({k: np.asarray(v)[:real] for k, v in f.items()})
             chunk_meta.append((chunk, real, chunk_sizes, boxes, start))
+        return chunk_meta, feat_parts
+
+    def _ocr_stage(self, chunk_meta, dims, ctxs) -> List[OCRResult]:
+        cb = self.cfg.ocr.crop_batch
         ocr_results: List[OCRResult] = []
         for chunk, real, chunk_sizes, boxes, start in chunk_meta:
             with TIMERS.stage("ocr"):
@@ -296,11 +335,7 @@ class VisualSegmentationPipeline:
                         line_boxes=boxes,
                     )[:real]
                 )
-        feats = {
-            k: np.concatenate([p[k] for p in feat_parts])
-            for k in feat_parts[0]
-        }
-        return feats, ocr_results
+        return ocr_results
 
     def _build_segment(
         self,
