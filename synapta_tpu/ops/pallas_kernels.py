@@ -27,21 +27,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _shift2(a, dy: int, dx: int):
-    """Edge-replicating shift of a 2D block (static offsets)."""
-    H, W = a.shape
-    p = jnp.pad(a, ((1, 1), (1, 1)), mode="edge")
-    return jax.lax.dynamic_slice(p, (1 - dy, 1 - dx), (H, W))
+    """Edge-replicating shift of a 2D block. Static offsets in {-1, 0, 1};
+    built from concatenate + static slices (Mosaic lowers neither
+    dynamic_slice nor mode="edge" pads)."""
+    if dy == 1:
+        a = jnp.concatenate([a[:1], a[:-1]], axis=0)
+    elif dy == -1:
+        a = jnp.concatenate([a[1:], a[-1:]], axis=0)
+    if dx == 1:
+        a = jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+    elif dx == -1:
+        a = jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+    return a
 
 
 def _shift_axis(a, delta: int, axis: int, fill: float):
-    """Shift by +-delta along axis, filling vacated lanes with ``fill``."""
+    """Shift by +-delta along axis, filling vacated lanes with ``fill``
+    (static slicing only)."""
+    if delta == 0:
+        return a
     H, W = a.shape
-    pad = [(0, 0), (0, 0)]
-    pad[axis] = (max(delta, 0), max(-delta, 0))
-    p = jnp.pad(a, pad, constant_values=fill)
-    start = [0, 0]
-    start[axis] = max(-delta, 0)
-    return jax.lax.dynamic_slice(p, tuple(start), (H, W))
+    n = abs(delta)
+    if axis == 0:
+        filler = jnp.full((n, W), fill, a.dtype)
+        if delta > 0:
+            return jnp.concatenate([filler, a[: H - n]], axis=0)
+        return jnp.concatenate([a[n:], filler], axis=0)
+    filler = jnp.full((H, n), fill, a.dtype)
+    if delta > 0:
+        return jnp.concatenate([filler, a[:, : W - n]], axis=1)
+    return jnp.concatenate([a[:, n:], filler], axis=1)
 
 
 _BIG = 1e30
@@ -90,11 +105,13 @@ def _edge_stats_kernel(gray_ref, out_ref, *, line_k: int, grid_k: int,
     gx = (tr + 2 * r + br) - (tl + 2 * l + bl)
     gy = (bl + 2 * b + br) - (tl + 2 * t + tr)
     mag = jnp.sqrt(gx * gx + gy * gy)
-    # non-max suppression + double threshold, matching ops/filters.py
-    adeg = (jnp.rad2deg(jnp.arctan2(gy, gx)) + 180.0) % 180.0
-    is_h = (adeg < 22.5) | (adeg >= 157.5)
-    is_d1 = (adeg >= 22.5) & (adeg < 67.5)
-    is_v = (adeg >= 67.5) & (adeg < 112.5)
+    # non-max suppression + double threshold, matching ops/filters.py.
+    # Sector tests use |gy|/|gx| ratios and the gradient sign product —
+    # Mosaic has no atan2, and none is needed for 4-sector quantization.
+    ax, ay = jnp.abs(gx), jnp.abs(gy)
+    is_h = ay < 0.41421356 * ax          # within 22.5 deg of horizontal
+    is_v = ay > 2.41421356 * ax          # within 22.5 deg of vertical
+    is_d1 = (~is_h) & (~is_v) & (gx * gy >= 0.0)
     n1 = jnp.where(
         is_h, _shift2(mag, 0, 1),
         jnp.where(is_d1, _shift2(mag, 1, 1),
@@ -122,11 +139,21 @@ def _edge_stats_kernel(gray_ref, out_ref, *, line_k: int, grid_k: int,
     gh = _open1d(edges, ekg, axis=1)
     gv = _open1d(edges, ekg, axis=0)
 
-    out_ref[0, 0] = jnp.sum(edges)
-    out_ref[0, 1] = jnp.sum((v_open > 0).astype(jnp.float32))
-    out_ref[0, 2] = jnp.sum((h_open > 0).astype(jnp.float32))
-    out_ref[0, 3] = jnp.sum((gh > 0).astype(jnp.float32))
-    out_ref[0, 4] = jnp.sum((gv > 0).astype(jnp.float32))
+    counts = [
+        jnp.sum(edges),
+        jnp.sum((v_open > 0).astype(jnp.float32)),
+        jnp.sum((h_open > 0).astype(jnp.float32)),
+        jnp.sum((gh > 0).astype(jnp.float32)),
+        jnp.sum((gv > 0).astype(jnp.float32)),
+    ]
+    # output tile is (8, 128) — the minimum f32 TPU tile; the 5 counts live
+    # in row 0, placed with iota masks (Mosaic has no scatter)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    tile = jnp.zeros((8, 128), jnp.float32)
+    for idx, c in enumerate(counts):
+        tile = tile + jnp.where((row == 0) & (lane == idx), c, 0.0)
+    out_ref[0] = tile
 
 
 @functools.partial(
@@ -154,13 +181,13 @@ def fused_edge_stats(
             pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
                          memory_space=pltpu.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=B * H * W * 60,
             bytes_accessed=B * H * W * 4 + B * 32,
             transcendentals=B * H * W,
         ),
-    )(gray)[:, :5]
+    )(gray)[:, 0, :5]
