@@ -82,11 +82,19 @@ void* spdf_open_bytes(const uint8_t* data, long size) {
 void spdf_close(void* handle) { delete (DocHandle*)handle; }
 
 int spdf_page_count(void* handle) {
-  return ((DocHandle*)handle)->doc.page_count();
+  // page_count()/page_size() resolve objects and can mutate the document's
+  // caches (indirect attrs, lazy object streams); callers run concurrently
+  // with render/metadata threads (ctypes drops the GIL), so every entry
+  // point takes the handle mutex.
+  auto* h = (DocHandle*)handle;
+  std::lock_guard<std::mutex> lock(h->mu);
+  return h->doc.page_count();
 }
 
 void spdf_page_size(void* handle, int index, double* w, double* h) {
-  ((DocHandle*)handle)->doc.page_size(index, w, h);
+  auto* hd = (DocHandle*)handle;
+  std::lock_guard<std::mutex> lock(hd->mu);
+  hd->doc.page_size(index, w, h);
 }
 
 // JSON: {"spans": [{"text","bbox","size","font"}...],

@@ -205,6 +205,8 @@ class PipelineConfig:
     pages_per_batch: int = 64                  # pages per super-batch; large so
                                                # device executables run many chunks
                                                # back-to-back (tunnel swap ~2s)
+    data_devices: Optional[int] = None         # cap for the data-parallel mesh
+                                               # (None = all available chips)
     detection: DetectionConfig = field(default_factory=DetectionConfig)
     heuristics: HeuristicsConfig = field(default_factory=HeuristicsConfig)
     linker: LinkerConfig = field(default_factory=LinkerConfig)

@@ -28,7 +28,8 @@ from synapta_tpu.schema import OCRResult
 class TPUOCR:
     """Loads recognizer weights once; recognizes line batches on device."""
 
-    def __init__(self, cfg: OCRConfig = OCRConfig(), weights_path: Optional[str] = None):
+    def __init__(self, cfg: OCRConfig = OCRConfig(),
+                 weights_path: Optional[str] = None, mesh=None):
         from synapta_tpu.models.train import WEIGHTS_PATH, load_params
 
         self.cfg = cfg
@@ -50,7 +51,20 @@ class TPUOCR:
                 [best.astype(jnp.float32)[..., None], conf[..., None]], axis=-1
             )
 
-        self._decode = jax.jit(_decode)
+        if mesh is not None:
+            # DP over text-line batches: params replicated, tiles sharded
+            # across the mesh's 'data' axis (line_batch must divide evenly —
+            # recognize_tiles pads every chunk to cfg.line_batch)
+            from synapta_tpu.parallel.mesh import data_sharded, replicated
+
+            rep = jax.tree.map(lambda _: replicated(mesh), self.params)
+            self._decode = jax.jit(
+                _decode,
+                in_shardings=(rep, data_sharded(mesh)),
+                out_shardings=data_sharded(mesh),
+            )
+        else:
+            self._decode = jax.jit(_decode)
 
     # ---------------------------------------------------------------- lines
 

@@ -346,8 +346,7 @@ def _core_features(
     }
 
 
-@jax.jit
-def _analyze_jit(rgb: jnp.ndarray, sizes: jnp.ndarray) -> jnp.ndarray:
+def _analyze_impl(rgb: jnp.ndarray, sizes: jnp.ndarray) -> jnp.ndarray:
     """ONE device dispatch for the whole per-crop analysis: visual features,
     component censuses, AND text-line boxes, packed into a single f32 array
     so exactly one D2H transfer happens per crop chunk. The TPU tunnel
@@ -368,9 +367,27 @@ def _analyze_jit(rgb: jnp.ndarray, sizes: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([packed, boxes.reshape(B, -1)], axis=1)
 
 
-def device_analyze(rgb, sizes=None):
+_analyze_jit = jax.jit(_analyze_impl)
+
+
+@functools.lru_cache(maxsize=8)
+def _analyze_fn_for(mesh):
+    """jit the analyze pass with the crop batch sharded over the mesh's
+    'data' axis (SURVEY §2.4: DP over crops is THE parallelism this
+    workload needs). Every op is batch-parallel, so XLA runs each shard
+    locally and only the packed result is reassembled."""
+    if mesh is None:
+        return _analyze_jit
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ds = NamedSharding(mesh, P("data"))
+    return jax.jit(_analyze_impl, in_shardings=(ds, ds), out_shardings=ds)
+
+
+def device_analyze(rgb, sizes=None, mesh=None):
     """Crop batch -> (features dict of host numpy arrays, (B, 128, 5) line
-    boxes). The fused single-dispatch path used by the pipeline."""
+    boxes). The fused single-dispatch path used by the pipeline. With a
+    mesh, the batch dim shards across its 'data' axis."""
     import numpy as np
 
     from synapta_tpu.ocr.linedet import MAX_LINES
@@ -380,7 +397,7 @@ def device_analyze(rgb, sizes=None):
         sizes = jnp.full((B, 2), jnp.array([H, W]), jnp.int32)
     else:
         sizes = jnp.asarray(sizes, jnp.int32)
-    packed = np.asarray(_analyze_jit(rgb, sizes))
+    packed = np.asarray(_analyze_fn_for(mesh)(rgb, sizes))
     n = len(_SCALAR_KEYS)
     res = {k: packed[:, i] for i, k in enumerate(_SCALAR_KEYS)}
     res["kmeans_centers"] = packed[:, n : n + 15].reshape(B, 5, 3)

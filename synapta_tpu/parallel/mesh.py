@@ -34,6 +34,24 @@ def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
     return Mesh(arr, ("data", "model"))
 
 
+def data_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """A 1-D ('data',) mesh over the first n devices — the inference-path
+    mesh for page/crop-batch data parallelism (SURVEY §2.4)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]), ("data",))
+
+
+def data_mesh_auto(batch: int, n_devices: Optional[int] = None) -> Mesh:
+    """The largest data mesh whose size divides ``batch`` (fixed-shape
+    device chunks must split evenly across the 'data' axis)."""
+    avail = n_devices or len(jax.devices())
+    n = max(d for d in range(1, avail + 1) if batch % d == 0)
+    return data_mesh(n)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

@@ -20,8 +20,9 @@ whole-file rewrite, and no hard-coded API key.
 """
 from __future__ import annotations
 
+import threading
 import time
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -86,6 +87,11 @@ class VisualSegmentationPipeline:
             self.linker = ConceptLinker(read_taxonomy(taxonomy_path), self.cfg.linker)
         self.segments: List[VisualSegment] = []
         self.stats = PipelineStats()
+        self.mesh = None  # data mesh, built in process()
+        # late-LLM patching: writer/stats guards + in-flight future tracking
+        self._writer_lock = threading.Lock()
+        self._inflight: set = set()
+        self._inflight_cv = threading.Condition()
 
     # ----------------------------------------------------------------- run
 
@@ -98,8 +104,20 @@ class VisualSegmentationPipeline:
         self.writer.initialize()
         self.doc = open_pdf(self.cfg.pdf_path)
         self.engine = DetectionEngine(self.doc, self.cfg.detection)
+        if self.mesh is None:
+            import math
+
+            from synapta_tpu.parallel.mesh import data_mesh_auto
+
+            # DP over crop/line batches across every available chip
+            # (SURVEY §2.4); fixed-shape chunks must split evenly, so the
+            # mesh size divides both chunk sizes.
+            self.mesh = data_mesh_auto(
+                math.gcd(self.cfg.ocr.crop_batch, self.cfg.ocr.line_batch),
+                self.cfg.data_devices,
+            )
         if self.ocr is None:
-            self.ocr = TPUOCR(self.cfg.ocr)
+            self.ocr = TPUOCR(self.cfg.ocr, mesh=self.mesh)
         n_pages = self.doc.page_count
         log.info("processing %s: %d pages", self.cfg.pdf_path, n_pages)
         try:
@@ -129,12 +147,17 @@ class VisualSegmentationPipeline:
                         fut = pool.submit(self._prepare_batch, spans[i + 1])
                     if prepared is not None:
                         group.append(prepared)
+                        # stats fold happens here (the consuming thread),
+                        # never on the prefetch thread
+                        self.stats.regions += len(prepared[0])
                     self.stats.pages += len(pages)
                     if len(group) >= GROUP or i == len(spans) - 1:
                         self._consume_group(group)
                         group = []
         finally:
-            self.writer.finalize()
+            self._drain_patches()
+            with self._writer_lock:
+                self.writer.finalize()
             self.stats.wall_s = time.time() - t0
             log.info(
                 "done: %d pages, %d segments, %.1fs (%.2f pages/s)",
@@ -156,7 +179,6 @@ class VisualSegmentationPipeline:
                 log.exception("detection failed on page %d", p)
         if not regions:
             return None
-        self.stats.regions += len(regions)
 
         # render crops: canvas-sized for the device, 150 DPI for the PNG
         canvas_size = self.cfg.ocr.crop_size
@@ -246,10 +268,13 @@ class VisualSegmentationPipeline:
             o.detected_arrows = arrows[i]
         self.stats.ocr_blocks += sum(len(o.blocks) for o in ocr_results)
 
-        # submit LLM analyses for the whole batch up front (pool overlaps)
+        # submit LLM analyses for the whole batch up front (pool overlaps);
+        # segments already checkpointed never re-pay a paid API call
         analysis_futures = []
         for i, r in enumerate(regions):
-            if keep[i]:
+            if keep[i] and not self.writer.has_segment(
+                segment_id_for(self.cfg.book_id, r.page_num, pngs[i])
+            ):
                 analysis_futures.append(
                     self.llm.submit_comprehensive(canvases[i], ocr_results[i])
                 )
@@ -260,6 +285,7 @@ class VisualSegmentationPipeline:
             if not keep[i]:
                 continue
             try:
+                post_write: List[Callable[[], None]] = []
                 with TIMERS.stage("build_segment"):
                     seg = self._build_segment(
                     r,
@@ -268,11 +294,18 @@ class VisualSegmentationPipeline:
                     canvases[i],
                     pngs[i],
                     analysis_futures[i],
+                    post_write,
                 )
                 if seg is not None:
                     self.segments.append(seg)
-                    if self.writer.append(seg):
+                    with self._writer_lock:
+                        appended = self.writer.append(seg)
+                    if appended:
                         self.stats.segments += 1
+                    # late-LLM patch registration happens only after the
+                    # segment is durably in the writer (update() must find it)
+                    for cb in post_write:
+                        cb()
             except Exception:
                 log.exception(
                     "segment processing failed on page %d", r.page_num
@@ -313,7 +346,8 @@ class VisualSegmentationPipeline:
             chunk_sizes = dims[start : start + real] + [(1, 1)] * (cb - real)
             with TIMERS.stage("features"):
                 f, boxes = device_analyze(
-                    chunk, sizes=np.array(chunk_sizes, np.int32)
+                    chunk, sizes=np.array(chunk_sizes, np.int32),
+                    mesh=self.mesh,
                 )
             feat_parts.append({k: np.asarray(v)[:real] for k, v in f.items()})
             chunk_meta.append((chunk, real, chunk_sizes, boxes, start))
@@ -345,8 +379,16 @@ class VisualSegmentationPipeline:
         canvas: np.ndarray,
         png: bytes,
         analysis_future,
+        post_write: Optional[List[Callable[[], None]]] = None,
     ) -> Optional[VisualSegment]:
-        """Steps 1-9 of the reference per-segment flow (ref :3659-3753)."""
+        """Steps 1-9 of the reference per-segment flow (ref :3659-3753).
+
+        The vision-LLM never blocks this path: if the comprehensive call is
+        still in flight, the segment completes with heuristic analysis and
+        is patched via writer.update() when the response lands (SURVEY §7
+        hard part 6); patch registration callables go into ``post_write``
+        so they only run after the writer holds the segment.
+        """
         cfg = self.cfg
         sid = segment_id_for(cfg.book_id, region.page_num, png)
         if self.writer.has_segment(sid):
@@ -367,62 +409,38 @@ class VisualSegmentationPipeline:
         )
         seg.image_path = self.writer.write_png(sid, png)
 
-        # 2-4: analysis (LLM or heuristic) + payload dataclasses
-        analysis = analysis_future.result() if analysis_future else None
-        if analysis and analysis.get("method") != "fallback_heuristic":
-            seg.segment_type = analysis["visual_type"]
-            seg.classification_confidence = analysis["confidence"]
-            seg.classification_method = analysis["method"]
-            seg.summary = analysis["summary"]
-            seg.summary_confidence = analysis["summary_confidence"]
-            payloads = convert_metadata(seg.segment_type, analysis["metadata"])
-            seg.chart_data, seg.diagram_data, seg.image_data, seg.figure_data = payloads
-            self.stats.llm_analyses += 1
+        # page context BEFORE any LLM use: the calculation prompt consumes
+        # nearby_text (the reference populated it too late; deliberate fix)
+        seg.heading_path = self._heading_path(region.page_num, seg)
+        seg.nearby_text = self._nearby_text(region.page_num, seg)
+
+        # 2-4(+4.5/6 submissions): analysis + payloads
+        pending = analysis_future is not None and not analysis_future.done()
+        if pending:
+            # complete with heuristic analysis now; patch when the LLM lands
+            self._apply_analysis(seg, None, f, ocr, canvas, submit=False)
+            if post_write is not None:
+                post_write.append(
+                    lambda: self._register_analysis_patch(
+                        seg, analysis_future, f, ocr, canvas
+                    )
+                )
         else:
-            vtype, conf = LA.classify_heuristic(f, ocr, cfg.heuristics)
-            seg.segment_type = vtype
-            seg.classification_confidence = conf
-            seg.classification_method = "heuristic"
-
-        # local CV payloads when missing (old-algo capability, ref §2.2)
-        if cfg.use_local_cv and not any(
-            (seg.chart_data, seg.diagram_data, seg.image_data, seg.figure_data)
-        ):
-            (
-                seg.chart_data,
-                seg.diagram_data,
-                seg.image_data,
-                seg.figure_data,
-            ) = LA.process_for_type(seg.segment_type, f, ocr, cfg.heuristics)
-
-        # 4.5: calculation extraction for IMAGE segments (ref :3699)
-        if seg.segment_type == VisualType.IMAGE and self.llm.enabled:
-            calc = self.llm.extract_calculations(canvas, ocr, seg.nearby_text)
-            if seg.image_data is None:
-                from synapta_tpu.schema import ImageSpecificData
-
-                seg.image_data = ImageSpecificData()
-            if calc.get("input_variables"):
-                seg.image_data.input_variables = calc["input_variables"]
-            if calc.get("output_values"):
-                seg.image_data.output_values = calc["output_values"]
-            if calc.get("calculation_verification") is not None:
-                seg.image_data.calculation_verification = calc[
-                    "calculation_verification"
-                ]
+            analysis = analysis_future.result() if analysis_future else None
+            followups = self._apply_analysis(seg, analysis, f, ocr, canvas)
+            if followups:
+                if all(fut.done() for _, fut in followups):
+                    for kind, fut in followups:
+                        self._apply_followup(seg, kind, fut.result())
+                elif post_write is not None:
+                    post_write.append(
+                        lambda: self._register_followups(seg, followups)
+                    )
 
         # 5: structured text (ref :3720)
         seg.extracted_text_structured = H.extract_structured_text(
             ocr, cfg.heuristics.label_max_chars
         )
-
-        # 6: mermaid for diagrams/flowcharts (ref :3728)
-        if cfg.use_mermaid and seg.segment_type in (
-            VisualType.DIAGRAM, VisualType.FLOWCHART
-        ):
-            mermaid = self.llm.extract_mermaid(canvas, seg.segment_type, ocr)
-            if mermaid:
-                seg.mermaid_repr = mermaid
 
         # 7: caption re-detection when pass 1/2 found none (ref :3734)
         if not seg.caption_text:
@@ -441,15 +459,168 @@ class VisualSegmentationPipeline:
             seg.summary = LA.generate_fallback_summary(seg)
             seg.summary_confidence = max(seg.summary_confidence, 0.3)
 
-        # 9: page context first (linker context uses nearby text)
-        seg.heading_path = self._heading_path(region.page_num, seg)
-        seg.nearby_text = self._nearby_text(region.page_num, seg)
-
         # 8: concept linking (ref :3749)
         if self.linker is not None:
             seg.linked_concept_ids = self.linker.link_concepts(seg)
             self.stats.concept_links += len(seg.linked_concept_ids)
         return seg
+
+    # -------------------------------------------------- late-LLM patching
+
+    def _apply_analysis(self, seg, analysis, f, ocr, canvas, submit=True):
+        """Steps 2-4: apply a comprehensive analysis (LLM result or the
+        heuristic path on fallback/None) and, when ``submit``, submit the
+        type-gated follow-up calls (calculations ref :3699, mermaid
+        ref :3728) as futures. Returns [(kind, future)] follow-ups."""
+        cfg = self.cfg
+        if analysis and analysis.get("method") != "fallback_heuristic":
+            seg.segment_type = analysis["visual_type"]
+            seg.classification_confidence = analysis["confidence"]
+            seg.classification_method = analysis["method"]
+            if analysis["summary"]:
+                seg.summary = analysis["summary"]
+                seg.summary_confidence = analysis["summary_confidence"]
+            payloads = convert_metadata(seg.segment_type, analysis["metadata"])
+            seg.chart_data, seg.diagram_data, seg.image_data, seg.figure_data = payloads
+            self.stats.llm_analyses += 1
+        else:
+            # idempotent: the patch path re-applies the same heuristic when
+            # the LLM call fell back
+            vtype, conf = LA.classify_heuristic(f, ocr, cfg.heuristics)
+            seg.segment_type = vtype
+            seg.classification_confidence = conf
+            seg.classification_method = "heuristic"
+
+        # local CV payloads when missing (old-algo capability, ref §2.2)
+        if cfg.use_local_cv and not any(
+            (seg.chart_data, seg.diagram_data, seg.image_data, seg.figure_data)
+        ):
+            (
+                seg.chart_data,
+                seg.diagram_data,
+                seg.image_data,
+                seg.figure_data,
+            ) = LA.process_for_type(seg.segment_type, f, ocr, cfg.heuristics)
+
+        followups = []
+        if not submit:
+            return followups
+        if seg.segment_type == VisualType.IMAGE and self.llm.enabled:
+            followups.append(
+                ("calc", self.llm.submit_calculations(canvas, ocr, seg.nearby_text))
+            )
+        if cfg.use_mermaid and seg.segment_type in (
+            VisualType.DIAGRAM, VisualType.FLOWCHART
+        ):
+            followups.append(
+                ("mermaid", self.llm.submit_mermaid(canvas, seg.segment_type, ocr))
+            )
+        return followups
+
+    def _apply_followup(self, seg, kind: str, value) -> None:
+        if kind == "calc" and value:
+            if seg.image_data is None:
+                from synapta_tpu.schema import ImageSpecificData
+
+                seg.image_data = ImageSpecificData()
+            if value.get("input_variables"):
+                seg.image_data.input_variables = value["input_variables"]
+            if value.get("output_values"):
+                seg.image_data.output_values = value["output_values"]
+            if value.get("calculation_verification") is not None:
+                seg.image_data.calculation_verification = value[
+                    "calculation_verification"
+                ]
+        elif kind == "mermaid" and value:
+            seg.mermaid_repr = value
+
+    def _relink_and_update(self, seg) -> None:
+        """Re-run the summary fallback + concept linking after a patch (the
+        linker context weighs the summary, ref :2173-2209), then replace the
+        written record."""
+        if not seg.summary:
+            seg.summary = LA.generate_fallback_summary(seg)
+            seg.summary_confidence = max(seg.summary_confidence, 0.3)
+        if self.linker is not None:
+            seg.linked_concept_ids = self.linker.link_concepts(seg)
+        with self._writer_lock:
+            self.writer.update(seg)
+
+    def _register_analysis_patch(self, seg, future, f, ocr, canvas) -> None:
+        with self._inflight_cv:
+            self._inflight.add(future)
+
+        def on_done(fut):
+            try:
+                try:
+                    analysis = fut.result()
+                except Exception:
+                    analysis = None
+                if analysis and analysis.get("method") != "fallback_heuristic":
+                    followups = self._apply_analysis(seg, analysis, f, ocr, canvas)
+                    self._relink_and_update(seg)
+                    if followups:
+                        self._register_followups(seg, followups)
+                else:
+                    # LLM fell back; heuristic analysis already applied at
+                    # build time — only the follow-ups remain
+                    followups = self._apply_analysis(
+                        seg, None, f, ocr, canvas
+                    )
+                    if followups:
+                        self._register_followups(seg, followups)
+            except Exception:
+                log.exception("LLM patch failed for %s", seg.segment_id)
+            finally:
+                with self._inflight_cv:
+                    self._inflight.discard(fut)
+                    self._inflight_cv.notify_all()
+
+        future.add_done_callback(on_done)
+
+    def _register_followups(self, seg, followups) -> None:
+        state = {"n": len(followups)}
+        lock = threading.Lock()
+        with self._inflight_cv:
+            for _, fut in followups:
+                self._inflight.add(fut)
+
+        def on_done(fut, kind):
+            try:
+                try:
+                    value = fut.result()
+                except Exception:
+                    value = None
+                with lock:
+                    self._apply_followup(seg, kind, value)
+                    state["n"] -= 1
+                    last = state["n"] == 0
+                if last:
+                    self._relink_and_update(seg)
+            except Exception:
+                log.exception("LLM follow-up failed for %s", seg.segment_id)
+            finally:
+                with self._inflight_cv:
+                    self._inflight.discard(fut)
+                    self._inflight_cv.notify_all()
+
+        for kind, fut in followups:
+            fut.add_done_callback(lambda fu, k=kind: on_done(fu, k))
+
+    def _drain_patches(self) -> None:
+        """Block until every in-flight LLM patch has landed (bounded by the
+        client's own timeout*retries, plus margin)."""
+        deadline = time.time() + (
+            self.cfg.llm.comprehensive_timeout * self.cfg.llm.max_retries + 120
+        )
+        with self._inflight_cv:
+            while self._inflight and time.time() < deadline:
+                self._inflight_cv.wait(timeout=5.0)
+            if self._inflight:
+                log.warning(
+                    "%d LLM patches still in flight at shutdown; finalizing "
+                    "with their pre-patch records", len(self._inflight),
+                )
 
     # ------------------------------------------------------------- context
 

@@ -72,3 +72,48 @@ def test_entry_compiles():
     fn, (params, imgs) = g.entry()
     out = jax.jit(fn)(params, imgs)
     assert out.shape[0] == imgs.shape[0]
+
+
+def test_pipeline_dp_mesh_identical_outputs(tmp_path):
+    """The SAME book through the pipeline on a 1-device and an 8-device
+    data mesh must produce identical visual_segments.json (SURVEY §2.4:
+    DP over crop batches is the product's parallelism, not just the train
+    step's)."""
+    import json
+    import os
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from synapta_tpu.config import PipelineConfig
+    from synapta_tpu.io.pdf_writer import make_test_book
+    from synapta_tpu.models.train import WEIGHTS_PATH
+    from synapta_tpu.pipeline import VisualSegmentationPipeline
+
+    if not os.path.exists(WEIGHTS_PATH):
+        pytest.skip("recognizer weights not trained yet")
+
+    pdf = str(tmp_path / "book.pdf")
+    make_test_book(pdf, pages=4, seed=3)
+
+    def run(n_dev, out):
+        pipe = VisualSegmentationPipeline(
+            book_id="dpbook",
+            pdf_path=pdf,
+            output_dir=str(tmp_path / out),
+            use_mermaid=False,
+            config=PipelineConfig(use_vision_llm=False, data_devices=n_dev),
+            resume=False,
+        )
+        pipe.process()
+        assert dict(pipe.mesh.shape) == {"data": n_dev}
+        payload = json.load(
+            open(tmp_path / out / "dpbook_visual_segments.json")
+        )
+        for s in payload["segments"]:
+            s["image_path"] = os.path.basename(s["image_path"])
+        return payload
+
+    a = run(1, "out1")
+    b = run(8, "out8")
+    assert a["total_segments"] == b["total_segments"] > 0
+    assert a["segments"] == b["segments"]
