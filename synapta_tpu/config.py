@@ -169,7 +169,7 @@ class OCRConfig:
     # recognizer input geometry (height-normalized text lines)
     line_height: int = 32
     line_max_width: int = 384   # must match trained recognizer pos_embed
-    line_batch: int = 64
+    line_batch: int = 128
     # detector input geometry
     det_size: int = 640
     binarize_threshold: float = 0.55

@@ -67,8 +67,13 @@ def line_boxes_from_ink(ink: jnp.ndarray, merge_x: int = 7,
     fused = fuse_text_mask(ink, merge_x)
     # label at HALF resolution: text lines stay connected under 2x max-pool,
     # propagation distances halve (so do the shallow-diagonal worst cases),
-    # and each CC iteration moves a quarter of the bytes
-    labels = connected_components(downsample2(fused), max_iters=24)
+    # and each CC iteration moves a quarter of the bytes.
+    # 10 iterations: text lines unify in 2-3 (a row scan covers the whole
+    # line per round); the budget covers snaking leftovers. Real pages
+    # never early-exit the while_loop, so every extra iteration is paid
+    # (~6ms/chunk) — the recognizer's confidence gate drops the rare
+    # half-converged stroke fragment that slips through as a junk box.
+    labels = connected_components(downsample2(fused), max_iters=10)
     stats = component_stats_device(labels, k=k)
     # stats are in half-res pixels: scale boxes x2, areas x4
     return jnp.stack(

@@ -43,6 +43,9 @@ class TPUOCR:
         self.model = Recognizer()
 
         def _decode(p, x):
+            # tiles arrive uint8 (4x less tunnel H2D than f32); normalize
+            # on device
+            x = x.astype(jnp.float32) / 255.0
             logits = self.model.apply({"params": p}, x)
             best = jnp.argmax(logits, axis=-1)
             conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
@@ -58,19 +61,23 @@ class TPUOCR:
             from synapta_tpu.parallel.mesh import data_sharded, replicated
 
             rep = jax.tree.map(lambda _: replicated(mesh), self.params)
+            # params live on device ONCE — host numpy args would re-pay
+            # the ~5MB weight transfer on every dispatch (tunnel ~30MB/s)
+            self.params = jax.device_put(self.params, replicated(mesh))
             self._decode = jax.jit(
                 _decode,
                 in_shardings=(rep, data_sharded(mesh)),
                 out_shardings=data_sharded(mesh),
             )
         else:
+            self.params = jax.device_put(self.params)
             self._decode = jax.jit(_decode)
 
     # ---------------------------------------------------------------- lines
 
     def _line_tile(self, crop: np.ndarray, box: List[int],
                    ctx=None) -> np.ndarray:
-        """Normalize one text line to a (32, W) float32 tile.
+        """Normalize one text line to a (32, W) uint8 tile.
 
         ``ctx`` may carry (hires_image, px_ratio): the 150-DPI render of the
         same region (already produced for the output PNG). Cutting tiles
@@ -108,12 +115,15 @@ class TPUOCR:
         img = Image.fromarray(gray).resize((new_w, target_h), Image.BILINEAR)
         tile = np.full((cfg.line_height, cfg.line_max_width), 255, np.uint8)
         tile[2 : 2 + target_h, :new_w] = np.asarray(img)
-        return tile.astype(np.float32) / 255.0
+        return tile
 
     def recognize_tiles(self, tiles: np.ndarray) -> List[Dict]:
-        """(N, 32, W) tiles -> [{'text', 'confidence' 0-100}] via fixed-shape
-        device batches."""
+        """(N, 32, W) uint8 (or [0,1] float) tiles -> [{'text', 'confidence'
+        0-100}] via fixed-shape device batches. Tiles cross to the device as
+        uint8 and normalize there."""
         cfg = self.cfg
+        if tiles.dtype != np.uint8:
+            tiles = np.clip(tiles * 255.0, 0.0, 255.0).astype(np.uint8)
         n = tiles.shape[0]
         out: List[Dict] = []
         for start in range(0, n, cfg.line_batch):
@@ -121,7 +131,7 @@ class TPUOCR:
             pad_n = cfg.line_batch - chunk.shape[0]
             if pad_n:
                 chunk = np.concatenate(
-                    [chunk, np.ones((pad_n,) + chunk.shape[1:], np.float32)]
+                    [chunk, np.full((pad_n,) + chunk.shape[1:], 255, np.uint8)]
                 )
             packed = np.asarray(self._decode(self.params, chunk[..., None]))
             best = packed[..., 0].astype(np.int32)
@@ -131,6 +141,137 @@ class TPUOCR:
                 nonblank = best[i] != BLANK
                 c = float(conf[i][nonblank].mean()) if nonblank.any() else 0.0
                 out.append({"text": text, "confidence": c * 100.0})
+        return out
+
+    # ---------------------------------------------------------------- crops
+
+    def collect_tiles(
+        self,
+        crops: np.ndarray,
+        render_ctx: Optional[Sequence] = None,
+        line_boxes=None,
+    ):
+        """Cut + normalize every text-line tile for one crop batch.
+
+        Returns (tiles list, owners list, boxes list) — the host-side half
+        of recognition, separable so callers can POOL tiles from several
+        batches into fuller fixed-shape device dispatches."""
+        if line_boxes is not None:
+            from synapta_tpu.ocr.linedet import extract_line_boxes
+
+            per_crop_boxes = [
+                extract_line_boxes(line_boxes[i]) for i in range(crops.shape[0])
+            ]
+        else:
+            per_crop_boxes = detect_lines(crops)
+        from synapta_tpu.utils.profiler import TIMERS
+
+        tiles, owners, boxes_flat = [], [], []
+        with TIMERS.stage("ocr_tile_prep"):
+            for ci, boxes in enumerate(per_crop_boxes):
+                ctx = render_ctx[ci] if render_ctx is not None else None
+                for b in boxes:
+                    tiles.append(self._line_tile(crops[ci], b, ctx))
+                    owners.append(ci)
+                    boxes_flat.append(b)
+        return tiles, owners, boxes_flat
+
+    @staticmethod
+    def gate_blocks(n_crops: int, owners, boxes_flat, recs) -> List[List[Dict]]:
+        """Confidence-gate recognized lines into per-crop block lists."""
+        results: List[List[Dict]] = [[] for _ in range(n_crops)]
+        for owner, box, rec in zip(owners, boxes_flat, recs):
+            if not rec["text"].strip():
+                continue
+            # drop low-confidence junk (arrowheads, stroke fragments) —
+            # the reference's PaddleOCR applied its own rec-score gate.
+            # Very short decodes must be near-certain: crisp digits
+            # score ~99; stroke fragments decode in the 55-85 band.
+            text = rec["text"].strip()
+            min_conf = 82.0 if len(text) <= 2 else 55.0
+            if rec["confidence"] < min_conf:
+                continue
+            results[owner].append(
+                {
+                    "text": rec["text"],
+                    "bbox": [int(v) for v in box],
+                    "confidence": rec["confidence"],
+                }
+            )
+        return results
+
+    def assemble_results(
+        self,
+        n_crops: int,
+        results: List[List[Dict]],
+        crops_shape,
+        arrows: Optional[Sequence[int]] = None,
+        sizes: Optional[Sequence[tuple]] = None,
+    ) -> List[OCRResult]:
+        """Per-crop gated blocks -> OCRResult records (ref :1144-1195)."""
+        out: List[OCRResult] = []
+        for ci in range(n_crops):
+            blocks = results[ci]
+            raw_text = "\n".join(b["text"] for b in blocks)
+            mean_conf = (
+                float(np.mean([b["confidence"] for b in blocks])) / 100.0
+                if blocks
+                else 0.0
+            )
+            size = (
+                (sizes[ci][1], sizes[ci][0])
+                if sizes is not None
+                else (crops_shape[2], crops_shape[1])
+            )
+            ocr = OCRResult(
+                raw_text=raw_text,
+                blocks=blocks,
+                confidence=mean_conf,
+                axis_labels=H.detect_axis_labels(raw_text),
+                legend_items=H.detect_legend_advanced(
+                    OCRResult(raw_text=raw_text, blocks=blocks), size
+                ),
+                tick_labels=H.extract_tick_labels(
+                    OCRResult(raw_text=raw_text, blocks=blocks)
+                ),
+                node_texts=H.node_texts(blocks),
+                detected_arrows=int(arrows[ci]) if arrows is not None else 0,
+            )
+            out.append(ocr)
+        return out
+
+    def process_group(self, items: List[dict]) -> List[List[OCRResult]]:
+        """Pooled recognition over SEVERAL crop batches: tiles from every
+        batch concatenate into one tile stream so device dispatches stay
+        full (the per-dispatch tunnel overhead dominates small batches).
+
+        ``items``: [{'crops', 'sizes', 'render_ctx', 'line_boxes'}].
+        Returns one List[OCRResult] per item."""
+        from synapta_tpu.utils.profiler import TIMERS
+
+        all_tiles, spans = [], []
+        metas = []
+        for it in items:
+            tiles, owners, boxes_flat = self.collect_tiles(
+                it["crops"], it.get("render_ctx"), it.get("line_boxes")
+            )
+            spans.append((len(all_tiles), len(all_tiles) + len(tiles)))
+            all_tiles.extend(tiles)
+            metas.append((owners, boxes_flat))
+        recs_all: List[Dict] = []
+        if all_tiles:
+            with TIMERS.stage("ocr_recognize"):
+                recs_all = self.recognize_tiles(np.stack(all_tiles))
+        out: List[List[OCRResult]] = []
+        for it, (lo, hi), (owners, boxes_flat) in zip(items, spans, metas):
+            n = it["crops"].shape[0]
+            results = self.gate_blocks(n, owners, boxes_flat, recs_all[lo:hi])
+            out.append(
+                self.assemble_results(
+                    n, results, it["crops"].shape,
+                    arrows=it.get("arrows"), sizes=it.get("sizes"),
+                )
+            )
         return out
 
     # ---------------------------------------------------------------- crops
@@ -153,70 +294,16 @@ class TPUOCR:
         ``line_boxes``: optional (B, K, 5) device box tensor from the fused
         analysis pass — skips the separate line-detection dispatch.
         """
-        if line_boxes is not None:
-            from synapta_tpu.ocr.linedet import extract_line_boxes
+        from synapta_tpu.utils.profiler import TIMERS
 
-            per_crop_boxes = [
-                extract_line_boxes(line_boxes[i]) for i in range(crops.shape[0])
-            ]
-        else:
-            per_crop_boxes = detect_lines(crops)
-        # flatten every line into one tile batch
-        tiles, owners, boxes_flat = [], [], []
-        for ci, boxes in enumerate(per_crop_boxes):
-            ctx = render_ctx[ci] if render_ctx is not None else None
-            for b in boxes:
-                tiles.append(self._line_tile(crops[ci], b, ctx))
-                owners.append(ci)
-                boxes_flat.append(b)
-        results: List[List[Dict]] = [[] for _ in range(crops.shape[0])]
+        tiles, owners, boxes_flat = self.collect_tiles(
+            crops, render_ctx, line_boxes
+        )
+        recs: List[Dict] = []
         if tiles:
-            recs = self.recognize_tiles(np.stack(tiles))
-            for owner, box, rec in zip(owners, boxes_flat, recs):
-                if not rec["text"].strip():
-                    continue
-                # drop low-confidence junk (arrowheads, stroke fragments) —
-                # the reference's PaddleOCR applied its own rec-score gate.
-                # Very short decodes must be near-certain: crisp digits
-                # score ~99; stroke fragments decode in the 55-85 band.
-                text = rec["text"].strip()
-                min_conf = 82.0 if len(text) <= 2 else 55.0
-                if rec["confidence"] < min_conf:
-                    continue
-                results[owner].append(
-                    {
-                        "text": rec["text"],
-                        "bbox": [int(v) for v in box],
-                        "confidence": rec["confidence"],
-                    }
-                )
-        out: List[OCRResult] = []
-        for ci in range(crops.shape[0]):
-            blocks = results[ci]
-            raw_text = "\n".join(b["text"] for b in blocks)
-            mean_conf = (
-                float(np.mean([b["confidence"] for b in blocks])) / 100.0
-                if blocks
-                else 0.0
-            )
-            size = (
-                (sizes[ci][1], sizes[ci][0])
-                if sizes is not None
-                else (crops.shape[2], crops.shape[1])
-            )
-            ocr = OCRResult(
-                raw_text=raw_text,
-                blocks=blocks,
-                confidence=mean_conf,
-                axis_labels=H.detect_axis_labels(raw_text),
-                legend_items=H.detect_legend_advanced(
-                    OCRResult(raw_text=raw_text, blocks=blocks), size
-                ),
-                tick_labels=H.extract_tick_labels(
-                    OCRResult(raw_text=raw_text, blocks=blocks)
-                ),
-                node_texts=H.node_texts(blocks),
-                detected_arrows=int(arrows[ci]) if arrows is not None else 0,
-            )
-            out.append(ocr)
-        return out
+            with TIMERS.stage("ocr_recognize"):
+                recs = self.recognize_tiles(np.stack(tiles))
+        results = self.gate_blocks(crops.shape[0], owners, boxes_flat, recs)
+        return self.assemble_results(
+            crops.shape[0], results, crops.shape, arrows=arrows, sizes=sizes
+        )

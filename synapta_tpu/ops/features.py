@@ -84,21 +84,33 @@ def _component_censuses(ink, vink, bg, sizes):
     Returns (B,) scalars: blob_count, tall_bars, rect/circle/diamond counts.
     """
     from synapta_tpu.ops.cc import census_counts, component_stats_device
+    from synapta_tpu.ops.filters import downsample2
 
     true_h = sizes[:, 0:1].astype(jnp.float32)
     true_w = sizes[:, 1:2].astype(jnp.float32)
 
+    # ALL censuses run at HALF resolution: the per-bin segment reductions
+    # (scatter at N=H*W+1 bins) dominate the analyze pass, and a 2x
+    # max-pool quarters both the scatter updates and the bin table while
+    # keeping every census-relevant structure (blobs >= 10px area, shapes
+    # >= 12px side) connected. Area thresholds scale by 1/4, lengths by
+    # 1/2; a max-pooled blob covers ceil(bbox/2) cells so the small-area
+    # cutoffs round UP (e.g. 10px -> 3 cells), locked by the
+    # decision-parity tests in tests/test_ops_classify.py.
+    ink_h = downsample2(ink)
     # glyph/blob components converge in a handful of propagation rounds
-    ink_stats = component_stats_device(_cc_jit(ink, max_iters=8), k=8)
+    ink_stats = component_stats_device(_cc_jit(ink_h, max_iters=6), k=8)
     # SimpleBlobDetector-equivalent: small ink components (ref :1596-1617)
     blob_count = census_counts(
-        ink_stats, lambda a, w, h, *_: (a >= 10) & (a <= 150)
+        ink_stats, lambda a, w, h, *_: (a >= 3) & (a <= 44)
     )
-    # solid shapes (filled rects/diamonds/circles) from ink components
+    # solid shapes (filled rects/diamonds/circles) from ink components.
+    # Max-pooling RAISES fill ratios (outlines thicken, interiors close):
+    # the rect band is unchanged, circle/diamond bands shift up slightly.
     def solid_pred(kind):
         def pred(a, w, h, x0, y0, x1, y1):
             fill = a / jnp.maximum(w * h, 1.0)
-            base = (a >= 120) & (w >= 12) & (h >= 12)
+            base = (a >= 30) & (w >= 6) & (h >= 6)
             if kind == "rect":
                 return base & (fill > 0.85)
             if kind == "circle":
@@ -110,11 +122,18 @@ def _component_censuses(ink, vink, bg, sizes):
     ink_circle = census_counts(ink_stats, solid_pred("circle"))
     ink_diamond = census_counts(ink_stats, solid_pred("diamond"))
 
-    # filled-bar census (tall vertical ink components, ref :1403-1406)
-    vink_stats = component_stats_device(_cc_jit(vink, max_iters=4), k=8)
+    # filled-bar census (tall vertical ink components, ref :1403-1406).
+    # MIN-pool here: adjacent bars are separated by gaps as thin as 1px,
+    # which a max-pool would close (merging bars fails the h > 1.2w test);
+    # min-pool keeps gaps and only erodes bar width by <= 1px.
+    from synapta_tpu.ops.filters import downsample2_min
+
+    vink_stats = component_stats_device(
+        _cc_jit(downsample2_min(vink), max_iters=4), k=8
+    )
     tall_bars = census_counts(
         vink_stats,
-        lambda a, w, h, *_: (h > 0.2 * true_h) & (h > 1.2 * w) & (w >= 5),
+        lambda a, w, h, *_: (h > 0.1 * true_h) & (h > 1.2 * w) & (w >= 2.0),
     )
 
     # outlined shapes via enclosed interiors (RETR_TREE analog): ray-cast
@@ -124,7 +143,7 @@ def _component_censuses(ink, vink, bg, sizes):
 
     bg_stats = component_stats_device(
         _cc_jit(downsample2(_enclosed_mask(1.0 - bg)), connectivity=4,
-                max_iters=10),
+                max_iters=6),
         k=8,
     )
     bg_scale = 2.0

@@ -122,13 +122,27 @@ def diagonal_run_mask(edges: jnp.ndarray, length: int, anti: bool = False):
     e = edges.astype(jnp.float32)
     # grow 1px so near-diagonal (anti-aliased) runs connect
     e = dilate(e, 2, 2)
-    out = e
-    def body(i, acc):
-        d = i + 1
-        sh = jnp.roll(jnp.roll(e, d, axis=1), -d if anti else d, axis=2)
-        return acc * sh
-    out = lax.fori_loop(0, length - 1, body, out)
-    return out > 0
+    # log-doubling run-length erosion: acc_k[x] == 1 iff a run of length
+    # run_k starts at x; AND-ing acc with itself shifted by run_k doubles
+    # the run. O(log L) full-array passes instead of O(L).
+    sign = -1 if anti else 1
+
+    def shift(a, d):
+        return jnp.roll(jnp.roll(a, d, axis=1), sign * d, axis=2)
+
+    # acc_m[p] = AND_{k<m} e[p - k*delta]; doubling composes
+    # acc_{m+n}[p] = acc_m[p] & acc_n[p - m*delta]. The largest power of
+    # two <= L plus one remainder shift covers 0..L-1 contiguously,
+    # reproducing the previous sequential-roll product exactly.
+    acc = e
+    run = 1
+    target = max(int(length), 1)
+    while run * 2 <= target:
+        acc = acc * shift(acc, run)
+        run *= 2
+    if run < target:
+        acc = acc * shift(acc, target - run)
+    return acc > 0
 
 
 def box_count(mask: jnp.ndarray) -> jnp.ndarray:
@@ -142,4 +156,13 @@ def downsample2(mask: jnp.ndarray) -> jnp.ndarray:
     for structures larger than a couple of pixels."""
     return lax.reduce_window(
         mask, -jnp.inf, lax.max, (1, 2, 2), (1, 2, 2), "VALID"
+    )
+
+
+def downsample2_min(mask: jnp.ndarray) -> jnp.ndarray:
+    """2x2 MIN-pool downsample — preserves 1px GAPS between components
+    (max-pool closes them, merging e.g. adjacent chart bars into one
+    component) at the price of eroding components by up to a pixel."""
+    return -lax.reduce_window(
+        -mask, -jnp.inf, lax.max, (1, 2, 2), (1, 2, 2), "VALID"
     )

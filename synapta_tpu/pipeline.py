@@ -102,7 +102,8 @@ class VisualSegmentationPipeline:
         if recovered:
             log.info("resumed %d segments from checkpoint", recovered)
         self.writer.initialize()
-        self.doc = open_pdf(self.cfg.pdf_path)
+        with TIMERS.stage("ingest_open"):
+            self.doc = open_pdf(self.cfg.pdf_path)
         self.engine = DetectionEngine(self.doc, self.cfg.detection)
         if self.mesh is None:
             import math
@@ -140,7 +141,8 @@ class VisualSegmentationPipeline:
                 for i, pages in enumerate(spans):
                     prepared = None
                     try:
-                        prepared = fut.result()
+                        with TIMERS.stage("prepare_wait"):
+                            prepared = fut.result()
                     except Exception:
                         log.exception("prepare failed for batch %s", list(pages))
                     if i + 1 < len(spans):
@@ -156,7 +158,7 @@ class VisualSegmentationPipeline:
                         group = []
         finally:
             self._drain_patches()
-            with self._writer_lock:
+            with TIMERS.stage("finalize"), self._writer_lock:
                 self.writer.finalize()
             self.stats.wall_s = time.time() - t0
             log.info(
@@ -169,6 +171,10 @@ class VisualSegmentationPipeline:
     # -------------------------------------------------------------- stages
 
     def _prepare_batch(self, pages: Sequence[int]):
+        with TIMERS.stage("prepare_body"):
+            return self._prepare_batch_impl(pages)
+
+    def _prepare_batch_impl(self, pages: Sequence[int]):
         """Host/native stage: detection + region rasterization."""
         regions: List[DetectedRegion] = []
         for p in pages:
@@ -189,34 +195,43 @@ class VisualSegmentationPipeline:
         pngs: List[bytes] = []
         keep: List[bool] = []
         ctxs: List[Any] = []
+        import io as _io
+
+        from PIL import Image
+
         for i, r in enumerate(regions):
             try:
+                # Canvas render at fitted DPI (crisp 1px strokes — a
+                # bilinear downscale of the 150-DPI render blurs thin
+                # chart lines below the edge/morphology thresholds); the
+                # 150-DPI render happens ONLY for oversized regions, and
+                # is then reused for both the output PNG and the hires
+                # OCR-tile source.
                 w_pt = max(r.bbox.x1 - r.bbox.x0, 1.0)
                 h_pt = max(r.bbox.y1 - r.bbox.y0, 1.0)
-                dpi = min(
-                    self.cfg.detection.render_dpi,
-                    72.0 * canvas_size / max(w_pt, h_pt),
-                )
+                render_dpi = self.cfg.detection.render_dpi
+                dpi = min(render_dpi, 72.0 * canvas_size / max(w_pt, h_pt))
+                clip = [r.bbox.x0, r.bbox.y0, r.bbox.x1, r.bbox.y1]
                 with TIMERS.stage("render"):
-                    arr = self.doc.render(
-                        r.page_num, dpi=dpi,
-                        clip=[r.bbox.x0, r.bbox.y0, r.bbox.x1, r.bbox.y1],
+                    arr = self.doc.render(r.page_num, dpi=dpi, clip=clip)
+                    if dpi >= render_dpi - 1e-6:
+                        hi = arr
+                        ctx_val = None
+                    else:
+                        hi = self.doc.render(
+                            r.page_num, dpi=render_dpi, clip=clip
+                        )
+                        ctx_val = (hi, render_dpi / dpi)
+                h = min(arr.shape[0], canvas_size)
+                w = min(arr.shape[1], canvas_size)
+                with TIMERS.stage("png_encode"):
+                    bio = _io.BytesIO()
+                    Image.fromarray(hi).save(
+                        bio, format="PNG", compress_level=1
                     )
-                h, w = arr.shape[:2]
-                canvases[i, :h, :w] = arr[:canvas_size, :canvas_size]
-                dims.append((min(h, canvas_size), min(w, canvas_size)))
-                if dpi >= self.cfg.detection.render_dpi - 1e-6:
-                    png_arr = arr
-                    ctxs.append(None)
-                else:
-                    png_arr, _ = self.engine.render_region(r.page_num, r.bbox)
-                    ctxs.append((png_arr, self.cfg.detection.render_dpi / dpi))
-                import io as _io
-
-                from PIL import Image
-
-                bio = _io.BytesIO()
-                Image.fromarray(png_arr).save(bio, format="PNG")
+                canvases[i, :h, :w] = arr[:h, :w]
+                dims.append((h, w))
+                ctxs.append(ctx_val)
                 pngs.append(bio.getvalue())
                 keep.append(True)
             except Exception:
@@ -230,8 +245,10 @@ class VisualSegmentationPipeline:
 
     def _consume_group(self, group: List) -> None:
         """Run the analyze phase for every prepared batch in the group, then
-        the OCR phase for each, then enrichment — two executable swaps per
-        group total."""
+        ONE pooled OCR pass over every chunk's tiles (full fixed-shape
+        recognize dispatches — the per-dispatch tunnel overhead dominates
+        partial batches), then enrichment — two executable swaps per group
+        total."""
         analyzed = []
         for prepared in group:
             regions, canvases, dims, pngs, keep, ctxs = prepared
@@ -241,18 +258,44 @@ class VisualSegmentationPipeline:
                 analyzed.append((prepared, chunk_meta, feat_parts))
             except Exception:
                 log.exception("analyze stage failed; skipping batch")
-        for prepared, chunk_meta, feat_parts in analyzed:
+        if not analyzed:
+            return
+        cb = self.cfg.ocr.crop_batch
+        items: List[dict] = []
+        owners: List[tuple] = []
+        for bi, (prepared, chunk_meta, feat_parts) in enumerate(analyzed):
+            regions, canvases, dims, pngs, keep, ctxs = prepared
+            for chunk, real, chunk_sizes, boxes, start in chunk_meta:
+                chunk_ctx = None
+                if ctxs is not None:
+                    chunk_ctx = ctxs[start : start + real] + [None] * (cb - real)
+                items.append(
+                    {
+                        "crops": chunk,
+                        "sizes": chunk_sizes,
+                        "render_ctx": chunk_ctx,
+                        "line_boxes": boxes,
+                    }
+                )
+                owners.append((bi, real))
+        try:
+            with TIMERS.stage("ocr"):
+                grouped = self.ocr.process_group(items)
+        except Exception:
+            log.exception("pooled OCR failed; skipping group")
+            return
+        per_batch: List[List[OCRResult]] = [[] for _ in analyzed]
+        for (bi, real), res in zip(owners, grouped):
+            per_batch[bi].extend(res[:real])
+        for bi, (prepared, chunk_meta, feat_parts) in enumerate(analyzed):
             try:
-                regions, canvases, dims, pngs, keep, ctxs = prepared
-                with TIMERS.stage("device_pass"):
-                    ocr_results = self._ocr_stage(chunk_meta, dims, ctxs)
                 feats = {
                     k: np.concatenate([p[k] for p in feat_parts])
                     for k in feat_parts[0]
                 }
-                self._consume_batch(prepared, feats, ocr_results)
+                self._consume_batch(prepared, feats, per_batch[bi])
             except Exception:
-                log.exception("ocr/enrich stage failed; skipping batch")
+                log.exception("enrich stage failed; skipping batch")
 
     def _consume_batch(self, prepared, feats, ocr_results) -> None:
         """Enrichment stage for one prepared batch."""
@@ -298,7 +341,7 @@ class VisualSegmentationPipeline:
                 )
                 if seg is not None:
                     self.segments.append(seg)
-                    with self._writer_lock:
+                    with TIMERS.stage("writer_append"), self._writer_lock:
                         appended = self.writer.append(seg)
                     if appended:
                         self.stats.segments += 1
