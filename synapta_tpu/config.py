@@ -207,6 +207,12 @@ class PipelineConfig:
                                                # back-to-back (tunnel swap ~2s)
     data_devices: Optional[int] = None         # cap for the data-parallel mesh
                                                # (None = all available chips)
+    loader_workers: int = 0                    # prepare (detect+render) worker
+                                               # PROCESSES; 0 = in-process.
+                                               # >0 only pays on multi-core
+                                               # hosts (this box has 1 core:
+                                               # processes just add pickle
+                                               # + scheduling overhead)
     detection: DetectionConfig = field(default_factory=DetectionConfig)
     heuristics: HeuristicsConfig = field(default_factory=HeuristicsConfig)
     linker: LinkerConfig = field(default_factory=LinkerConfig)

@@ -124,8 +124,17 @@ class TPUOCR:
         cfg = self.cfg
         if tiles.dtype != np.uint8:
             tiles = np.clip(tiles * 255.0, 0.0, 255.0).astype(np.uint8)
+        return self.recognize_sync(self.recognize_dispatch(tiles))
+
+    def recognize_dispatch(self, tiles: np.ndarray):
+        """Async half: enqueue every fixed-shape batch (dispatch-all — the
+        tunnel overlaps batch N+1's H2D with batch N's compute) and return
+        the pending device handles without materializing."""
+        cfg = self.cfg
+        if tiles.dtype != np.uint8:
+            tiles = np.clip(tiles * 255.0, 0.0, 255.0).astype(np.uint8)
         n = tiles.shape[0]
-        out: List[Dict] = []
+        pending = []
         for start in range(0, n, cfg.line_batch):
             chunk = tiles[start : start + cfg.line_batch]
             pad_n = cfg.line_batch - chunk.shape[0]
@@ -133,10 +142,20 @@ class TPUOCR:
                 chunk = np.concatenate(
                     [chunk, np.full((pad_n,) + chunk.shape[1:], 255, np.uint8)]
                 )
-            packed = np.asarray(self._decode(self.params, chunk[..., None]))
+            pending.append(
+                (self._decode(self.params, chunk[..., None]), chunk.shape[0], pad_n)
+            )
+        return pending
+
+    @staticmethod
+    def recognize_sync(pending) -> List[Dict]:
+        """Host half: materialize dispatched batches and CTC-decode."""
+        out: List[Dict] = []
+        for dev_packed, chunk_n, pad_n in pending:
+            packed = np.asarray(dev_packed)
             best = packed[..., 0].astype(np.int32)
             conf = packed[..., 1]
-            for i in range(chunk.shape[0] - pad_n):
+            for i in range(chunk_n - pad_n):
                 text = decode_greedy(best[i])
                 nonblank = best[i] != BLANK
                 c = float(conf[i][nonblank].mean()) if nonblank.any() else 0.0
@@ -247,8 +266,17 @@ class TPUOCR:
 
         ``items``: [{'crops', 'sizes', 'render_ctx', 'line_boxes'}].
         Returns one List[OCRResult] per item."""
-        from synapta_tpu.utils.profiler import TIMERS
+        return self.group_sync(self.group_dispatch(items))
 
+    def group_dispatch(self, items: List[dict], submit=None):
+        """Async half of process_group: cut tiles (host) + enqueue the
+        recognition batches (device) without materializing. The returned
+        state goes to group_sync — callers interleave other host work in
+        between while the device computes.
+
+        ``submit``: optional executor.submit-style hook; when given, the
+        (GIL-releasing but blocking) H2D + enqueue runs on that executor
+        and group_sync resolves the future."""
         all_tiles, spans = [], []
         metas = []
         for it in items:
@@ -258,10 +286,27 @@ class TPUOCR:
             spans.append((len(all_tiles), len(all_tiles) + len(tiles)))
             all_tiles.extend(tiles)
             metas.append((owners, boxes_flat))
-        recs_all: List[Dict] = []
+        pending = None
         if all_tiles:
+            stacked = np.stack(all_tiles)
+            pending = (
+                submit(self.recognize_dispatch, stacked)
+                if submit is not None
+                else self.recognize_dispatch(stacked)
+            )
+        return items, spans, metas, pending
+
+    def group_sync(self, state) -> List[List[OCRResult]]:
+        """Host half: materialize recognition, gate, assemble OCRResults."""
+        from synapta_tpu.utils.profiler import TIMERS
+
+        items, spans, metas, pending = state
+        if pending is not None and hasattr(pending, "result"):
+            pending = pending.result()
+        recs_all: List[Dict] = []
+        if pending is not None:
             with TIMERS.stage("ocr_recognize"):
-                recs_all = self.recognize_tiles(np.stack(all_tiles))
+                recs_all = self.recognize_sync(pending)
         out: List[List[OCRResult]] = []
         for it, (lo, hi), (owners, boxes_flat) in zip(items, spans, metas):
             n = it["crops"].shape[0]

@@ -215,7 +215,10 @@ def extract_crop_features(
         sizes = jnp.full((B, 2), jnp.array([H, W]), jnp.int32)
     else:
         sizes = jnp.asarray(sizes, jnp.int32)
-    out = dict(_core_features(rgb, line_kernel, grid_kernel))
+    from synapta_tpu.ops.color import gray_quarter_host
+
+    gray, rgb_q = gray_quarter_host(np.asarray(rgb))
+    out = dict(_core_features(gray, rgb_q, line_kernel, grid_kernel))
     out.update(
         _component_censuses(
             out.pop("_ink"), out.pop("_vink"), out.pop("_bg"), sizes
@@ -234,13 +237,18 @@ def extract_crop_features(
 
 @functools.partial(jax.jit, static_argnames=("line_kernel", "grid_kernel"))
 def _core_features(
-    rgb: jnp.ndarray,
+    gray_u8: jnp.ndarray,
+    rgb_q: jnp.ndarray,
     line_kernel: int = 20,
     grid_kernel: int = 25,
 ) -> Dict[str, jnp.ndarray]:
-    """Fused non-CC features. rgb: (B, H, W, 3) uint8."""
-    B, H, W, _ = rgb.shape
-    gray = rgb_to_gray(rgb)                       # (B, H, W) 0..255
+    """Fused non-CC features.
+
+    gray_u8: (B, H, W) uint8 luma (host-converted — H2D diet, see
+    ops/color.gray_quarter_host). rgb_q: (B, H//2, W//2, 3) uint8 color
+    subsample, used only by the k-means dominant-color pass."""
+    B, H, W = gray_u8.shape
+    gray = gray_u8.astype(jnp.float32)            # (B, H, W) 0..255
     edges, mag, theta = sobel_edges(gray)
     e = edges.astype(jnp.float32)
 
@@ -337,7 +345,11 @@ def _core_features(
     v_ink = morph_open(ink, 2 * line_kernel - 1, 1)
     v_ink_pixels = box_count(v_ink > 0)
 
-    centers, ccounts, n_masked = dominant_colors(rgb)
+    # quarter-res color sample: counts and the masked-pixel total scale by
+    # 4 to stay in full-image pixel units (ratios downstream are invariant)
+    centers, ccounts, n_masked = dominant_colors(rgb_q)
+    ccounts = ccounts * 4.0
+    n_masked = n_masked * 4.0
 
     return {
         "v_pixels": v_pixels,
@@ -365,7 +377,8 @@ def _core_features(
     }
 
 
-def _analyze_impl(rgb: jnp.ndarray, sizes: jnp.ndarray) -> jnp.ndarray:
+def _analyze_impl(gray_u8: jnp.ndarray, rgb_q: jnp.ndarray,
+                  sizes: jnp.ndarray) -> jnp.ndarray:
     """ONE device dispatch for the whole per-crop analysis: visual features,
     component censuses, AND text-line boxes, packed into a single f32 array
     so exactly one D2H transfer happens per crop chunk. The TPU tunnel
@@ -373,7 +386,7 @@ def _analyze_impl(rgb: jnp.ndarray, sizes: jnp.ndarray) -> jnp.ndarray:
     1 + 1 dominates end-to-end throughput."""
     from synapta_tpu.ocr.linedet import MAX_LINES, line_boxes_from_ink
 
-    out = dict(_core_features(rgb, 20, 25))
+    out = dict(_core_features(gray_u8, rgb_q, 20, 25))
     cen = _component_censuses(
         out["_ink"], out["_vink"], out["_bg"], sizes
     )
@@ -400,7 +413,9 @@ def _analyze_fn_for(mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     ds = NamedSharding(mesh, P("data"))
-    return jax.jit(_analyze_impl, in_shardings=(ds, ds), out_shardings=ds)
+    return jax.jit(
+        _analyze_impl, in_shardings=(ds, ds, ds), out_shardings=ds
+    )
 
 
 def device_analyze(rgb, sizes=None, mesh=None):
@@ -409,14 +424,37 @@ def device_analyze(rgb, sizes=None, mesh=None):
     mesh, the batch dim shards across its 'data' axis."""
     import numpy as np
 
-    from synapta_tpu.ocr.linedet import MAX_LINES
+    packed = device_analyze_dispatch(rgb, sizes=sizes, mesh=mesh)
+    return unpack_analysis(np.asarray(packed), rgb.shape[0])
+
+
+def device_analyze_dispatch(rgb, sizes=None, mesh=None):
+    """Async half of device_analyze: enqueue the fused pass and return the
+    DEVICE packed array without materializing — callers can dispatch every
+    chunk back-to-back (overlapping H2D/compute/D2H over the tunnel) and
+    unpack later with unpack_analysis(np.asarray(packed), B).
+
+    rgb: (B, H, W, 3) uint8 HOST numpy. The host converts it to
+    (gray u8, quarter-res RGB) before transfer — 2.4x less H2D over the
+    ~40MB/s tunnel (see ops/color.gray_quarter_host)."""
+    import numpy as np
+
+    from synapta_tpu.ops.color import gray_quarter_host
 
     B, H, W = rgb.shape[:3]
     if sizes is None:
         sizes = jnp.full((B, 2), jnp.array([H, W]), jnp.int32)
     else:
         sizes = jnp.asarray(sizes, jnp.int32)
-    packed = np.asarray(_analyze_fn_for(mesh)(rgb, sizes))
+    gray, rgb_q = gray_quarter_host(np.asarray(rgb))
+    return _analyze_fn_for(mesh)(gray, rgb_q, sizes)
+
+
+def unpack_analysis(packed, B: int):
+    """Host half: split the packed (B, n) result into the feature dict and
+    the (B, MAX_LINES, 5) line-box tensor."""
+    from synapta_tpu.ocr.linedet import MAX_LINES
+
     n = len(_SCALAR_KEYS)
     res = {k: packed[:, i] for i, k in enumerate(_SCALAR_KEYS)}
     res["kmeans_centers"] = packed[:, n : n + 15].reshape(B, 5, 3)

@@ -90,6 +90,17 @@ class VisualSegmentationPipeline:
         self.mesh = None  # data mesh, built in process()
         # late-LLM patching: writer/stats guards + in-flight future tracking
         self._writer_lock = threading.Lock()
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        # PNG encoders: zlib releases the GIL, so encodes overlap native
+        # renders on the prepare thread
+        self._png_pool = _TPE(max_workers=3, thread_name_prefix="png")
+        # ONE device-feed worker: H2D over the tunnel is synchronous at
+        # dispatch time (~40MB/s), but the transfer itself releases the
+        # GIL — feeding from a dedicated thread overlaps it with host
+        # detect/render/enrich. One worker == transfers serialize on the
+        # tunnel anyway, and all device enqueues come from one thread.
+        self._feed_pool = _TPE(max_workers=1, thread_name_prefix="feed")
         self._inflight: set = set()
         self._inflight_cv = threading.Condition()
 
@@ -104,6 +115,11 @@ class VisualSegmentationPipeline:
         self.writer.initialize()
         with TIMERS.stage("ingest_open"):
             self.doc = open_pdf(self.cfg.pdf_path)
+            # SECOND handle for rasterization: each native handle carries
+            # its own mutex, so renders (this handle) proceed concurrently
+            # with the detection engine's metadata calls (self.doc) instead
+            # of serializing on one document lock.
+            self.render_doc = open_pdf(self.cfg.pdf_path)
         self.engine = DetectionEngine(self.doc, self.cfg.detection)
         if self.mesh is None:
             import math
@@ -122,40 +138,92 @@ class VisualSegmentationPipeline:
         n_pages = self.doc.page_count
         log.info("processing %s: %d pages", self.cfg.pdf_path, n_pages)
         try:
-            from concurrent.futures import ThreadPoolExecutor
-
             batch = self.cfg.pages_per_batch
             spans = [
                 range(start, min(start + batch, n_pages))
                 for start in range(0, n_pages, batch)
             ]
-            # software pipelining: the prefetch thread detects + renders
-            # batch N+1 (host/native work) while this thread runs batch N's
-            # device pass and enrichment. Super-batches are consumed in
-            # GROUPS so the two device executables (analyze, recognize)
-            # alternate once per group rather than once per batch.
-            GROUP = 4
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                fut = pool.submit(self._prepare_batch, spans[0]) if spans else None
-                group: List = []
-                for i, pages in enumerate(spans):
-                    prepared = None
-                    try:
+            # SINGLE-THREADED software pipeline, depth 2. The host here has
+            # one core, so extra host threads only add GIL contention
+            # (measured: detect/render inflate ~2x under a prefetch
+            # thread). All overlap comes from ASYNC DEVICE DISPATCH
+            # instead: each stage enqueues device work and materializes it
+            # one batch later, so while the host prepares batch N the
+            # device analyzes batch N-1 and recognizes batch N-2:
+            #   prepare(N)                      [host: native detect+render]
+            #   analyze_dispatch(N)             [device starts analyzing N]
+            #   ocr_dispatch(N-1)               [sync analyze(N-1): done
+            #                                    while prepare(N) ran; cut
+            #                                    tiles; enqueue recognize]
+            #   enrich_finish(N-2)              [sync recognize(N-2): done
+            #                                    while prepare(N) ran;
+            #                                    gate/assemble/link/write]
+            # (Executable swapping measured cheap on this tunnel — ~0.1s —
+            # so analyze/recognize alternate freely; the old GROUP phasing
+            # bought nothing. Multi-core hosts can move prepare into
+            # loader worker processes via cfg.loader_workers.)
+            from synapta_tpu.io.loader import PrepareLoader
+
+            loader = None
+            if self.cfg.loader_workers:
+                loader = PrepareLoader(
+                    self.cfg.pdf_path, self.cfg.detection,
+                    self.cfg.ocr.crop_size, workers=self.cfg.loader_workers,
+                )
+                loader_futs = [
+                    loader.submit(None, span) for span in spans[:2]
+                ]
+
+            analyzing = None   # (prepared, analyze_pending)
+            recognizing = None  # state from _ocr_dispatch
+            for i, pages in enumerate(spans):
+                prepared = None
+                try:
+                    if loader is not None:
                         with TIMERS.stage("prepare_wait"):
-                            prepared = fut.result()
+                            prepared = loader_futs[i].result()
+                        if i + 2 < len(spans):
+                            loader_futs.append(
+                                loader.submit(None, spans[i + 2])
+                            )
+                    else:
+                        prepared = self._prepare_batch(pages)
+                except Exception:
+                    log.exception("prepare failed for batch %s", list(pages))
+                self.stats.pages += len(pages)
+                next_analyzing = None
+                if prepared is not None:
+                    # enqueue from the feed thread: the H2D transfer blocks
+                    # its caller but releases the GIL, so this thread keeps
+                    # doing host work while the canvases stream over
+                    pending_fut = self._feed_pool.submit(
+                        self._analyze_dispatch, prepared[1], prepared[2]
+                    )
+                    next_analyzing = (prepared, pending_fut)
+                    self.stats.regions += len(prepared[0])
+                next_recognizing = None
+                if analyzing is not None:
+                    try:
+                        next_recognizing = self._ocr_dispatch(*analyzing)
                     except Exception:
-                        log.exception("prepare failed for batch %s", list(pages))
-                    if i + 1 < len(spans):
-                        fut = pool.submit(self._prepare_batch, spans[i + 1])
-                    if prepared is not None:
-                        group.append(prepared)
-                        # stats fold happens here (the consuming thread),
-                        # never on the prefetch thread
-                        self.stats.regions += len(prepared[0])
-                    self.stats.pages += len(pages)
-                    if len(group) >= GROUP or i == len(spans) - 1:
-                        self._consume_group(group)
-                        group = []
+                        log.exception("ocr dispatch failed; skipping batch")
+                if recognizing is not None:
+                    try:
+                        self._enrich_finish(recognizing)
+                    except Exception:
+                        log.exception("enrich stage failed; skipping batch")
+                analyzing, recognizing = next_analyzing, next_recognizing
+            # drain the pipeline tail
+            if recognizing is not None:
+                try:
+                    self._enrich_finish(recognizing)
+                except Exception:
+                    log.exception("enrich stage failed; skipping batch")
+            if analyzing is not None:
+                try:
+                    self._enrich_finish(self._ocr_dispatch(*analyzing))
+                except Exception:
+                    log.exception("final batch failed")
         finally:
             self._drain_patches()
             with TIMERS.stage("finalize"), self._writer_lock:
@@ -171,131 +239,61 @@ class VisualSegmentationPipeline:
     # -------------------------------------------------------------- stages
 
     def _prepare_batch(self, pages: Sequence[int]):
+        """In-process prepare (loader_workers == 0 path, and tests)."""
+        from synapta_tpu.io.loader import prepare_batch
+
         with TIMERS.stage("prepare_body"):
-            return self._prepare_batch_impl(pages)
+            return prepare_batch(
+                self.engine, self.render_doc, self.cfg.detection.render_dpi,
+                self.cfg.ocr.crop_size, pages, png_pool=self._png_pool,
+            )
 
-    def _prepare_batch_impl(self, pages: Sequence[int]):
-        """Host/native stage: detection + region rasterization."""
-        regions: List[DetectedRegion] = []
-        for p in pages:
-            try:
-                with TIMERS.stage("detect"):
-                    regions.extend(self.engine.detect_page(p))
-            except Exception:
-                log.exception("detection failed on page %d", p)
-        if not regions:
-            return None
-
-        # render crops: canvas-sized for the device, 150 DPI for the PNG
-        canvas_size = self.cfg.ocr.crop_size
-        canvases = np.full(
-            (len(regions), canvas_size, canvas_size, 3), 255, np.uint8
-        )
-        dims: List[tuple] = []
-        pngs: List[bytes] = []
-        keep: List[bool] = []
-        ctxs: List[Any] = []
-        import io as _io
-
-        from PIL import Image
-
-        for i, r in enumerate(regions):
-            try:
-                # Canvas render at fitted DPI (crisp 1px strokes — a
-                # bilinear downscale of the 150-DPI render blurs thin
-                # chart lines below the edge/morphology thresholds); the
-                # 150-DPI render happens ONLY for oversized regions, and
-                # is then reused for both the output PNG and the hires
-                # OCR-tile source.
-                w_pt = max(r.bbox.x1 - r.bbox.x0, 1.0)
-                h_pt = max(r.bbox.y1 - r.bbox.y0, 1.0)
-                render_dpi = self.cfg.detection.render_dpi
-                dpi = min(render_dpi, 72.0 * canvas_size / max(w_pt, h_pt))
-                clip = [r.bbox.x0, r.bbox.y0, r.bbox.x1, r.bbox.y1]
-                with TIMERS.stage("render"):
-                    arr = self.doc.render(r.page_num, dpi=dpi, clip=clip)
-                    if dpi >= render_dpi - 1e-6:
-                        hi = arr
-                        ctx_val = None
-                    else:
-                        hi = self.doc.render(
-                            r.page_num, dpi=render_dpi, clip=clip
-                        )
-                        ctx_val = (hi, render_dpi / dpi)
-                h = min(arr.shape[0], canvas_size)
-                w = min(arr.shape[1], canvas_size)
-                with TIMERS.stage("png_encode"):
-                    bio = _io.BytesIO()
-                    Image.fromarray(hi).save(
-                        bio, format="PNG", compress_level=1
-                    )
-                canvases[i, :h, :w] = arr[:h, :w]
-                dims.append((h, w))
-                ctxs.append(ctx_val)
-                pngs.append(bio.getvalue())
-                keep.append(True)
-            except Exception:
-                log.exception("render failed for region on page %d", r.page_num)
-                dims.append((1, 1))
-                pngs.append(b"")
-                keep.append(False)
-                ctxs.append(None)
-
-        return regions, canvases, dims, pngs, keep, ctxs
-
-    def _consume_group(self, group: List) -> None:
-        """Run the analyze phase for every prepared batch in the group, then
-        ONE pooled OCR pass over every chunk's tiles (full fixed-shape
-        recognize dispatches — the per-dispatch tunnel overhead dominates
-        partial batches), then enrichment — two executable swaps per group
-        total."""
-        analyzed = []
-        for prepared in group:
-            regions, canvases, dims, pngs, keep, ctxs = prepared
-            try:
-                with TIMERS.stage("device_pass"):
-                    chunk_meta, feat_parts = self._analyze_stage(canvases, dims)
-                analyzed.append((prepared, chunk_meta, feat_parts))
-            except Exception:
-                log.exception("analyze stage failed; skipping batch")
-        if not analyzed:
-            return
+    def _ocr_dispatch(self, prepared, analyze_pending):
+        """Pipeline stage 2 for one batch: sync its (already-computing)
+        analyze pass, cut line tiles on the host, and ENQUEUE recognition —
+        returns state for _enrich_finish without materializing, so the
+        device recognizes while the host moves on."""
+        if hasattr(analyze_pending, "result"):
+            analyze_pending = analyze_pending.result()
+        with TIMERS.stage("device_pass"):
+            chunk_meta, feat_parts = self._analyze_sync(analyze_pending)
+        regions, canvases, dims, pngs, keep, ctxs = prepared
         cb = self.cfg.ocr.crop_batch
         items: List[dict] = []
-        owners: List[tuple] = []
-        for bi, (prepared, chunk_meta, feat_parts) in enumerate(analyzed):
-            regions, canvases, dims, pngs, keep, ctxs = prepared
-            for chunk, real, chunk_sizes, boxes, start in chunk_meta:
-                chunk_ctx = None
-                if ctxs is not None:
-                    chunk_ctx = ctxs[start : start + real] + [None] * (cb - real)
-                items.append(
-                    {
-                        "crops": chunk,
-                        "sizes": chunk_sizes,
-                        "render_ctx": chunk_ctx,
-                        "line_boxes": boxes,
-                    }
-                )
-                owners.append((bi, real))
-        try:
-            with TIMERS.stage("ocr"):
-                grouped = self.ocr.process_group(items)
-        except Exception:
-            log.exception("pooled OCR failed; skipping group")
-            return
-        per_batch: List[List[OCRResult]] = [[] for _ in analyzed]
-        for (bi, real), res in zip(owners, grouped):
-            per_batch[bi].extend(res[:real])
-        for bi, (prepared, chunk_meta, feat_parts) in enumerate(analyzed):
-            try:
-                feats = {
-                    k: np.concatenate([p[k] for p in feat_parts])
-                    for k in feat_parts[0]
+        reals: List[int] = []
+        for chunk, real, chunk_sizes, boxes, start in chunk_meta:
+            chunk_ctx = None
+            if ctxs is not None:
+                chunk_ctx = ctxs[start : start + real] + [None] * (cb - real)
+            items.append(
+                {
+                    "crops": chunk,
+                    "sizes": chunk_sizes,
+                    "render_ctx": chunk_ctx,
+                    "line_boxes": boxes,
                 }
-                self._consume_batch(prepared, feats, per_batch[bi])
-            except Exception:
-                log.exception("enrich stage failed; skipping batch")
+            )
+            reals.append(real)
+        with TIMERS.stage("ocr_dispatch"):
+            ocr_state = self.ocr.group_dispatch(
+                items, submit=self._feed_pool.submit
+            )
+        return prepared, feat_parts, ocr_state, reals
+
+    def _enrich_finish(self, state) -> None:
+        """Pipeline stage 3 for one batch: materialize recognition, gate +
+        assemble OCR results, then run enrichment + writes."""
+        prepared, feat_parts, ocr_state, reals = state
+        with TIMERS.stage("ocr"):
+            grouped = self.ocr.group_sync(ocr_state)
+        ocr_results: List[OCRResult] = []
+        for real, res in zip(reals, grouped):
+            ocr_results.extend(res[:real])
+        feats = {
+            k: np.concatenate([p[k] for p in feat_parts])
+            for k in feat_parts[0]
+        }
+        self._consume_batch(prepared, feats, ocr_results)
 
     def _consume_batch(self, prepared, feats, ocr_results) -> None:
         """Enrichment stage for one prepared batch."""
@@ -373,13 +371,17 @@ class VisualSegmentationPipeline:
         }
         return feats, ocr_results
 
-    def _analyze_stage(self, canvases: np.ndarray, dims: List[tuple]):
-        from synapta_tpu.ops.features import device_analyze
+    def _analyze_dispatch(self, canvases: np.ndarray, dims: List[tuple]):
+        """Enqueue the fused analyze pass for every fixed-shape chunk and
+        return the pending device handles WITHOUT materializing — JAX
+        dispatch is async, so back-to-back enqueues let the tunnel overlap
+        chunk N+1's H2D with chunk N's compute, and the device keeps
+        computing while the host prepares the next super-batch."""
+        from synapta_tpu.ops.features import device_analyze_dispatch
 
         cb = self.cfg.ocr.crop_batch
         n = canvases.shape[0]
-        feat_parts: List[Dict[str, Any]] = []
-        chunk_meta = []
+        pending = []
         for start in range(0, n, cb):
             chunk = canvases[start : start + cb]
             real = chunk.shape[0]
@@ -387,14 +389,31 @@ class VisualSegmentationPipeline:
                 pad = np.full((cb - real,) + chunk.shape[1:], 255, np.uint8)
                 chunk = np.concatenate([chunk, pad])
             chunk_sizes = dims[start : start + real] + [(1, 1)] * (cb - real)
-            with TIMERS.stage("features"):
-                f, boxes = device_analyze(
+            with TIMERS.stage("features_dispatch"):
+                packed = device_analyze_dispatch(
                     chunk, sizes=np.array(chunk_sizes, np.int32),
                     mesh=self.mesh,
                 )
-            feat_parts.append({k: np.asarray(v)[:real] for k, v in f.items()})
+            pending.append((chunk, real, chunk_sizes, packed, start))
+        return pending
+
+    def _analyze_sync(self, pending):
+        """Materialize dispatched analyze chunks -> (chunk_meta, feat_parts)."""
+        from synapta_tpu.ops.features import unpack_analysis
+
+        feat_parts: List[Dict[str, Any]] = []
+        chunk_meta = []
+        for chunk, real, chunk_sizes, packed, start in pending:
+            with TIMERS.stage("features"):
+                f, boxes = unpack_analysis(
+                    np.asarray(packed), chunk.shape[0]
+                )
+            feat_parts.append({k: v[:real] for k, v in f.items()})
             chunk_meta.append((chunk, real, chunk_sizes, boxes, start))
         return chunk_meta, feat_parts
+
+    def _analyze_stage(self, canvases: np.ndarray, dims: List[tuple]):
+        return self._analyze_sync(self._analyze_dispatch(canvases, dims))
 
     def _ocr_stage(self, chunk_meta, dims, ctxs) -> List[OCRResult]:
         cb = self.cfg.ocr.crop_batch
