@@ -197,8 +197,26 @@ static std::shared_ptr<PdfFont> load_font(Document* doc, const ObjPtr& fdict) {
       auto ttf = std::make_shared<TrueTypeFont>();
       if (ttf->load(doc->decode_stream(ff2))) font->ttf = ttf;
     }
-    // FontFile (Type1) / FontFile3 (CFF): no outline support yet —
-    // substitute DejaVu (metrics still come from /Widths).
+    if (!font->ttf) {
+      // FontFile3: bare CFF (/Type1C, /CIDFontType0C) or OTTO OpenType
+      ObjPtr ff3 = doc->dict_get(fd, "FontFile3");
+      if (ff3->is(ObjType::Stream)) {
+        std::string data = doc->decode_stream(ff3);
+        auto cff = std::make_shared<CFFFont>();
+        bool ok = data.size() > 4 && memcmp(data.data(), "OTTO", 4) == 0
+                      ? cff->load_otf(data)
+                      : cff->load(std::move(data));
+        if (ok) font->ttf = cff;
+      }
+    }
+    if (!font->ttf) {
+      // FontFile: Type1 (PFA/PFB, eexec)
+      ObjPtr ff1 = doc->dict_get(fd, "FontFile");
+      if (ff1->is(ObjType::Stream)) {
+        auto t1 = std::make_shared<Type1Font>();
+        if (t1->load(doc->decode_stream(ff1))) font->ttf = t1;
+      }
+    }
   }
   if (!font->ttf) font->ttf = load_substitute(font->base_font);
   // CIDToGIDMap stream

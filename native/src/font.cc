@@ -376,7 +376,7 @@ static uint32_t winansi_to_unicode(uint32_t code) {
 }
 
 // Minimal glyph-name -> unicode (AGL subset for common names).
-static uint32_t glyphname_to_unicode(const std::string& n) {
+uint32_t glyph_name_to_unicode(const std::string& n) {
   static const std::unordered_map<std::string, uint32_t> m = {
       {"space", 32},     {"exclam", 33},    {"quotedbl", 34},
       {"numbersign", 35},{"dollar", 36},    {"percent", 37},
@@ -428,7 +428,7 @@ uint32_t PdfFont::unicode_for_code(uint32_t code) const {
   if (!differences.empty()) {
     auto dit = differences.find(code);
     if (dit != differences.end()) {
-      uint32_t u = glyphname_to_unicode(dit->second);
+      uint32_t u = glyph_name_to_unicode(dit->second);
       if (u) return u;
     }
   }
@@ -442,7 +442,16 @@ uint16_t PdfFont::gid_for_code(uint32_t code) const {
   auto it = code_to_gid.find(code);
   if (it != code_to_gid.end()) return it->second;
   if (!ttf) return 0;
-  if (is_cid) return (uint16_t)code;  // Identity CIDToGIDMap
+  if (is_cid) return ttf->gid_for_cid(code);  // identity unless CID-keyed CFF
+  // name-keyed fonts (CFF charset / Type1 CharStrings): an exact
+  // /Differences glyph name beats any unicode round trip
+  if (!differences.empty()) {
+    auto dit = differences.find(code);
+    if (dit != differences.end()) {
+      uint16_t gid = ttf->gid_for_name(dit->second);
+      if (gid) return gid;
+    }
+  }
   uint32_t u = unicode_for_code(code);
   uint16_t gid = u ? ttf->glyph_for_unicode(u) : 0;
   if (!gid && symbolic_cmap) gid = ttf->glyph_for_unicode(0xF000 + code);

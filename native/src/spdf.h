@@ -15,6 +15,7 @@
 #include <map>
 #include <memory>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <vector>
 
@@ -183,13 +184,32 @@ struct Glyph {
   bool loaded = false;
 };
 
-class TrueTypeFont {
+// Shared glyph-name -> unicode mapping (AGL subset; font.cc).
+uint32_t glyph_name_to_unicode(const std::string& name);
+
+// Abstract outline source: TrueType (glyf), CFF (Type2 charstrings) and
+// Type1 (eexec charstrings) all flatten to the same Glyph polylines, so
+// the rasterizer and metrics code are format-agnostic.
+class OutlineFont {
+ public:
+  virtual ~OutlineFont() = default;
+  virtual const Glyph* glyph(uint16_t gid) = 0;
+  virtual uint16_t glyph_for_unicode(uint32_t cp) const = 0;
+  virtual float units_per_em() const = 0;
+  virtual float advance_for_gid(uint16_t gid) const = 0;
+  // Name-keyed lookup (CFF charset / Type1 CharStrings names); 0 = none.
+  virtual uint16_t gid_for_name(const std::string&) const { return 0; }
+  // CID-keyed lookup (CID-keyed CFF charsets); identity elsewhere.
+  virtual uint16_t gid_for_cid(uint32_t cid) const { return (uint16_t)cid; }
+};
+
+class TrueTypeFont : public OutlineFont {
  public:
   bool load(std::string data);
-  uint16_t glyph_for_unicode(uint32_t cp) const;
-  const Glyph* glyph(uint16_t gid);   // lazy outline parse + flatten
-  float units_per_em() const { return upem_; }
-  float advance_for_gid(uint16_t gid) const;
+  uint16_t glyph_for_unicode(uint32_t cp) const override;
+  const Glyph* glyph(uint16_t gid) override;  // lazy outline parse+flatten
+  float units_per_em() const override { return upem_; }
+  float advance_for_gid(uint16_t gid) const override;
 
  private:
   bool parse_tables();
@@ -206,6 +226,80 @@ class TrueTypeFont {
   std::unordered_map<uint16_t, Glyph> glyph_cache_;
 };
 
+// CFF / Type1C (PDF FontFile3; also the 'CFF ' table of OTTO OpenType) —
+// Type2 charstring interpreter producing flattened contours. Supports
+// name-keyed and CID-keyed fonts (charsets 0/1/2, FDArray/FDSelect,
+// local/global subrs, seac-style endchar, flex). cff.cc.
+class CFFFont : public OutlineFont {
+ public:
+  bool load(std::string data);              // bare CFF
+  bool load_otf(const std::string& data);   // OTTO sfnt wrapper -> CFF table
+  const Glyph* glyph(uint16_t gid) override;
+  uint16_t glyph_for_unicode(uint32_t cp) const override;
+  float units_per_em() const override { return upem_; }
+  float advance_for_gid(uint16_t gid) const override;
+  uint16_t gid_for_name(const std::string& n) const override;
+  uint16_t gid_for_cid(uint32_t cid) const override;
+  bool is_cid_keyed() const { return cid_keyed_; }
+
+ private:
+  struct Index {
+    std::vector<std::pair<uint32_t, uint32_t>> items;  // (offset, len)
+    size_t end = 0;                                    // offset past index
+  };
+  struct PrivateInfo {
+    double default_width = 0, nominal_width = 0;
+    Index subrs;  // local subrs
+    bool has_subrs = false;
+  };
+  bool parse();
+  Index read_index(size_t pos) const;
+  std::string_view item(const Index& ix, size_t i) const;
+  std::string sid_name(uint16_t sid) const;
+  void parse_charset(size_t pos);
+  void run_charstring(std::string_view cs, const PrivateInfo& priv,
+                      Glyph* g, int depth);
+  const PrivateInfo& priv_for_gid(uint16_t gid) const;
+
+  std::string data_;
+  Index charstrings_, gsubrs_, strings_;
+  PrivateInfo priv_;                       // non-CID private
+  std::vector<PrivateInfo> fd_priv_;       // CID FDArray privates
+  std::vector<uint8_t> fd_select_;         // gid -> FD index
+  std::vector<uint16_t> charset_sids_;     // gid -> SID (or CID)
+  std::unordered_map<std::string, uint16_t> name_to_gid_;
+  std::unordered_map<uint32_t, uint16_t> unicode_to_gid_;
+  std::unordered_map<uint32_t, uint16_t> cid_to_gid_;
+  bool cid_keyed_ = false;
+  float upem_ = 1000;
+  // charstring interpreter scratch (per-glyph)
+  std::unordered_map<uint16_t, Glyph> glyph_cache_;
+};
+
+// Type1 (PDF FontFile): PFA/PFB container, eexec + charstring decryption,
+// Type1 charstring interpreter (incl. flex via OtherSubrs emulation and
+// seac composition). type1.cc.
+class Type1Font : public OutlineFont {
+ public:
+  bool load(std::string data);
+  const Glyph* glyph(uint16_t gid) override;
+  uint16_t glyph_for_unicode(uint32_t cp) const override;
+  float units_per_em() const override { return 1000.0f; }
+  float advance_for_gid(uint16_t gid) const override;
+  uint16_t gid_for_name(const std::string& n) const override;
+
+ private:
+  void run_charstring(const std::string& cs, Glyph* g, int depth,
+                      double x0, double y0, bool in_seac);
+  std::vector<std::string> names_;                    // gid -> name
+  std::vector<std::string> charstrings_;              // decrypted, by gid
+  std::vector<std::string> subrs_;                    // decrypted
+  std::unordered_map<std::string, uint16_t> name_to_gid_;
+  std::unordered_map<uint32_t, uint16_t> unicode_to_gid_;
+  int len_iv_ = 4;
+  std::unordered_map<uint16_t, Glyph> glyph_cache_;
+};
+
 struct PdfFont {
   std::string base_font;
   bool is_cid = false;
@@ -215,7 +309,8 @@ struct PdfFont {
   std::unordered_map<uint32_t, uint32_t> to_unicode; // code -> codepoint
   std::unordered_map<uint32_t, uint32_t> code_to_gid;// code -> gid (CID fonts)
   std::unordered_map<uint32_t, std::string> differences; // code -> glyph name
-  std::shared_ptr<TrueTypeFont> ttf;     // embedded or substitute
+  std::shared_ptr<OutlineFont> ttf;      // embedded (TTF/CFF/Type1) or
+                                         // substitute outline source
   bool symbolic_cmap = false;            // use (3,0) cmap w/ raw codes
   std::string encoding;                  // WinAnsi / MacRoman / ""
 
