@@ -710,10 +710,29 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
         gs.font = it->second;
       } else {
         ObjPtr fonts = doc->dict_get(resources, "Font");
-        ObjPtr fd = doc->dict_get(fonts, fname);
-        if (fd->is(ObjType::Dict)) {
-          gs.font = load_font(doc, fd);
-          font_cache[fname] = gs.font;
+        // doc-level cache by the font dict's OBJECT NUMBER (the raw,
+        // unresolved Ref): font programs parse once per document, not
+        // once per page
+        int fnum = 0;
+        if (fonts->is(ObjType::Dict)) {
+          auto raw = fonts->dict.find(fname);
+          if (raw != fonts->dict.end() && raw->second->is(ObjType::Ref))
+            fnum = raw->second->ref_num;
+        }
+        if (fnum) {
+          auto dit = doc->font_cache.find(fnum);
+          if (dit != doc->font_cache.end()) {
+            gs.font = dit->second;
+            font_cache[fname] = gs.font;
+          }
+        }
+        if (!gs.font || font_cache.find(fname) == font_cache.end()) {
+          ObjPtr fd = doc->dict_get(fonts, fname);
+          if (fd->is(ObjType::Dict)) {
+            gs.font = load_font(doc, fd);
+            font_cache[fname] = gs.font;
+            if (fnum) doc->font_cache[fnum] = gs.font;
+          }
         }
       }
     } else if (op == "Td" && st.size() >= 2) {

