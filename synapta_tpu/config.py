@@ -65,7 +65,14 @@ class HeuristicsConfig:
     # chart subtype scoring (ref :1343-1461)
     text_signal_score: float = 3.0
     min_subtype_score: float = 2.0
-    line_h_pixels_factor: float = 8.0          # h_pixels > 8*height
+    line_h_pixels_factor: float = 6.5          # h_pixels > 6.5*height.
+                                               # The reference used 8x of a
+                                               # drawings-tight crop
+                                               # (ref :1387); detected boxes
+                                               # now include the title +
+                                               # caption band (~20% extra
+                                               # height), so the factor
+                                               # scales down to match
     line_hv_ratio: float = 1.5
     bar_v_pixels_factor: float = 10.0
     bar_min_tall_contours: int = 3

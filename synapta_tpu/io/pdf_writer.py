@@ -145,6 +145,39 @@ class PageCanvas:
         self.images: List[Tuple[str, np.ndarray, Tuple[float, float, float, float]]] = []
         self.truth = PageTruth(page_no=-1)
         self._img_counter = 0
+        self._extent: Optional[List[float]] = None
+        self._tracking = False
+
+    # -- content-extent tracking --------------------------------------------
+
+    def begin_extent(self) -> None:
+        """Start accumulating the tight bbox of everything drawn, so visual
+        ground truth records CONTENT bounds (what an ideal segmenter would
+        box) rather than the reserved layout slot, which can include empty
+        headroom/side padding no detector should be penalized for."""
+        self._extent = None
+        self._tracking = True
+
+    def end_extent(self) -> Optional[Tuple[float, float, float, float]]:
+        ext = self._extent
+        self._extent = None
+        self._tracking = False
+        if not ext:
+            return None
+        return (max(0.0, ext[0] - 10.0), max(0.0, ext[1] - 10.0),
+                min(self.w, ext[2] + 10.0), min(self.h, ext[3] + 10.0))
+
+    def _track(self, x0: float, y0: float, x1: float, y1: float) -> None:
+        if not self._tracking:
+            return
+        if self._extent is None:
+            self._extent = [x0, y0, x1, y1]
+        else:
+            e = self._extent
+            e[0] = min(e[0], x0)
+            e[1] = min(e[1], y0)
+            e[2] = max(e[2], x1)
+            e[3] = max(e[3], y1)
 
     # -- primitives ---------------------------------------------------------
 
@@ -171,11 +204,14 @@ class PageCanvas:
         )
         wpath = DEJAVU_BOLD if bold else DEJAVU
         bbox = (x, y, x + text_width(s, size, wpath), y + (ascent + descent) * size)
+        self._track(*bbox)
         if record:
             self.truth.text_blocks.append({"text": s, "bbox": list(bbox), "size": size})
         return bbox
 
     def rect(self, x0, y0, x1, y1, fill=None, stroke=(0, 0, 0), width=1.0):
+        m = width / 2 if stroke is not None else 0.0
+        self._track(x0 - m, y0 - m, x1 + m, y1 + m)
         cmds = [f"{width:.2f} w"]
         if fill is not None:
             cmds.append(f"{fill[0]:.3f} {fill[1]:.3f} {fill[2]:.3f} rg")
@@ -193,12 +229,18 @@ class PageCanvas:
         self.ops.append(" ".join(cmds))
 
     def line(self, x0, y0, x1, y1, width=1.0, color=(0, 0, 0)):
+        m = width / 2
+        self._track(min(x0, x1) - m, min(y0, y1) - m,
+                    max(x0, x1) + m, max(y0, y1) + m)
         self.ops.append(
             f"{width:.2f} w {color[0]:.3f} {color[1]:.3f} {color[2]:.3f} RG "
             f"{x0:.2f} {self._y(y0):.2f} m {x1:.2f} {self._y(y1):.2f} l S"
         )
 
     def polyline(self, pts: Sequence[Tuple[float, float]], width=1.5, color=(0, 0, 0)):
+        m = width / 2
+        self._track(min(p[0] for p in pts) - m, min(p[1] for p in pts) - m,
+                    max(p[0] for p in pts) + m, max(p[1] for p in pts) + m)
         parts = [f"{width:.2f} w {color[0]:.3f} {color[1]:.3f} {color[2]:.3f} RG"]
         x, y = pts[0]
         parts.append(f"{x:.2f} {self._y(y):.2f} m")
@@ -208,6 +250,9 @@ class PageCanvas:
         self.ops.append(" ".join(parts))
 
     def polygon(self, pts, fill=None, stroke=(0, 0, 0), width=1.0):
+        m = width / 2 if stroke is not None else 0.0
+        self._track(min(p[0] for p in pts) - m, min(p[1] for p in pts) - m,
+                    max(p[0] for p in pts) + m, max(p[1] for p in pts) + m)
         parts = [f"{width:.2f} w"]
         if fill is not None:
             parts.append(f"{fill[0]:.3f} {fill[1]:.3f} {fill[2]:.3f} rg")
@@ -227,6 +272,8 @@ class PageCanvas:
         self.ops.append(" ".join(parts))
 
     def circle(self, cx, cy, r, fill=None, stroke=(0, 0, 0), width=1.0):
+        m = width / 2 if stroke is not None else 0.0
+        self._track(cx - r - m, cy - r - m, cx + r + m, cy + r + m)
         # four-arc cubic bezier approximation
         k = 0.5523 * r
         cyf = self._y(cy)
@@ -414,13 +461,34 @@ _LOREM = (
 )
 
 
-def _caption(c: PageCanvas, x: float, y: float, fig: str, text: str) -> str:
+def _caption(c: PageCanvas, x: float, y: float, fig: str, text: str):
+    """Draw a figure caption; returns (caption string, caption bbox).
+    Drawn with extent tracking suspended: the truth bbox unions the RAW
+    caption box (no 10pt content pad), matching the reference."""
     s = f"Figure {fig} {text}"
-    c.text(x, y, s, size=9.0, bold=False)
-    return s
+    was = c._tracking
+    c._tracking = False
+    b = c.text(x, y, s, size=9.0, bold=False)
+    c._tracking = was
+    return s, b
+
+
+def _visual_truth_bbox(c: PageCanvas, cap_bbox) -> Tuple[float, float, float, float]:
+    """The box the reference pipeline emits for a visual: CONTENT extent
+    padded 10pt (ref :3426-3509) unioned with the RAW caption bbox, bottom
+    extended 5pt below the caption (ref :3237-3244), clipped to the page.
+    end_extent() must be called BEFORE the caption is drawn."""
+    ext = c.end_extent()
+    return (
+        max(0.0, min(ext[0], cap_bbox[0])),
+        max(0.0, min(ext[1], cap_bbox[1])),
+        min(c.w, max(ext[2], cap_bbox[2])),
+        min(c.h, cap_bbox[3] + 5.0),
+    )
 
 
 def add_bar_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Generator):
+    c.begin_extent()
     texts: List[str] = []
     pad_l, pad_b, pad_t = 42, 30, 24
     ax0, ay0, ax1, ay1 = x0 + pad_l, y0 + pad_t, x1 - 10, y1 - pad_b
@@ -454,15 +522,16 @@ def add_bar_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Genera
     b = c.text(x0 + 2, y0 + 2, yl, size=7.5, record=False)
     c.truth.text_blocks.append({"text": yl, "bbox": list(b), "size": 7.5})
     texts.append(yl)
-    cap = _caption(c, x0, y1 + 8, fig, "Quarterly returns by period")
+    cap, capb = _caption(c, x0, y1 + 8, fig, "Quarterly returns by period")
     c.truth.visuals.append(
-        VisualTruth("chart_bar", (x0, y0, x1, y1 + 22), caption=cap,
+        VisualTruth("chart_bar", _visual_truth_bbox(c, capb), caption=cap,
                     figure_number=f"Figure {fig}", texts=texts,
                     extra={"bars": n, "grid": True})
     )
 
 
 def add_line_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Generator):
+    c.begin_extent()
     texts: List[str] = []
     pad_l, pad_b, pad_t = 42, 30, 12
     ax0, ay0, ax1, ay1 = x0 + pad_l, y0 + pad_t, x1 - 10, y1 - pad_b
@@ -496,15 +565,16 @@ def add_line_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Gener
     b = c.text((ax0 + ax1) / 2 - 12, y1 - 12, xl, size=7.5, record=False)
     c.truth.text_blocks.append({"text": xl, "bbox": list(b), "size": 7.5})
     texts.append(xl)
-    cap = _caption(c, x0, y1 + 8, fig, "Cumulative performance of stocks and bonds")
+    cap, capb = _caption(c, x0, y1 + 8, fig, "Cumulative performance of stocks and bonds")
     c.truth.visuals.append(
-        VisualTruth("chart_line", (x0, y0, x1, y1 + 22), caption=cap,
+        VisualTruth("chart_line", _visual_truth_bbox(c, capb), caption=cap,
                     figure_number=f"Figure {fig}", texts=texts,
                     extra={"series": 2, "grid": True})
     )
 
 
 def add_pie_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Generator):
+    c.begin_extent()
     texts: List[str] = []
     cx, cy = (x0 + x1) / 2 - 30, (y0 + y1) / 2
     r = min(x1 - x0, y1 - y0) / 2 - 28
@@ -519,15 +589,16 @@ def add_pie_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Genera
         b = c.text(x1 - 72, ly - 2, item, size=7.0, record=False)
         c.truth.text_blocks.append({"text": item, "bbox": list(b), "size": 7.0})
         texts.append(item)
-    cap = _caption(c, x0, y1 + 8, fig, "Asset allocation of the model portfolio")
+    cap, capb = _caption(c, x0, y1 + 8, fig, "Asset allocation of the model portfolio")
     c.truth.visuals.append(
-        VisualTruth("chart_pie", (x0, y0, x1, y1 + 22), caption=cap,
+        VisualTruth("chart_pie", _visual_truth_bbox(c, capb), caption=cap,
                     figure_number=f"Figure {fig}", texts=texts,
                     extra={"slices": 4})
     )
 
 
 def add_flowchart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Generator):
+    c.begin_extent()
     texts: List[str] = []
     w = x1 - x0
     boxes = [
@@ -556,9 +627,9 @@ def add_flowchart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Genera
     yes = c.text(x1 - 56, dy - 6, "Execute", size=7.5, record=False)
     c.truth.text_blocks.append({"text": "Execute", "bbox": list(yes), "size": 7.5})
     texts.append("Execute")
-    cap = _caption(c, x0, y1 + 8, fig, "Investment decision process")
+    cap, capb = _caption(c, x0, y1 + 8, fig, "Investment decision process")
     c.truth.visuals.append(
-        VisualTruth("flowchart", (x0, y0, x1, y1 + 22), caption=cap,
+        VisualTruth("flowchart", _visual_truth_bbox(c, capb), caption=cap,
                     figure_number=f"Figure {fig}", texts=texts,
                     extra={"nodes": 5, "arrows": 4, "decision": True})
     )

@@ -131,9 +131,22 @@ def _component_censuses(ink, vink, bg, sizes):
     vink_stats = component_stats_device(
         _cc_jit(downsample2_min(vink), max_iters=4), k=8
     )
+    # tall_bars: reference-faithful 0.2*H fraction (0.1 at half-res,
+    # ref :1403-1406) — feeds the bar-subtype census, where steep line-
+    # chart strokes must NOT count.
     tall_bars = census_counts(
         vink_stats,
         lambda a, w, h, *_: (h > 0.1 * true_h) & (h > 1.2 * w) & (w >= 2.0),
+    )
+    # filled_bars: looser 0.12*H fraction (0.06 half-res), NO aspect test
+    # — catches SQUAT bars (wider than tall; detected regions now include
+    # the title/caption band so short bars sit under 0.2*H). Surviving the
+    # 39px vertical ink erosion already proves a solid block: glyphs and
+    # legend swatches are too short, series strokes too thin (w >= 4
+    # half-px floor). Used as chart-vs-flowchart evidence only.
+    filled_bars = census_counts(
+        vink_stats,
+        lambda a, w, h, *_: (h > 0.06 * true_h) & (w >= 4.0),
     )
 
     # outlined shapes via enclosed interiors (RETR_TREE analog): ray-cast
@@ -169,6 +182,7 @@ def _component_censuses(ink, vink, bg, sizes):
     return {
         "blob_count": blob_count,
         "tall_bars": tall_bars,
+        "filled_bars": filled_bars,
         "shapes_rect": ink_rect + census_counts(bg_stats, bg_pred("rect")),
         "shapes_circle": ink_circle + census_counts(bg_stats, bg_pred("circle")),
         "shapes_diamond": ink_diamond + census_counts(bg_stats, bg_pred("diamond")),
@@ -179,8 +193,8 @@ _SCALAR_KEYS = (
     "v_pixels", "h_pixels", "long_h_pixels", "grid_h", "grid_v",
     "diag_pixels", "line_pixels", "ring_score", "ring_radius",
     "circle_edge_density", "ring_coverage", "variance", "edge_count", "ink_count",
-    "v_ink_pixels", "blob_count", "tall_bars", "shapes_rect",
-    "shapes_circle", "shapes_diamond", "kmeans_masked",
+    "v_ink_pixels", "blob_count", "tall_bars", "filled_bars",
+    "shapes_rect", "shapes_circle", "shapes_diamond", "kmeans_masked",
 )
 
 

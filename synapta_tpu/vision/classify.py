@@ -144,10 +144,15 @@ def detect_shapes(f: CropFeatures) -> Dict[str, int]:
 
 
 def detect_decision_points(f: CropFeatures, ocr_text: str) -> bool:
-    """Keywords or diamond shapes (ref :1777-1789)."""
+    """Keywords or diamond shapes (ref :1777-1789).
+
+    Deviation from the reference (documented): keywords match on WORD
+    BOUNDARIES — the reference's substring test fires "if" inside
+    "diversification" and "no" inside "normal", tagging ordinary charts
+    as decision-bearing."""
     text = (ocr_text or "").lower()
     kws = ("if", "yes", "no", "decision", "choose", "select")
-    if any(k in text for k in kws):
+    if any(re.search(rf"\b{k}\b", text) for k in kws):
         return True
     return detect_shapes(f).get("diamonds", 0) > 0
 

@@ -268,18 +268,43 @@ class DetectionEngine:
             return None
 
         def widen(x0, y0, x1, y1):
-            for tb in figure_text or []:
-                overlap = min(y1, tb[3]) - max(y0, tb[1])
-                if overlap > 0.5 * (tb[3] - tb[1]):
-                    x0 = min(x0, tb[0])
-                    x1 = max(x1, tb[2])
-            return x0, x1
+            """Extend drawing/image bounds over in-figure text, to
+            FIXPOINT. Lateral: blocks that vertically overlap the visual
+            (legends, ticks). Above/below: blocks within 25pt of the
+            visual's top/bottom edge and horizontally overlapping it (axis
+            titles, chart headings, x-tick labels) — the drawings-only
+            bound otherwise clips them. Iterated because each absorbed
+            block can bring the next into range (tick labels pull the box
+            left, which brings the y-axis title's x-range inside)."""
+            for _ in range(3):
+                changed = False
+                for tb in figure_text or []:
+                    nx0, ny0, nx1, ny1 = x0, y0, x1, y1
+                    overlap = min(y1, tb[3]) - max(y0, tb[1])
+                    if overlap > 0.5 * (tb[3] - tb[1]):
+                        nx0 = min(nx0, tb[0])
+                        nx1 = max(nx1, tb[2])
+                    x_inside = min(x1, tb[2]) - max(x0, tb[0])
+                    if x_inside > 0 and -2.0 <= y0 - tb[3] <= 25.0:
+                        ny0 = min(ny0, tb[1])
+                        nx0 = min(nx0, tb[0])
+                        nx1 = max(nx1, tb[2])
+                    if x_inside > 0 and -2.0 <= tb[1] - y1 <= 25.0:
+                        ny1 = max(ny1, tb[3])
+                        nx0 = min(nx0, tb[0])
+                        nx1 = max(nx1, tb[2])
+                    if (nx0, ny0, nx1, ny1) != (x0, y0, x1, y1):
+                        x0, y0, x1, y1 = nx0, ny0, nx1, ny1
+                        changed = True
+                if not changed:
+                    break
+            return x0, y0, x1, y1
 
         if drawing_bounds:
             x0, y0, x1, y1 = drawing_bounds
             if ws_y is not None and ws_y > y0:
                 y0 = ws_y
-            x0, x1 = widen(x0, y0, x1, y1)
+            x0, y0, x1, y1 = widen(x0, y0, x1, y1)
             b = boxed(
                 max(0.0, x0 - 10), max(y_start, y0 - 10),
                 min(page_w, x1 + 10), min(caption_bbox[1] - 5, y1 + 10),
@@ -291,7 +316,7 @@ class DetectionEngine:
             x0, y0, x1, y1 = image_bounds
             if ws_y is not None and ws_y > y0:
                 y0 = ws_y
-            x0, x1 = widen(x0, y0, x1, y1)
+            x0, y0, x1, y1 = widen(x0, y0, x1, y1)
             b = boxed(
                 max(0.0, x0 - 5), max(y_start, y0 - 5),
                 min(page_w, x1 + 5), min(caption_bbox[1] - 5, y1 + 5),

@@ -59,13 +59,25 @@ def classify_heuristic(
     )
     if subtype != "unknown" and has_axes_structure:
         return VisualType.CHART, 0.7
+    # squat-bar charts: bars wider than tall fail the subtype census's
+    # aspect test (the reference's CV had the same blind spot and leaned
+    # on the LLM, ref :1403-1406) — but gridlines plus >= 2 FILLED bars
+    # is chart-only evidence (flowcharts have outlined nodes, no grid)
+    if C.detect_grid(f, cfg) and int(f.filled_bars) >= 2:
+        return VisualType.CHART, 0.6
     n_rect = shapes.get("rectangles", 0)
     n_diamond = shapes.get("diamonds", 0)
     decision = C.detect_decision_points(f, text)
-    if n_diamond >= 1 and n_rect >= 2:
+    # tall_bars guard: FILLED chart bars register in the solid-shape
+    # censuses as rects/diamonds (the reference never hit this because it
+    # only ran shape detection on LLM-classified diagrams, old_algo
+    # :921-951); flowchart nodes are OUTLINED boxes, which the filled-bar
+    # census (morph-opened ink) never counts
+    if n_diamond >= 1 and n_rect >= 2 and int(f.filled_bars) < 2:
         return VisualType.FLOWCHART, 0.65
-    if (n_rect + n_diamond >= 3 and arrows >= 1) or (
-        decision and n_rect >= 2
+    if int(f.filled_bars) < 2 and (
+        (n_rect + n_diamond >= 3 and arrows >= 1)
+        or (decision and n_rect >= 2)
     ):
         return VisualType.FLOWCHART, 0.55
     nodes = H.extract_nodes(ocr) if ocr else []
