@@ -501,14 +501,44 @@ std::vector<uint8_t> dct_decode_rgb(const uint8_t* data, size_t size, int* w,
   jpeg_create_decompress(&cinfo);
   jpeg_mem_src(&cinfo, data, (unsigned long)size);
   jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
+  // CMYK/YCCK JPEGs (print-workflow textbooks): libjpeg cannot convert
+  // them to RGB itself — decode as CMYK and convert after. Adobe-marker
+  // files store INVERTED ink values.
+  bool cmyk = cinfo.jpeg_color_space == JCS_CMYK ||
+              cinfo.jpeg_color_space == JCS_YCCK;
+  cinfo.out_color_space = cmyk ? JCS_CMYK : JCS_RGB;
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
   out.resize((size_t)(*w) * (*h) * 3);
-  while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = out.data() + (size_t)cinfo.output_scanline * (*w) * 3;
-    jpeg_read_scanlines(&cinfo, &row, 1);
+  if (cmyk) {
+    bool adobe_inverted = cinfo.saw_Adobe_marker != 0;
+    std::vector<uint8_t> line((size_t)(*w) * 4);
+    while (cinfo.output_scanline < cinfo.output_height) {
+      uint8_t* row = line.data();
+      size_t y = cinfo.output_scanline;
+      jpeg_read_scanlines(&cinfo, &row, 1);
+      uint8_t* dst = out.data() + y * (*w) * 3;
+      for (int x = 0; x < *w; x++) {
+        int c = line[x * 4], m = line[x * 4 + 1], ye = line[x * 4 + 2],
+            k = line[x * 4 + 3];
+        if (adobe_inverted) {
+          // Adobe stores complements: value 255 == no ink
+          dst[x * 3] = (uint8_t)(c * k / 255);
+          dst[x * 3 + 1] = (uint8_t)(m * k / 255);
+          dst[x * 3 + 2] = (uint8_t)(ye * k / 255);
+        } else {
+          dst[x * 3] = (uint8_t)((255 - c) * (255 - k) / 255);
+          dst[x * 3 + 1] = (uint8_t)((255 - m) * (255 - k) / 255);
+          dst[x * 3 + 2] = (uint8_t)((255 - ye) * (255 - k) / 255);
+        }
+      }
+    }
+  } else {
+    while (cinfo.output_scanline < cinfo.output_height) {
+      uint8_t* row = out.data() + (size_t)cinfo.output_scanline * (*w) * 3;
+      jpeg_read_scanlines(&cinfo, &row, 1);
+    }
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);

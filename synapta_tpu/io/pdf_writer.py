@@ -142,7 +142,7 @@ class PageCanvas:
     def __init__(self, width: float = PAGE_W, height: float = PAGE_H):
         self.w, self.h = width, height
         self.ops: List[str] = []
-        self.images: List[Tuple[str, np.ndarray, Tuple[float, float, float, float]]] = []
+        self.images: List[Tuple[str, np.ndarray, Tuple[float, float, float, float], Optional[str]]] = []
         self.truth = PageTruth(page_no=-1)
         self._img_counter = 0
         self._extent: Optional[List[float]] = None
@@ -192,18 +192,44 @@ class PageCanvas:
         size: float = 10.0,
         bold: bool = False,
         record: bool = True,
+        angle: float = 0.0,
     ) -> Tuple[float, float, float, float]:
         """Draw ``s`` with its baseline such that the glyph box top sits at
-        ``y`` (top-left origin). Returns the text bbox (x0,y0,x1,y1)."""
+        ``y`` (top-left origin). Returns the text bbox (x0,y0,x1,y1).
+
+        ``angle`` (degrees, counter-clockwise) rotates via the text
+        matrix; only 0 and 90 produce exact truth bboxes (arbitrary
+        angles return the 90-degree approximation)."""
+        import math as _math
+
         font = "/F2" if bold else "/F1"
         ascent, descent = 0.76, 0.24  # DejaVuSans approx, of em
-        baseline = y + ascent * size
         esc = s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        wpath = DEJAVU_BOLD if bold else DEJAVU
+        adv = text_width(s, size, wpath)
+        if angle:
+            rad = _math.radians(angle)
+            ca, sa = _math.cos(rad), _math.sin(rad)
+            # anchor: baseline start at (x, y) rotating CCW in PDF space
+            self.ops.append(
+                f"0 0 0 rg BT {font} {size:.2f} Tf "
+                f"{ca:.4f} {sa:.4f} {-sa:.4f} {ca:.4f} "
+                f"{x:.2f} {self._y(y):.2f} Tm ({esc}) Tj ET"
+            )
+            # 90-degree CCW: text runs UP the page from (x, y)
+            em = (ascent + descent) * size
+            bbox = (x - ascent * size, y - adv, x + descent * size, y)
+            self._track(*bbox)
+            if record:
+                self.truth.text_blocks.append(
+                    {"text": s, "bbox": list(bbox), "size": size}
+                )
+            return bbox
+        baseline = y + ascent * size
         self.ops.append(
             f"0 0 0 rg BT {font} {size:.2f} Tf {x:.2f} {self._y(baseline):.2f} Td ({esc}) Tj ET"
         )
-        wpath = DEJAVU_BOLD if bold else DEJAVU
-        bbox = (x, y, x + text_width(s, size, wpath), y + (ascent + descent) * size)
+        bbox = (x, y, x + adv, y + (ascent + descent) * size)
         self._track(*bbox)
         if record:
             self.truth.text_blocks.append({"text": s, "bbox": list(bbox), "size": size})
@@ -313,11 +339,17 @@ class PageCanvas:
             stroke=None,
         )
 
-    def image(self, arr: np.ndarray, x0, y0, x1, y1) -> str:
-        """Place an RGB uint8 HxWx3 array as an image XObject."""
+    def image(self, arr: np.ndarray, x0, y0, x1, y1,
+              mode: Optional[str] = None) -> str:
+        """Place an RGB uint8 HxWx3 array as an image XObject.
+
+        ``mode`` overrides the book-level encoding for this image:
+        None (book default), "raw" (Flate RGB), "jpeg" (DCT RGB) or
+        "cmyk_jpeg" (DCT DeviceCMYK with Adobe inversion — the
+        print-workflow flavor real textbooks embed)."""
         self._img_counter += 1
         name = f"Im{self._img_counter}"
-        self.images.append((name, arr, (x0, y0, x1, y1)))
+        self.images.append((name, arr, (x0, y0, x1, y1), mode))
         w, h = x1 - x0, y1 - y0
         self.ops.append(
             f"q {w:.2f} 0 0 {h:.2f} {x0:.2f} {self._y(y1):.2f} cm /{name} Do Q"
@@ -386,11 +418,28 @@ class SyntheticBook:
             ).encode("latin-1")
         )
 
-    def _image_object(self, b: PDFBuilder, arr: np.ndarray) -> int:
+    def _image_object(self, b: PDFBuilder, arr: np.ndarray,
+                      mode: Optional[str] = None) -> int:
         h, w = arr.shape[:2]
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)
-        if self.jpeg_images:
+        if mode is None:
+            mode = "jpeg" if self.jpeg_images else "raw"
+        if mode == "cmyk_jpeg":
+            from PIL import Image
+
+            bio = io.BytesIO()
+            Image.fromarray(arr).convert("CMYK").save(
+                bio, format="JPEG", quality=90
+            )
+            return b.stream_obj(
+                f"/Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceCMYK /BitsPerComponent 8 "
+                f"/Filter /DCTDecode",
+                bio.getvalue(),
+                compress=False,
+            )
+        if mode == "jpeg":
             from PIL import Image
 
             bio = io.BytesIO()
@@ -417,8 +466,8 @@ class SyntheticBook:
         kids = []
         for page in self.pages:
             xobj_entries = []
-            for name, arr, _rect in page.images:
-                num = self._image_object(b, arr)
+            for name, arr, _rect, mode in page.images:
+                num = self._image_object(b, arr, mode)
                 xobj_entries.append(f"/{name} {num} 0 R")
             content = b.stream_obj("", "\n".join(page.ops).encode("latin-1"))
             res = f"/Font << /F1 {f1} 0 R /F2 {f2} 0 R >>"
@@ -727,3 +776,107 @@ def make_test_book(path: str, pages: int = 12, seed: int = 0,
         if (p + 1) % 8 == 0:
             chapter += 1
     return book.save(path)
+
+
+def _scanned_page_array(rng: np.random.Generator, h: int = 660,
+                        w: int = 510) -> np.ndarray:
+    """A scanned-textbook-page lookalike: text-line stripes, slight skew,
+    sensor noise, grey background — the IMAGE/scanned_page class the
+    reference tagged via text-density thresholds (ref :1791-1810)."""
+    base = np.full((h, w), 235, np.float32)
+    y = 30
+    while y < h - 40:
+        line_h = int(rng.integers(8, 12))
+        x = 40
+        while x < w - 50:
+            seg = int(rng.integers(15, 60))
+            if rng.random() > 0.25:
+                base[y:y + line_h, x:x + seg] -= rng.uniform(90, 150)
+            x += seg + int(rng.integers(4, 10))
+        y += line_h + int(rng.integers(5, 9))
+    base += rng.normal(0, 6.0, base.shape)
+    # slight rotation via shear-ish row shift (cheap 0.5-degree skew)
+    out = np.clip(base, 0, 255).astype(np.uint8)
+    shift = (np.arange(h) * 0.008).astype(int)
+    for i in range(h):
+        out[i] = np.roll(out[i], shift[i])
+    return np.stack([out] * 3, axis=-1)
+
+
+def make_diverse_book(path: str, seed: int = 0) -> List[PageTruth]:
+    """Fixture-diversity book (VERDICT round-1 item 10): layouts and
+    encodings the standard cycle never produces, each with ground truth.
+
+    Page cycle (5): [two-column text + narrow column chart, rotated-label
+    line chart, CMYK-JPEG photo, scanned-page raster, three-visual page].
+    """
+    rng = np.random.default_rng(seed)
+    book = SyntheticBook()
+    truths_meta = []
+    for p in range(10):
+        c = book.new_page()
+        kind = p % 5
+        c.text(72, 40, "Chapter 9: Market Microstructure", size=15.0,
+               bold=True)
+        fig = f"9.{p + 1}"
+        if kind == 0:
+            # TWO-COLUMN layout: narrow body columns; chart inside the
+            # right column (the reference's body-text heuristics assume
+            # wide paragraphs — column text must not read as body bounds)
+            c.paragraph(60, 76, _LOREM, size=9.0, max_width=220)
+            c.paragraph(60, 210, _LOREM, size=9.0, max_width=220)
+            c.paragraph(60, 350, _LOREM, size=9.0, max_width=220)
+            c.paragraph(320, 76, _LOREM, size=9.0, max_width=220)
+            add_bar_chart(c, 320, 240, 545, 420, fig, rng)
+            c.paragraph(320, 470, _LOREM, size=9.0, max_width=220)
+        elif kind == 1:
+            # ROTATED y-axis label on a line chart
+            y = c.paragraph(72, 76, _LOREM, size=10.0)
+            c.begin_extent()
+            add_line_chart(c, 120, y + 30, 470, y + 240, fig, rng)
+            # overwrite the last truth with one including the rotated label
+            t = c.truth.visuals.pop()
+            c.begin_extent()
+            c._track(*t.bbox)
+            c.text(100, y + 160, "Cumulative %", size=7.5, angle=90)
+            ext = c.end_extent()
+            c.truth.visuals.append(
+                VisualTruth(t.kind, (min(ext[0] + 10, t.bbox[0]), t.bbox[1],
+                                     t.bbox[2], t.bbox[3]),
+                            caption=t.caption, figure_number=t.figure_number,
+                            texts=t.texts + ["Cumulative %"], extra=t.extra)
+            )
+        elif kind == 2:
+            # CMYK JPEG (print-workflow flavor)
+            y = c.paragraph(72, 76, _LOREM, size=10.0)
+            arr = _photo_array(rng)
+            c.image(arr, 150, y + 40, 450, y + 220, mode="cmyk_jpeg")
+            c.truth.visuals.append(
+                VisualTruth("image", (150, y + 40, 450, y + 220),
+                            extra={"shape": list(arr.shape),
+                                   "encoding": "cmyk_jpeg"})
+            )
+        elif kind == 3:
+            # SCANNED PAGE: one full-page-ish raster of text
+            arr = _scanned_page_array(rng)
+            c.image(arr, 51, 66, 561, 726, mode="jpeg")
+            c.truth.visuals.append(
+                VisualTruth("scanned_page", (51, 66, 561, 726),
+                            extra={"shape": list(arr.shape)})
+            )
+        else:
+            # THREE visuals on one page
+            y = 76
+            add_bar_chart(c, 72, y, 280, y + 150, fig, rng)
+            add_pie_chart(c, 320, y, 540, y + 150, f"9.{p + 1}b", rng)
+            add_embedded_image(c, 150, y + 230, 450, y + 400, rng)
+            c.paragraph(72, 540, _LOREM, size=10.0)
+        c.text(290, 752, str(p + 1), size=9.0)
+        truths_meta.append(kind)
+    out = book.save(path)
+    for t, kind in zip(out, truths_meta):
+        for v in t.visuals:
+            v.extra.setdefault("fixture_class", (
+                "two_column", "rotated_label", "cmyk_jpeg", "scanned_page",
+                "multi_visual")[kind])
+    return out

@@ -142,18 +142,27 @@ class DetectionEngine:
         self, page_num: int, y_start: float, y_end: float,
         caption_bbox: List[float], page_w: float, page_h: float,
     ) -> Optional[BoundingBox]:
-        """Four-signal boundary search (ref :3256-3320)."""
+        """Four-signal boundary search (ref :3256-3320), with one
+        deliberate improvement: drawings/images/figure-text must overlap
+        the caption's HORIZONTAL window (±60pt) — the reference unioned
+        every drawing in the vertical band (ref :3274), which merges
+        side-by-side figures on multi-visual pages into one fat box."""
+        hx0, hx1 = caption_bbox[0] - 60.0, caption_bbox[2] + 60.0
+
+        def h_ok(bb) -> bool:
+            return bb[2] >= hx0 and bb[0] <= hx1
+
         drawings = [
             d["bbox"]
             for d in self.doc.page_drawings(page_num)
-            if y_start <= d["bbox"][1] < y_end
+            if y_start <= d["bbox"][1] < y_end and h_ok(d["bbox"])
         ]
         drawing_bounds = self._union(drawings) if drawings else None
 
         images = [
             im["bbox"]
             for im in self.doc.page_images(page_num)
-            if y_start <= im["bbox"][1] < y_end
+            if y_start <= im["bbox"][1] < y_end and h_ok(im["bbox"])
         ]
         image_bounds = self._union(images) if images else None
 
@@ -161,7 +170,12 @@ class DetectionEngine:
         text_boundary = self._find_text_boundary(
             page_num, y_start, y_end, page_w
         )
-        figure_text = self._figure_text_blocks(page_num, y_start, y_end, page_w)
+        figure_text = [
+            bb
+            for bb in self._figure_text_blocks(page_num, y_start, y_end,
+                                               page_w)
+            if h_ok(bb)
+        ]
         return self._combine_signals(
             drawing_bounds, image_bounds, ws_boundary, text_boundary,
             caption_bbox, page_w, page_h, y_start, figure_text,
@@ -281,7 +295,8 @@ class DetectionEngine:
                 for tb in figure_text or []:
                     nx0, ny0, nx1, ny1 = x0, y0, x1, y1
                     overlap = min(y1, tb[3]) - max(y0, tb[1])
-                    if overlap > 0.5 * (tb[3] - tb[1]):
+                    near_x = tb[2] >= x0 - 25 and tb[0] <= x1 + 25
+                    if overlap > 0.5 * (tb[3] - tb[1]) and near_x:
                         nx0 = min(nx0, tb[0])
                         nx1 = max(nx1, tb[2])
                     x_inside = min(x1, tb[2]) - max(x0, tb[0])
@@ -302,7 +317,14 @@ class DetectionEngine:
 
         if drawing_bounds:
             x0, y0, x1, y1 = drawing_bounds
-            if ws_y is not None and ws_y > y0:
+            # the whitespace boundary may only TRIM decoration near the
+            # top of the drawing union (header rules etc.) — clamping
+            # deeper would cut into figures whose in-figure text leaves a
+            # large internal gap (legend at top, tick labels at bottom)
+            if (
+                ws_y is not None
+                and y0 < ws_y <= y0 + 0.25 * max(y1 - y0, 1.0)
+            ):
                 y0 = ws_y
             x0, y0, x1, y1 = widen(x0, y0, x1, y1)
             b = boxed(

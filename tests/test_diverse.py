@@ -1,0 +1,88 @@
+"""Fixture-diversity detection coverage (VERDICT round-1 item 10):
+two-column layouts, rotated axis labels, CMYK-JPEG images, scanned-page
+rasters, and multi-visual pages — layouts the standard synthetic cycle
+never produces, each with exact ground truth.
+
+Detection here is host/native-only (no TPU), so this suite stays fast.
+"""
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from synapta_tpu.config import DetectionConfig
+from synapta_tpu.io.ingest import open_pdf
+from synapta_tpu.io.pdf_writer import make_diverse_book
+from synapta_tpu.schema import BoundingBox
+from synapta_tpu.vision.detect import DetectionEngine
+
+
+@pytest.fixture(scope="module")
+def diverse(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("pdf") / "diverse.pdf")
+    truths = make_diverse_book(path, seed=5)
+    doc = open_pdf(path)
+    eng = DetectionEngine(doc, DetectionConfig())
+    per_class = defaultdict(list)
+    for p, t in enumerate(truths):
+        regions = eng.detect_page(p)
+        for v in t.visuals:
+            vb = BoundingBox(*v.bbox, 612, 792)
+            best = max((r.bbox.iou(vb) for r in regions), default=0.0)
+            per_class[v.extra["fixture_class"]].append(best)
+    return doc, truths, per_class
+
+
+@pytest.mark.parametrize("cls,min_iou", [
+    ("two_column", 0.9),
+    ("rotated_label", 0.75),
+    ("cmyk_jpeg", 0.9),
+    ("scanned_page", 0.9),
+    ("multi_visual", 0.5),
+])
+def test_detection_per_class(diverse, cls, min_iou):
+    _, _, per_class = diverse
+    vals = per_class[cls]
+    assert vals, f"no fixtures for {cls}"
+    recall = sum(1 for v in vals if v > 0.5) / len(vals)
+    assert recall == 1.0, f"{cls}: recall {recall}, ious {vals}"
+    assert min(vals) >= min_iou, f"{cls}: ious {vals}"
+
+
+def test_cmyk_jpeg_decodes_in_color(diverse):
+    """The CMYK-JPEG page must render with real colors (the native
+    decoder converts JCS_CMYK/YCCK with Adobe inversion)."""
+    doc, truths, _ = diverse
+    page = next(
+        t.page_no for t in truths
+        if any(v.extra["fixture_class"] == "cmyk_jpeg" for v in t.visuals)
+    )
+    v = truths[page].visuals[0]
+    arr = doc.render(page, dpi=72, clip=list(v.bbox))
+    chroma = np.abs(arr[..., 0].astype(int) - arr[..., 1].astype(int)).max()
+    assert chroma > 20, "CMYK image decoded to gray — conversion broken"
+
+
+def test_rotated_text_span_extracted(diverse):
+    """The 90-degree rotated axis label must come out of the native
+    interpreter as a span with a vertical bbox."""
+    doc, truths, _ = diverse
+    page = next(
+        t.page_no for t in truths
+        if any(v.extra["fixture_class"] == "rotated_label" for v in t.visuals)
+    )
+    spans = [s for s in doc.page_spans(page) if "Cumulative %" in s["text"]]
+    assert spans, "rotated label not extracted"
+    bb = spans[0]["bbox"]
+    assert (bb[3] - bb[1]) > (bb[2] - bb[0]), "rotated span bbox not vertical"
+
+
+def test_scanned_page_detected_as_embedded_image(diverse):
+    doc, truths, _ = diverse
+    eng = DetectionEngine(doc, DetectionConfig())
+    page = next(
+        t.page_no for t in truths
+        if any(v.extra["fixture_class"] == "scanned_page" for v in t.visuals)
+    )
+    regions = eng.detect_page(page)
+    assert any(r.extraction_method == "embedded_image" for r in regions)
