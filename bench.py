@@ -32,10 +32,18 @@ def main() -> None:
     from synapta_tpu.io.xlsx import write_xlsx
     from synapta_tpu.pipeline import VisualSegmentationPipeline
 
-    pages = int(os.environ.get("SYNAPTA_BENCH_PAGES", "128"))
+    # default = the BASELINE.md target size (1,000-page book, < 60s/chip).
+    # Generation of the synthetic book takes ~2 min of host CPU, so the
+    # fixture is cached across bench invocations keyed by (pages, seed).
+    pages = int(os.environ.get("SYNAPTA_BENCH_PAGES", "1000"))
     tmp = tempfile.mkdtemp(prefix="synapta_bench_")
-    pdf_path = os.path.join(tmp, "textbook_001.pdf")
-    make_test_book(pdf_path, pages=pages, seed=42)
+    cache_dir = os.path.join(tempfile.gettempdir(), "synapta_bench_books")
+    os.makedirs(cache_dir, exist_ok=True)
+    pdf_path = os.path.join(cache_dir, f"textbook_p{pages}_s42.pdf")
+    if not os.path.exists(pdf_path):
+        gen_path = pdf_path + ".tmp"
+        make_test_book(gen_path, pages=pages, seed=42)
+        os.replace(gen_path, pdf_path)
     tax_path = os.path.join(tmp, "taxonomy.xlsx")
     write_xlsx(
         tax_path,
