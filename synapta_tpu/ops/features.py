@@ -249,37 +249,36 @@ def extract_crop_features(
     return res
 
 
-@functools.partial(jax.jit, static_argnames=("line_kernel", "grid_kernel"))
+@functools.partial(
+    jax.jit, static_argnames=("line_kernel", "grid_kernel", "use_pallas")
+)
 def _core_features(
     gray_u8: jnp.ndarray,
     rgb_q: jnp.ndarray,
     line_kernel: int = 20,
     grid_kernel: int = 25,
+    use_pallas: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Fused non-CC features.
 
     gray_u8: (B, H, W) uint8 luma (host-converted — H2D diet, see
     ops/color.gray_quarter_host). rgb_q: (B, H//2, W//2, 3) uint8 color
-    subsample, used only by the k-means dominant-color pass."""
+    subsample, used only by the k-means dominant-color pass.
+
+    use_pallas: route the edge/open/grid counts through the VMEM-resident
+    Pallas kernel (ops/pallas_kernels.fused_edge_stats) instead of the
+    XLA reduce_window pipelines. line_pixels then uses the v+h sum
+    approximation (union minus corner overlaps, ~1%; downstream
+    connection counting divides by 30 and caps at 20, ref :1695-1711)."""
     B, H, W = gray_u8.shape
     gray = gray_u8.astype(jnp.float32)            # (B, H, W) 0..255
     edges, mag, theta = sobel_edges(gray)
     e = edges.astype(jnp.float32)
 
-    # chart structure signals (ref :1366-1409)
-    v_detect = _open_iter2(e, line_kernel, 1)
-    h_detect = _open_iter2(e, 1, line_kernel)
-    v_pixels = box_count(v_detect > 0)
-    h_pixels = box_count(h_detect > 0)
-
     # long horizontal lines for the line-chart bonus (ref :1387-1393):
     # pixels on h-runs of >= W/5 (between the ref's W/4 min length and
     # 0.2*W span test)
     long_h_pixels = _run_length_rows(e, max(8, W // 5))
-
-    # grid (ref :1546-1564)
-    grid_h = box_count(_open_iter2(e, 1, grid_kernel) > 0)
-    grid_v = box_count(_open_iter2(e, grid_kernel, 1) > 0)
 
     # diagonal structure for arrows (ref :1320-1341): pixels on >=24px
     # diagonal runs, both diagonals
@@ -287,8 +286,29 @@ def _core_features(
     diag2 = diagonal_run_mask(edges, 24, anti=True)
     diag_pixels = box_count(diag1 | diag2)
 
-    # overall line pixels for connection counting (ref :1695-1711)
-    line_pixels = box_count((v_detect > 0) | (h_detect > 0)) + diag_pixels
+    if use_pallas:
+        from synapta_tpu.ops.pallas_kernels import fused_edge_stats
+
+        stats = fused_edge_stats(gray, line_kernel, grid_kernel)
+        edge_count_p = stats[:, 0]
+        v_pixels = stats[:, 1]
+        h_pixels = stats[:, 2]
+        grid_h = stats[:, 3]
+        grid_v = stats[:, 4]
+        line_pixels = v_pixels + h_pixels + diag_pixels
+    else:
+        # chart structure signals (ref :1366-1409)
+        v_detect = _open_iter2(e, line_kernel, 1)
+        h_detect = _open_iter2(e, 1, line_kernel)
+        v_pixels = box_count(v_detect > 0)
+        h_pixels = box_count(h_detect > 0)
+
+        # grid (ref :1546-1564)
+        grid_h = box_count(_open_iter2(e, 1, grid_kernel) > 0)
+        grid_v = box_count(_open_iter2(e, grid_kernel, 1) > 0)
+
+        # overall line pixels for connection counting (ref :1695-1711)
+        line_pixels = box_count((v_detect > 0) | (h_detect > 0)) + diag_pixels
 
     # circle / pie scoring (ref :1411-1448): radial histogram of edge
     # pixels around the ink centroid; a dominant ring at large radius with
@@ -349,7 +369,7 @@ def _core_features(
 
     # stats
     variance = jnp.var(gray, axis=(1, 2))
-    edge_count = box_count(edges)
+    edge_count = edge_count_p if use_pallas else box_count(edges)
 
     # masks handed to the shared CC executable by the composing wrapper:
     # filled-bar signal = vertically-opened INK (filled bars survive a tall
@@ -381,7 +401,6 @@ def _core_features(
         "edge_count": edge_count,
         "ink_count": box_count(ink),
         "_ink": ink,
-        "_vdet": (v_detect > 0).astype(jnp.float32),
         "_vink": (v_ink > 0).astype(jnp.float32),
         "_bg": 1.0 - ink,
         "v_ink_pixels": v_ink_pixels,
@@ -392,7 +411,7 @@ def _core_features(
 
 
 def _analyze_impl(gray_u8: jnp.ndarray, rgb_q: jnp.ndarray,
-                  sizes: jnp.ndarray) -> jnp.ndarray:
+                  sizes: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     """ONE device dispatch for the whole per-crop analysis: visual features,
     component censuses, AND text-line boxes, packed into a single f32 array
     so exactly one D2H transfer happens per crop chunk. The TPU tunnel
@@ -400,7 +419,8 @@ def _analyze_impl(gray_u8: jnp.ndarray, rgb_q: jnp.ndarray,
     1 + 1 dominates end-to-end throughput."""
     from synapta_tpu.ocr.linedet import MAX_LINES, line_boxes_from_ink
 
-    out = dict(_core_features(gray_u8, rgb_q, 20, 25))
+    out = dict(_core_features(gray_u8, rgb_q, 20, 25,
+                              use_pallas=use_pallas))
     cen = _component_censuses(
         out["_ink"], out["_vink"], out["_bg"], sizes
     )
@@ -413,7 +433,19 @@ def _analyze_impl(gray_u8: jnp.ndarray, rgb_q: jnp.ndarray,
     return jnp.concatenate([packed, boxes.reshape(B, -1)], axis=1)
 
 
-_analyze_jit = jax.jit(_analyze_impl)
+_analyze_jit = jax.jit(_analyze_impl, static_argnames=("use_pallas",))
+
+
+def _pallas_wanted() -> bool:
+    """A/B flag for the Pallas fused edge-stats kernel (VERDICT round-1
+    item 7): SYNAPTA_PALLAS_EDGE=1 routes the edge/open/grid counts
+    through the VMEM-resident kernel on real TPUs."""
+    import os
+
+    return (
+        os.environ.get("SYNAPTA_PALLAS_EDGE", "0") == "1"
+        and jax.default_backend() == "tpu"
+    )
 
 
 @functools.lru_cache(maxsize=8)
@@ -423,13 +455,13 @@ def _analyze_fn_for(mesh):
     workload needs). Every op is batch-parallel, so XLA runs each shard
     locally and only the packed result is reassembled."""
     if mesh is None:
-        return _analyze_jit
+        return functools.partial(_analyze_jit, use_pallas=_pallas_wanted())
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     ds = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        _analyze_impl, in_shardings=(ds, ds, ds), out_shardings=ds
-    )
+    # bind the flag BEFORE jit: pjit rejects kwargs when shardings are given
+    fn = functools.partial(_analyze_impl, use_pallas=_pallas_wanted())
+    return jax.jit(fn, in_shardings=(ds, ds, ds), out_shardings=ds)
 
 
 def device_analyze(rgb, sizes=None, mesh=None):
