@@ -185,15 +185,79 @@ class TPUOCR:
             per_crop_boxes = detect_lines(crops)
         from synapta_tpu.utils.profiler import TIMERS
 
-        tiles, owners, boxes_flat = [], [], []
+        tiles, owners, boxes_flat, parts = [], [], [], []
         with TIMERS.stage("ocr_tile_prep"):
             for ci, boxes in enumerate(per_crop_boxes):
                 ctx = render_ctx[ci] if render_ctx is not None else None
                 for b in boxes:
-                    tiles.append(self._line_tile(crops[ci], b, ctx))
+                    segs = self._split_long_line(crops[ci], b)
+                    for sb in segs:
+                        tiles.append(self._line_tile(crops[ci], sb, ctx))
                     owners.append(ci)
                     boxes_flat.append(b)
-        return tiles, owners, boxes_flat
+                    parts.append(len(segs))
+        return tiles, owners, boxes_flat, parts
+
+    def _split_long_line(self, crop: np.ndarray, box) -> List[List[int]]:
+        """Split a line box that would squash MORE THAN 2x against the
+        recognizer tile (384/28 ≈ 13.7 aspect) into parts at WHITESPACE
+        valleys. The recognizer trains with the same width clamp
+        (models/synthdata.py:100), so moderate squash is in-distribution —
+        splitting those lines measurably HURTS (space-join insertions);
+        only extreme scanned-page lines (>2x squash, where the recognizer
+        drops characters mid-word) split. Parts re-join with spaces after
+        decoding (splits land on word gaps)."""
+        cfg = self.cfg
+        x0, y0, x1, y1 = (int(v) for v in box)
+        h = max(y1 - y0, 1)
+        tile_aspect = (cfg.line_max_width - 8) / float(cfg.line_height - 4)
+        if (x1 - x0) / h <= 2.0 * tile_aspect:
+            return [list(box)]
+        # size parts to fill the tile roughly unsquashed
+        n = int(np.ceil((x1 - x0) / (h * tile_aspect)))
+        # ink column profile inside the box (canvas space)
+        sub = crop[max(0, y0):y1, max(0, x0):x1]
+        gray = sub.mean(axis=-1) if sub.ndim == 3 else sub
+        col_ink = (gray < 200).sum(axis=0)
+        span = (x1 - x0) / n
+        cuts = [x0]
+        for k in range(1, n):
+            target = int(k * span)
+            lo = max(0, target - int(span / 4))
+            hi = min(len(col_ink), target + int(span / 4))
+            if hi <= lo:
+                cuts.append(x0 + target)
+                continue
+            window = col_ink[lo:hi]
+            cuts.append(x0 + lo + int(np.argmin(window)))
+        cuts.append(x1)
+        return [
+            [cuts[i], y0, cuts[i + 1], y1]
+            for i in range(n)
+            if cuts[i + 1] > cuts[i]
+        ]
+
+    @staticmethod
+    def merge_parts(owners, boxes_flat, parts, recs):
+        """Fold multi-part line decodes back into one rec per line box
+        (space-joined; confidence = mean of non-empty parts)."""
+        out_recs: List[Dict] = []
+        i = 0
+        for n in parts:
+            chunk = recs[i:i + n]
+            i += n
+            if n == 1:
+                out_recs.append(chunk[0])
+                continue
+            texts = [c["text"].strip() for c in chunk if c["text"].strip()]
+            confs = [c["confidence"] for c in chunk if c["text"].strip()]
+            out_recs.append(
+                {
+                    "text": " ".join(texts),
+                    "confidence": float(np.mean(confs)) if confs else 0.0,
+                }
+            )
+        return out_recs
 
     @staticmethod
     def gate_blocks(n_crops: int, owners, boxes_flat, recs) -> List[List[Dict]]:
@@ -280,12 +344,12 @@ class TPUOCR:
         all_tiles, spans = [], []
         metas = []
         for it in items:
-            tiles, owners, boxes_flat = self.collect_tiles(
+            tiles, owners, boxes_flat, parts = self.collect_tiles(
                 it["crops"], it.get("render_ctx"), it.get("line_boxes")
             )
             spans.append((len(all_tiles), len(all_tiles) + len(tiles)))
             all_tiles.extend(tiles)
-            metas.append((owners, boxes_flat))
+            metas.append((owners, boxes_flat, parts))
         pending = None
         if all_tiles:
             stacked = np.stack(all_tiles)
@@ -308,9 +372,10 @@ class TPUOCR:
             with TIMERS.stage("ocr_recognize"):
                 recs_all = self.recognize_sync(pending)
         out: List[List[OCRResult]] = []
-        for it, (lo, hi), (owners, boxes_flat) in zip(items, spans, metas):
+        for it, (lo, hi), (owners, boxes_flat, parts) in zip(items, spans, metas):
             n = it["crops"].shape[0]
-            results = self.gate_blocks(n, owners, boxes_flat, recs_all[lo:hi])
+            merged = self.merge_parts(owners, boxes_flat, parts, recs_all[lo:hi])
+            results = self.gate_blocks(n, owners, boxes_flat, merged)
             out.append(
                 self.assemble_results(
                     n, results, it["crops"].shape,
@@ -341,13 +406,16 @@ class TPUOCR:
         """
         from synapta_tpu.utils.profiler import TIMERS
 
-        tiles, owners, boxes_flat = self.collect_tiles(
+        tiles, owners, boxes_flat, parts = self.collect_tiles(
             crops, render_ctx, line_boxes
         )
         recs: List[Dict] = []
         if tiles:
             with TIMERS.stage("ocr_recognize"):
-                recs = self.recognize_tiles(np.stack(tiles))
+                recs = self.merge_parts(
+                    owners, boxes_flat, parts,
+                    self.recognize_tiles(np.stack(tiles)),
+                )
         results = self.gate_blocks(crops.shape[0], owners, boxes_flat, recs)
         return self.assemble_results(
             crops.shape[0], results, crops.shape, arrows=arrows, sizes=sizes

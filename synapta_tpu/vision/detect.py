@@ -111,8 +111,14 @@ class DetectionEngine:
             cbb = cb["bbox"]
             y_start = max(0.0, cbb[1] - cfg.caption_search_height)
             y_end = cbb[1]
+            others = [
+                o["bbox"] for o in caption_blocks
+                if o is not cb
+                and abs(o["bbox"][1] - cbb[1]) < cfg.caption_search_height
+            ]
             visual = self._find_visual_content_above(
-                page_num, y_start, y_end, cbb, page_w, page_h
+                page_num, y_start, y_end, cbb, page_w, page_h,
+                other_captions=others,
             )
             if visual is None:
                 continue
@@ -141,16 +147,27 @@ class DetectionEngine:
     def _find_visual_content_above(
         self, page_num: int, y_start: float, y_end: float,
         caption_bbox: List[float], page_w: float, page_h: float,
+        other_captions: Optional[List[List[float]]] = None,
     ) -> Optional[BoundingBox]:
         """Four-signal boundary search (ref :3256-3320), with one
-        deliberate improvement: drawings/images/figure-text must overlap
-        the caption's HORIZONTAL window (±60pt) — the reference unioned
-        every drawing in the vertical band (ref :3274), which merges
-        side-by-side figures on multi-visual pages into one fat box."""
-        hx0, hx1 = caption_bbox[0] - 60.0, caption_bbox[2] + 60.0
+        deliberate improvement: when SEVERAL captions share the search
+        band (side-by-side figures), each drawing/image/text block belongs
+        to the caption NEAREST its horizontal center — the reference
+        unioned every drawing in the vertical band (ref :3274), merging
+        side-by-side figures into one fat box. Single-caption pages keep
+        the reference's take-everything semantics."""
+
+        def h_dist(bb, cap) -> float:
+            cx = 0.5 * (bb[0] + bb[2])
+            if cap[0] <= cx <= cap[2]:
+                return 0.0
+            return min(abs(cx - cap[0]), abs(cx - cap[2]))
 
         def h_ok(bb) -> bool:
-            return bb[2] >= hx0 and bb[0] <= hx1
+            if not other_captions:
+                return True
+            mine = h_dist(bb, caption_bbox)
+            return all(mine <= h_dist(bb, o) for o in other_captions)
 
         drawings = [
             d["bbox"]
