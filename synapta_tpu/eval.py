@@ -116,13 +116,61 @@ def evaluate_book(pages: int = 16, seed: int = 3, use_llm: bool = False) -> Dict
     }
 
 
+def evaluate_scanned(pages: int = 2, seed: int = 1) -> Dict:
+    """Scanned-page OCR: full-page noisy rasters of REAL text (PIL-rendered
+    glyphs, grey background, sensor noise, skew) through the whole
+    pipeline; CER against the exact drawn text. The content class the
+    reference's PaddleOCR covered (ref :1791-1810)."""
+    from synapta_tpu.config import PipelineConfig
+    from synapta_tpu.io.pdf_writer import make_scanned_book
+    from synapta_tpu.llm.fake import DisabledClient
+    from synapta_tpu.models.train import cer
+    from synapta_tpu.pipeline import VisualSegmentationPipeline
+
+    tmp = tempfile.mkdtemp(prefix="synapta_scan_")
+    pdf = os.path.join(tmp, "scan.pdf")
+    truths, expected = make_scanned_book(pdf, pages=pages, seed=seed)
+    pipe = VisualSegmentationPipeline(
+        book_id="scan",
+        pdf_path=pdf,
+        output_dir=os.path.join(tmp, "out"),
+        use_mermaid=False,
+        config=PipelineConfig(use_vision_llm=False),
+        llm_client=DisabledClient(),
+        resume=False,
+    )
+    segs = pipe.process()
+    by_page = {s.page_no - 1: s for s in segs}
+    cers = []
+    detected = 0
+    for p, want in enumerate(expected):
+        seg = by_page.get(p)
+        if seg is None or not seg.ocr_result:
+            cers.append(1.0)
+            continue
+        detected += 1
+        hyp = norm_text(seg.ocr_result.raw_text.replace("\n", " "))
+        ref = norm_text(want.replace("\n", " "))
+        cers.append(cer(ref, hyp))
+    return {
+        "pages": pages,
+        "scanned_detected": detected,
+        "scanned_ocr_cer": round(float(np.mean(cers)), 4),
+    }
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=16)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--scanned", action="store_true",
+                    help="also run the scanned-page OCR fixture")
     args = ap.parse_args()
     os.environ.setdefault("SYNAPTA_LOG_LEVEL", "WARNING")
     from synapta_tpu.utils.jaxsetup import setup_jax
 
     setup_jax()
-    print(json.dumps(evaluate_book(args.pages, args.seed)))
+    out = evaluate_book(args.pages, args.seed)
+    if args.scanned:
+        out.update(evaluate_scanned())
+    print(json.dumps(out))

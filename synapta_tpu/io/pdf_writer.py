@@ -136,6 +136,22 @@ class PDFBuilder:
         return buf.getvalue()
 
 
+# WinAnsiEncoding codepoints above latin-1 (PDF /WinAnsiEncoding): text
+# drawn through PageCanvas.text maps these to their 0x80-0x9F byte slots
+# so the content stream stays single-byte.
+_WINANSI = str.maketrans({
+    "€": "\x80", "‚": "\x82", "ƒ": "\x83",
+    "„": "\x84", "…": "\x85", "†": "\x86",
+    "‡": "\x87", "ˆ": "\x88", "‰": "\x89",
+    "Š": "\x8a", "‹": "\x8b", "Œ": "\x8c",
+    "Ž": "\x8e", "‘": "\x91", "’": "\x92",
+    "“": "\x93", "”": "\x94", "•": "\x95",
+    "–": "\x96", "—": "\x97", "˜": "\x98",
+    "™": "\x99", "š": "\x9a", "›": "\x9b",
+    "œ": "\x9c", "ž": "\x9e", "Ÿ": "\x9f",
+})
+
+
 class PageCanvas:
     """Content-stream builder for one page, top-left-origin API."""
 
@@ -204,7 +220,8 @@ class PageCanvas:
 
         font = "/F2" if bold else "/F1"
         ascent, descent = 0.76, 0.24  # DejaVuSans approx, of em
-        esc = s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        esc = (s.translate(_WINANSI).replace("\\", r"\\")
+               .replace("(", r"\(").replace(")", r"\)"))
         wpath = DEJAVU_BOLD if bold else DEJAVU
         adv = text_width(s, size, wpath)
         if angle:
@@ -880,3 +897,64 @@ def make_diverse_book(path: str, seed: int = 0) -> List[PageTruth]:
                 "two_column", "rotated_label", "cmyk_jpeg", "scanned_page",
                 "multi_visual")[kind])
     return out
+
+
+def make_scanned_book(path: str, pages: int = 4, seed: int = 0,
+                      noise: float = 5.0, skew: float = 0.004):
+    """Scanned-textbook fixture with REAL text: each page is one full-page
+    raster of rendered paragraphs (PIL truetype, so glyph shapes differ
+    from the vector-text renderer) with grey background, sensor noise and
+    slight skew — the content class PaddleOCR handled for the reference
+    (photos/scans, ref :1791-1810) and a deterministic oracle for
+    scanned-page OCR CER.
+
+    Returns (truths, expected_texts): expected_texts[p] is the exact text
+    drawn on page p."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    rng = np.random.default_rng(seed)
+    book = SyntheticBook()
+    texts: List[str] = []
+    font = ImageFont.truetype(DEJAVU, 22)
+    words_src = (_LOREM + " " + _LOREM + " " + _LOREM).split()
+    W, H = 1020, 1320
+    for p in range(pages):
+        img = Image.new("L", (W, H), 235)
+        d = ImageDraw.Draw(img)
+        rng.shuffle(words_src)
+        words = list(words_src)
+        lines: List[str] = []
+        y, i = 60, 0
+        while y < H - 90 and i < len(words):
+            line: List[str] = []
+            while (
+                i < len(words)
+                and d.textlength(" ".join(line + [words[i]]), font=font)
+                < W - 160
+            ):
+                line.append(words[i])
+                i += 1
+            if not line:
+                break
+            lines.append(" ".join(line))
+            d.text((80, y), lines[-1], fill=30, font=font)
+            y += 34
+        arr = np.array(img).astype(np.float32)
+        arr += rng.normal(0, noise, arr.shape)
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+        if skew:
+            shift = (np.arange(H) * skew * W / H).astype(int)
+            for r in range(H):
+                arr[r] = np.roll(arr[r], shift[r])
+        arr3 = np.stack([arr] * 3, axis=-1)
+        c = book.new_page()
+        c.text(72, 40, f"Chapter {p + 1}: Archive Scans", size=15.0,
+               bold=True)
+        c.image(arr3, 51, 66, 561, 726, mode="jpeg")
+        c.truth.visuals.append(
+            VisualTruth("scanned_page", (51, 66, 561, 726),
+                        texts=lines, extra={"fixture_class": "scanned_page"})
+        )
+        texts.append("\n".join(lines))
+    truths = book.save(path)
+    return truths, texts

@@ -2,11 +2,14 @@
 from __future__ import annotations
 
 # Printable ASCII plus the symbols textbooks actually use.
+# (Round-1 shipped a duplicate '%' as the final symbol — the intended
+# per-mille sign — which left class 6 unreachable from encode(); fixed to
+# '‰' and the recognizer retrained, ADVICE round-1 item 3.)
 CHARS = (
     " !\"#$%&'()*+,-./0123456789:;<=>?@"
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ[\\]^_`"
     "abcdefghijklmnopqrstuvwxyz{|}~"
-    "€£¥°±×÷–—‘’“”•%"
+    "€£¥°±×÷–—‘’“”•‰"
 )
 
 BLANK = 0

@@ -42,7 +42,7 @@ def random_text(rng: np.random.Generator) -> str:
             f"{rng.integers(1900, 2030)}",
             f"{rng.uniform(0, 100):.2f}",
             f"{rng.uniform(0.1, 9.9):.1f}{rng.choice(['K', 'M', 'B'])}",
-        ][style]
+        ][style] + ("\u2030" if style == 2 and rng.random() < 0.1 else "")
     if kind < 0.35:  # figure labels
         return (
             f"{rng.choice(['Figure', 'Fig.', 'Exhibit', 'Chart', 'Diagram'])} "
@@ -56,7 +56,7 @@ def random_text(rng: np.random.Generator) -> str:
     if rng.random() < 0.1:
         s = s.upper()
     if rng.random() < 0.15:  # flowchart/caption punctuation
-        s += rng.choice(["?", ":", ";", "!", ".", ")", "%"])
+        s += rng.choice(["?", ":", ";", "!", ".", ")", "%", "\u2030"])
     return s
 
 
@@ -91,19 +91,37 @@ def render_line(
     l, t, r, b = d.textbbox((0, 0), text, font=font)
     w = max(r - l, 1)
     h = max(b - t, 1)
-    img = Image.new("L", (w + 8, h + 8), 255)
+    # scanned-page domain (30% of samples): grey paper, lighter ink —
+    # matches the full-page-raster fixtures (io/pdf_writer.make_scanned_book)
+    scanned = rng.random() < 0.3
+    bg = int(rng.integers(215, 245)) if scanned else 255
+    img = Image.new("L", (w + 8, h + 8), bg)
     d = ImageDraw.Draw(img)
-    gray = int(rng.integers(0, 90))
+    gray = int(rng.integers(10, 70)) if scanned else int(rng.integers(0, 90))
     d.text((4 - l, 4 - t), text, fill=gray, font=font)
     # scale to target height
     scale = (height - 2 * int(rng.integers(0, 4))) / img.height
     new_w = max(1, min(int(img.width * scale), max_width))
     img = img.resize((new_w, max(1, int(img.height * scale))), Image.BILINEAR)
-    tile = np.full((height, max_width), 255, np.uint8)
+    if scanned and rng.random() < 0.7:
+        # JPEG round trip: block artifacts + ringing like embedded scans
+        import io as _io
+
+        bio = _io.BytesIO()
+        img.save(bio, format="JPEG", quality=int(rng.integers(78, 95)))
+        bio.seek(0)
+        img = Image.open(bio).convert("L")
+    tile = np.full((height, max_width), bg, np.uint8)
     y0 = (height - img.height) // 2
     tile[y0 : y0 + img.height, : img.width] = np.asarray(img)[:, :max_width]
     out = tile.astype(np.float32) / 255.0
-    if rng.random() < 0.3:  # mild contrast/noise jitter
+    if scanned:
+        # sensor noise at scan level (sigma ~5/255)
+        out = np.clip(
+            out + rng.normal(0, rng.uniform(0.01, 0.035), out.shape)
+            .astype(np.float32), 0, 1,
+        )
+    elif rng.random() < 0.3:  # mild contrast/noise jitter
         out = np.clip(out + rng.normal(0, 0.02, out.shape).astype(np.float32), 0, 1)
     return out
 

@@ -109,6 +109,16 @@ class TPUOCR:
         gray = (
             0.299 * sub[..., 0] + 0.587 * sub[..., 1] + 0.114 * sub[..., 2]
         ).astype(np.uint8)
+        # contrast-normalize: scanned/photographed sources have grey
+        # backgrounds and compressed ink range (the recognizer trains on
+        # clean white renders); stretch the 1-99 percentile span to full
+        # range. Identity-ish on clean tiles (bg 255, ink ~0 already).
+        lo, hi = np.percentile(gray, (1.0, 99.0))
+        if hi - lo > 30.0:
+            gray = np.clip(
+                (gray.astype(np.float32) - lo) * (255.0 / (hi - lo)),
+                0.0, 255.0,
+            ).astype(np.uint8)
         h, w = gray.shape
         scale_t = target_h / max(h, 1)
         new_w = max(1, min(int(w * scale_t), cfg.line_max_width))
