@@ -93,7 +93,7 @@ def render_line(
     h = max(b - t, 1)
     # scanned-page domain (30% of samples): grey paper, lighter ink —
     # matches the full-page-raster fixtures (io/pdf_writer.make_scanned_book)
-    scanned = rng.random() < 0.3
+    scanned = rng.random() < 0.2
     bg = int(rng.integers(215, 245)) if scanned else 255
     img = Image.new("L", (w + 8, h + 8), bg)
     d = ImageDraw.Draw(img)
@@ -116,6 +116,16 @@ def render_line(
     tile[y0 : y0 + img.height, : img.width] = np.asarray(img)[:, :max_width]
     out = tile.astype(np.float32) / 255.0
     if scanned:
+        # scanner skew: integer row-step shear like digitized pages (and
+        # the make_scanned_book fixture) — glyphs get 1px horizontal
+        # staircases the recognizer must tolerate
+        if rng.random() < 0.5:
+            slope = rng.uniform(-0.02, 0.02)
+            shift = (np.arange(out.shape[0]) * slope * out.shape[1]
+                     / out.shape[0]).astype(int)
+            for r in range(out.shape[0]):
+                if shift[r]:
+                    out[r] = np.roll(out[r], shift[r])
         # sensor noise at scan level (sigma ~5/255)
         out = np.clip(
             out + rng.normal(0, rng.uniform(0.01, 0.035), out.shape)

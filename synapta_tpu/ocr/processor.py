@@ -200,12 +200,12 @@ class TPUOCR:
             for ci, boxes in enumerate(per_crop_boxes):
                 ctx = render_ctx[ci] if render_ctx is not None else None
                 for b in boxes:
-                    segs = self._split_long_line(crops[ci], b)
+                    segs, joins = self._split_long_line(crops[ci], b)
                     for sb in segs:
                         tiles.append(self._line_tile(crops[ci], sb, ctx))
                     owners.append(ci)
                     boxes_flat.append(b)
-                    parts.append(len(segs))
+                    parts.append((len(segs), joins))
         return tiles, owners, boxes_flat, parts
 
     def _split_long_line(self, crop: np.ndarray, box) -> List[List[int]]:
@@ -222,7 +222,7 @@ class TPUOCR:
         h = max(y1 - y0, 1)
         tile_aspect = (cfg.line_max_width - 8) / float(cfg.line_height - 4)
         if (x1 - x0) / h <= 2.0 * tile_aspect:
-            return [list(box)]
+            return [list(box)], []
         # size parts to fill the tile roughly unsquashed
         n = int(np.ceil((x1 - x0) / (h * tile_aspect)))
         # ink column profile inside the box (canvas space)
@@ -231,39 +231,70 @@ class TPUOCR:
         col_ink = (gray < 200).sum(axis=0)
         span = (x1 - x0) / n
         cuts = [x0]
+        joins: List[str] = []
         for k in range(1, n):
             target = int(k * span)
             lo = max(0, target - int(span / 4))
             hi = min(len(col_ink), target + int(span / 4))
             if hi <= lo:
                 cuts.append(x0 + target)
+                joins.append("")
                 continue
             window = col_ink[lo:hi]
-            cuts.append(x0 + lo + int(np.argmin(window)))
+            # prefer the CENTER of the widest zero-ink run (cleanest cut);
+            # fall back to the global minimum when no column is empty
+            zero = window == 0
+            best_run = (0, 0)  # (width, start)
+            run = 0
+            for idx in range(len(zero) + 1):
+                if idx < len(zero) and zero[idx]:
+                    run += 1
+                else:
+                    if run > best_run[0]:
+                        best_run = (run, idx - run)
+                    run = 0
+            if best_run[0] > 0:
+                gap_w, gstart = best_run
+                best = gstart + gap_w // 2
+                # a TRUE word gap re-joins with a space; inter-LETTER gaps
+                # also reach zero ink at low canvas DPI, so the
+                # discriminator is gap WIDTH: word gaps span >= ~0.3 of
+                # the line height, letter gaps 1-2px
+                joins.append(" " if gap_w >= max(2, int(0.3 * h)) else "")
+            else:
+                best = int(np.argmin(window))
+                joins.append("")
+            cuts.append(x0 + lo + best)
         cuts.append(x1)
-        return [
-            [cuts[i], y0, cuts[i + 1], y1]
-            for i in range(n)
-            if cuts[i + 1] > cuts[i]
-        ]
+        segs, kept_joins = [], []
+        for i in range(n):
+            if cuts[i + 1] > cuts[i]:
+                segs.append([cuts[i], y0, cuts[i + 1], y1])
+                if i < n - 1:
+                    kept_joins.append(joins[i])
+        return segs, kept_joins[: max(len(segs) - 1, 0)]
 
     @staticmethod
     def merge_parts(owners, boxes_flat, parts, recs):
-        """Fold multi-part line decodes back into one rec per line box
-        (space-joined; confidence = mean of non-empty parts)."""
+        """Fold multi-part line decodes back into one rec per line box.
+        Parts cut at true word gaps re-join with a space; forced mid-word
+        cuts concatenate directly. Confidence = mean of non-empty parts."""
         out_recs: List[Dict] = []
         i = 0
-        for n in parts:
+        for n, joins in parts:
             chunk = recs[i:i + n]
             i += n
             if n == 1:
                 out_recs.append(chunk[0])
                 continue
-            texts = [c["text"].strip() for c in chunk if c["text"].strip()]
+            text = chunk[0]["text"].strip()
+            for k in range(1, n):
+                j = joins[k - 1] if k - 1 < len(joins) else " "
+                text += j + chunk[k]["text"].strip()
             confs = [c["confidence"] for c in chunk if c["text"].strip()]
             out_recs.append(
                 {
-                    "text": " ".join(texts),
+                    "text": text,
                     "confidence": float(np.mean(confs)) if confs else 0.0,
                 }
             )
