@@ -17,3 +17,16 @@ def test_eval_harness_small():
     assert r["mean_iou"] > 0.8
     assert r["n_detected"] >= r["n_truth_visuals"]
     assert 0.0 <= r["ocr_cer"] <= 1.0
+
+
+@pytest.mark.skipif(
+    not os.path.exists(WEIGHTS_PATH), reason="recognizer weights not trained"
+)
+def test_scanned_page_ocr():
+    """Scanned-page fixture (VERDICT round-1 item 4): full-page noisy
+    raster of real text must be detected and OCR'd with bounded CER."""
+    from synapta_tpu.eval import evaluate_scanned
+
+    r = evaluate_scanned(pages=1, seed=1)
+    assert r["scanned_detected"] == 1
+    assert r["scanned_ocr_cer"] <= 0.15, r
