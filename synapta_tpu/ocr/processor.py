@@ -234,8 +234,12 @@ class TPUOCR:
         joins: List[str] = []
         for k in range(1, n):
             target = int(k * span)
-            lo = max(0, target - int(span / 4))
-            hi = min(len(col_ink), target + int(span / 4))
+            # wide search window: a forced mid-glyph cut slices a letter
+            # in half and BOTH parts drop it, so finding a true zero-ink
+            # gap matters far more than cutting exactly at the target
+            # (the recognizer tolerates up to ~2x squash / short parts)
+            lo = max(0, target - int(span * 0.4))
+            hi = min(len(col_ink), target + int(span * 0.4))
             if hi <= lo:
                 cuts.append(x0 + target)
                 joins.append("")
