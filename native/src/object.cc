@@ -574,6 +574,10 @@ bool Document::load_bytes(std::vector<uint8_t> bytes) {
     // salvage: brute-scan for "N G obj"
     if (!scan_all_objects()) return false;
   }
+  // must run BEFORE any content object is parsed (strings/streams decrypt
+  // on parse), and AFTER the xref/trailer — crypto.cc
+  setup_encryption();
+  if (encrypted_ && file_key_.empty()) return false;  // unsupported scheme
   return true;
 }
 
@@ -807,10 +811,17 @@ ObjPtr Document::get_object(int num) {
   ObjPtr n1 = lx.parse_object();
   ObjPtr g1 = lx.parse_object();
   (void)n1;
-  (void)g1;
+  int gen = g1->is(ObjType::Int) ? (int)g1->i : 0;
   std::string kw = lx.next_keyword();
   if (kw != "obj") return make_null();
   ObjPtr o = lx.parse_object();
+  o->obj_num = num;
+  o->obj_gen = gen;
+  // standard security handler: strings decrypt at parse; streams at
+  // decode_stream (the /Encrypt dict itself and objstm-contained
+  // objects are exempt — the container stream was already decrypted)
+  if (encrypted_ && num != encrypt_obj_num_)
+    decrypt_object(o, num, gen);
   // fix up indirect /Length for streams
   if (o->is(ObjType::Stream)) {
     auto it = o->dict.find("Length");
@@ -881,6 +892,11 @@ ObjPtr Document::dict_get(const ObjPtr& dict, const std::string& key) {
 std::string Document::decode_stream(const ObjPtr& stm) {
   if (!stm->is(ObjType::Stream)) return "";
   std::string data = stm->stream_raw;
+  if (encrypted_ && stm->obj_num > 0 && stm->obj_num != encrypt_obj_num_) {
+    auto t = stm->dict.find("Type");
+    bool exempt = t != stm->dict.end() && t->second->s == "XRef";
+    if (!exempt) data = decrypt_data(data, stm->obj_num, stm->obj_gen);
+  }
   ObjPtr filter = dict_get(stm, "Filter");
   ObjPtr parms = dict_get(stm, "DecodeParms");
   if (parms->is(ObjType::Null)) parms = dict_get(stm, "DP");

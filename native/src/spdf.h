@@ -42,6 +42,8 @@ struct Object {
   std::map<std::string, ObjPtr> dict;  // also stream dict
   std::string stream_raw;              // raw (undecoded) stream bytes
   int ref_num = 0, ref_gen = 0;
+  int obj_num = 0, obj_gen = 0;        // identity of directly-parsed
+                                       // objects (stream decryption keys)
 
   double num() const { return type == ObjType::Int ? (double)i : r; }
   bool is(ObjType t) const { return type == t; }
@@ -109,6 +111,7 @@ class Document {
   ObjPtr page_inherited(const ObjPtr& page, const std::string& key);
 
   const std::string& error() const { return err_; }
+  bool encrypted() const { return encrypted_; }
 
   std::vector<uint8_t> bytes_;
 
@@ -120,6 +123,16 @@ class Document {
   std::unordered_map<int, std::shared_ptr<struct PdfFont>> font_cache;
 
  private:
+  // standard security handler (crypto.cc): RC4 / AES-128, empty user pw
+  void setup_encryption();
+  std::string object_key(int num, int gen) const;
+  std::string decrypt_data(const std::string& data, int num, int gen) const;
+  void decrypt_object(const ObjPtr& o, int num, int gen, int depth = 0);
+  bool encrypted_ = false;
+  bool enc_aes_ = false;
+  std::string file_key_;
+  int encrypt_obj_num_ = 0;
+
   bool parse_xref();
   bool parse_xref_section(size_t pos, std::vector<size_t>* seen, int depth);
   bool parse_xref_stream_obj(const ObjPtr& stm);
