@@ -929,8 +929,30 @@ std::string Document::decode_stream(const ObjPtr& stm) {
         if (!e->is(ObjType::Null)) early = (int)e->num();
       }
       data = lzw_decode(data, early);
+    } else if (f == "CCITTFaxDecode" || f == "CCF") {
+      int k = 0, columns = 1728, rows = 0;
+      bool black1 = false, align = false;
+      ObjPtr pm = parmlist[i];
+      if (pm->is(ObjType::Dict)) {
+        ObjPtr kk = dict_get(pm, "K");
+        if (!kk->is(ObjType::Null)) k = (int)kk->num();
+        ObjPtr cc = dict_get(pm, "Columns");
+        if (!cc->is(ObjType::Null)) columns = (int)cc->num();
+        ObjPtr rr = dict_get(pm, "Rows");
+        if (!rr->is(ObjType::Null)) rows = (int)rr->num();
+        ObjPtr b1 = dict_get(pm, "BlackIs1");
+        if (b1->is(ObjType::Bool)) black1 = b1->b;
+        ObjPtr ba = dict_get(pm, "EncodedByteAlign");
+        if (ba->is(ObjType::Bool)) align = ba->b;
+      }
+      if (rows == 0) {
+        ObjPtr hh = dict_get(stm, "Height");
+        if (!hh->is(ObjType::Null)) rows = (int)hh->num();
+      }
+      data = ccitt_decode(data, k, columns, rows, black1, align);
+      continue;  // no predictor pass for fax data
     } else {
-      // DCTDecode/JPXDecode/CCITT stay raw (image decoder handles DCT)
+      // DCTDecode/JPXDecode stay raw (image decoder handles DCT)
       continue;
     }
     ObjPtr pm = parmlist[i];

@@ -157,6 +157,9 @@ std::string ascii_hex_decode(const std::string& in);
 std::string ascii85_decode(const std::string& in);
 std::string runlength_decode(const std::string& in);
 std::string lzw_decode(const std::string& in, int early);
+// CCITT G4 (k<0) / G3-1D (k=0) fax decode -> packed 1-bit rows (ccitt.cc)
+std::string ccitt_decode(const std::string& in, int k, int columns, int rows,
+                         bool black_is_1, bool byte_align);
 
 // DCT (JPEG) decode -> RGB8; returns empty on failure.
 std::vector<uint8_t> dct_decode_rgb(const uint8_t* data, size_t size,

@@ -1,0 +1,108 @@
+"""CCITT Group 4 fax decode (native/src/ccitt.cc) cross-validated against
+libtiff's G4 ENCODER (via PIL): random text-like bitmaps round-trip
+pixel-exactly through PIL-G4-encode -> PDF CCITTFaxDecode -> native
+decode. The dominant compression of scanned black-and-white textbook
+pages (the reference ingested them via PyMuPDF, ref :2731).
+
+Note: PIL/libtiff writes MinIsBlack strips (code-space white == visual
+black), so the PDF fixtures declare /BlackIs1 true."""
+import io
+import struct
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from synapta_tpu.io.ingest import open_pdf
+
+
+def _g4_strip(bm: np.ndarray) -> bytes:
+    img = Image.fromarray(np.where(bm, 0, 255).astype(np.uint8)).convert("1")
+    bio = io.BytesIO()
+    img.save(bio, format="TIFF", compression="group4")
+    b = bio.getvalue()
+    assert b[:2] == b"II"
+    u16 = lambda o: struct.unpack_from("<H", b, o)[0]  # noqa: E731
+    u32 = lambda o: struct.unpack_from("<I", b, o)[0]  # noqa: E731
+    ifd = u32(4)
+    tags = {}
+    for i in range(u16(ifd)):
+        off = ifd + 2 + i * 12
+        tag, typ = u16(off), u16(off + 2)
+        tags[tag] = u16(off + 8) if typ == 3 else u32(off + 8)
+    return b[tags[273]: tags[273] + tags[279]]
+
+
+def _ccitt_pdf(bm: np.ndarray, g4: bytes) -> bytes:
+    H, W = bm.shape
+
+    def stream(extra, data):
+        return (b"<< " + extra + b" /Length %d >>\nstream\n" % len(data)
+                + data + b"\nendstream")
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"),
+        stream(b"", b"q %d 0 0 %d 100 500 cm /Im1 Do Q\n" % (W, H)),
+        stream((b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /CCITTFaxDecode /DecodeParms "
+                b"<< /K -1 /Columns %d /Rows %d /BlackIs1 true >>"
+                % (W, H, W, H)), g4),
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(out.tell())
+        out.write(b"%d 0 obj\n" % i)
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xr = out.tell()
+    out.write(b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1))
+    for o in offs[1:]:
+        out.write(b"%010d 00000 n \n" % o)
+    out.write(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+              % (len(objs) + 1, xr))
+    return out.getvalue()
+
+
+def _textlike(h, w, seed):
+    rng = np.random.default_rng(seed)
+    bm = np.zeros((h, w), bool)
+    for y in range(2, h - 2, 12):
+        x = 3
+        while x < w - 10:
+            seg = int(rng.integers(4, 30))
+            if rng.random() > 0.3:
+                bm[y:y + 7, x:x + seg] = True
+            x += seg + int(rng.integers(3, 8))
+    return bm
+
+
+@pytest.mark.parametrize("h,w,seed", [
+    (4, 24, 0),          # trivial (pass/horizontal/vertical modes)
+    (96, 200, 3),        # text-like page fragment
+    (64, 331, 7),        # non-byte-aligned width
+    (128, 1728, 1),      # full fax width
+])
+def test_g4_roundtrip_pixel_exact(tmp_path, h, w, seed):
+    bm = _textlike(h, w, seed)
+    p = tmp_path / "c.pdf"
+    p.write_bytes(_ccitt_pdf(bm, _g4_strip(bm)))
+    doc = open_pdf(str(p))
+    arr = doc.decode_image(5)
+    assert arr is not None and arr.shape[:2] == (h, w)
+    got_black = arr[..., 0] < 128
+    assert (got_black == bm).all()
+
+
+def test_g4_page_renders(tmp_path):
+    bm = _textlike(96, 200, 3)
+    p = tmp_path / "c.pdf"
+    p.write_bytes(_ccitt_pdf(bm, _g4_strip(bm)))
+    doc = open_pdf(str(p))
+    arr = doc.render(0, dpi=72)
+    assert int((arr < 128).any(axis=-1).sum()) > 100
