@@ -39,7 +39,17 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="synapta_bench_")
     cache_dir = os.path.join(tempfile.gettempdir(), "synapta_bench_books")
     os.makedirs(cache_dir, exist_ok=True)
-    pdf_path = os.path.join(cache_dir, f"textbook_p{pages}_s42.pdf")
+    # cache key includes a hash of the generator source: editing
+    # pdf_writer.py must invalidate cached books, or throughput numbers
+    # silently compare runs over different input content
+    import hashlib
+
+    import synapta_tpu.io.pdf_writer as _pw
+
+    gen_hash = hashlib.md5(open(_pw.__file__, "rb").read()).hexdigest()[:10]
+    pdf_path = os.path.join(
+        cache_dir, f"textbook_p{pages}_s42_{gen_hash}.pdf"
+    )
     if not os.path.exists(pdf_path):
         gen_path = pdf_path + ".tmp"
         make_test_book(gen_path, pages=pages, seed=42)

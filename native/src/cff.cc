@@ -321,11 +321,18 @@ bool CFFFont::parse() {
   size_t nglyphs = charstrings_.items.size();
   charset_sids_.assign(nglyphs, 0);
   double charset_off = get1(15, 0);
+  bool charset_known = true;
   if (charset_off > 2) {
     parse_charset((size_t)charset_off);
-  } else {
+  } else if (charset_off == 0) {
     // ISOAdobe default: SID == gid
     for (size_t g = 0; g < nglyphs; g++) charset_sids_[g] = (uint16_t)g;
+  } else {
+    // predefined Expert/ExpertSubset charsets (1/2): NON-sequential SID
+    // lists this engine does not carry — leave the name maps empty
+    // rather than build systematically WRONG mappings (glyphs still
+    // reach via CID/unicode fallbacks or the substitute font)
+    charset_known = false;
   }
 
   // CID: FDArray (1236) + FDSelect (1237)
@@ -367,7 +374,7 @@ bool CFFFont::parse() {
     }
     for (size_t g = 0; g < nglyphs; g++)
       cid_to_gid_[charset_sids_[g]] = (uint16_t)g;
-  } else {
+  } else if (charset_known) {
     for (size_t g = 0; g < nglyphs; g++) {
       std::string nm = sid_name(charset_sids_[g]);
       if (nm.empty()) continue;

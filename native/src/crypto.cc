@@ -277,15 +277,21 @@ void Document::setup_encryption() {
   if (encit == trailer_->dict.end()) return;
   if (encit->second->is(ObjType::Ref))
     encrypt_obj_num_ = encit->second->ref_num;
-  // mark encrypted NOW: if the scheme below turns out unsupported,
-  // file_key_ stays empty and load_bytes refuses the document instead of
-  // emitting ciphertext garbage
-  encrypted_ = true;
+  // NOTE: encrypted_ stays false while the Encrypt dict / ID are
+  // resolved — their strings are stored UNencrypted per spec, and
+  // setting the flag early would scramble indirect /O //U //CF values
+  // with the not-yet-derived key. The flag is set at every exit below;
+  // an unsupported scheme leaves file_key_ empty and load_bytes refuses
+  // the document instead of emitting ciphertext garbage.
   ObjPtr enc = resolve(encit->second);
-  if (!enc->is(ObjType::Dict)) return;
+  if (!enc->is(ObjType::Dict)) {
+    encrypted_ = true;
+    return;
+  }
   ObjPtr filter = dict_get(enc, "Filter");
   if (filter->s != "Standard") {
     err_ = "unsupported encryption filter " + filter->s;
+    encrypted_ = true;
     return;
   }
   int v = (int)dict_get(enc, "V")->num();
@@ -310,6 +316,7 @@ void Document::setup_encryption() {
       if (cfm->s == "AESV2") enc_aes_ = true;
       else if (cfm->s == "AESV3") {
         err_ = "AES-256 (R6) encryption not supported yet";
+        encrypted_ = true;
         return;
       }
       ObjPtr cl = dict_get(f, "Length");
@@ -321,6 +328,7 @@ void Document::setup_encryption() {
   }
   if (v == 5 || r >= 5) {
     err_ = "AES-256 (V5) encryption not supported yet";
+    encrypted_ = true;
     return;
   }
 
@@ -342,7 +350,32 @@ void Document::setup_encryption() {
   if (keylen > 16) keylen = 16;
   if (r >= 3)
     for (int i = 0; i < 50; i++) key = md5(key.substr(0, (size_t)keylen));
-  file_key_ = key.substr(0, (size_t)keylen);
+  std::string fkey = key.substr(0, (size_t)keylen);
+
+  // Algorithm 6: authenticate the (empty) user password against /U —
+  // a wrong password must refuse the document, not decrypt to garbage
+  std::string U = dict_get(enc, "U")->s;
+  std::string u_check;
+  if (r == 2) {
+    u_check = rc4(fkey, std::string(kPad, 32));
+  } else {
+    u_check = rc4(fkey, md5(std::string(kPad, 32) + id0));
+    for (int i = 1; i < 20; i++) {
+      std::string k2 = fkey;
+      for (auto& ch : k2) ch = (char)((uint8_t)ch ^ i);
+      u_check = rc4(k2, u_check);
+    }
+  }
+  size_t cmp = r == 2 ? 32 : 16;
+  if (U.size() < cmp || memcmp(U.data(), u_check.data(), cmp) != 0) {
+    err_ = "document requires a user password";
+    encrypted_ = true;
+    return;
+  }
+
+  file_key_ = fkey;
+  encrypt_metadata_ = enc_meta;
+  encrypted_ = true;
 }
 
 std::string Document::object_key(int num, int gen) const {

@@ -894,7 +894,9 @@ std::string Document::decode_stream(const ObjPtr& stm) {
   std::string data = stm->stream_raw;
   if (encrypted_ && stm->obj_num > 0 && stm->obj_num != encrypt_obj_num_) {
     auto t = stm->dict.find("Type");
-    bool exempt = t != stm->dict.end() && t->second->s == "XRef";
+    bool exempt = t != stm->dict.end() &&
+                  (t->second->s == "XRef" ||
+                   (!encrypt_metadata_ && t->second->s == "Metadata"));
     if (!exempt) data = decrypt_data(data, stm->obj_num, stm->obj_gen);
   }
   ObjPtr filter = dict_get(stm, "Filter");

@@ -130,6 +130,7 @@ class Document {
   void decrypt_object(const ObjPtr& o, int num, int gen, int depth = 0);
   bool encrypted_ = false;
   bool enc_aes_ = false;
+  bool encrypt_metadata_ = true;
   std::string file_key_;
   int encrypt_obj_num_ = 0;
 

@@ -449,18 +449,18 @@ def _pallas_wanted() -> bool:
 
 
 @functools.lru_cache(maxsize=8)
-def _analyze_fn_for(mesh):
+def _analyze_fn_for(mesh, use_pallas=False):
     """jit the analyze pass with the crop batch sharded over the mesh's
     'data' axis (SURVEY §2.4: DP over crops is THE parallelism this
     workload needs). Every op is batch-parallel, so XLA runs each shard
     locally and only the packed result is reassembled."""
     if mesh is None:
-        return functools.partial(_analyze_jit, use_pallas=_pallas_wanted())
+        return functools.partial(_analyze_jit, use_pallas=use_pallas)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     ds = NamedSharding(mesh, P("data"))
     # bind the flag BEFORE jit: pjit rejects kwargs when shardings are given
-    fn = functools.partial(_analyze_impl, use_pallas=_pallas_wanted())
+    fn = functools.partial(_analyze_impl, use_pallas=use_pallas)
     return jax.jit(fn, in_shardings=(ds, ds, ds), out_shardings=ds)
 
 
@@ -493,7 +493,9 @@ def device_analyze_dispatch(rgb, sizes=None, mesh=None):
     else:
         sizes = jnp.asarray(sizes, jnp.int32)
     gray, rgb_q = gray_quarter_host(np.asarray(rgb))
-    return _analyze_fn_for(mesh)(gray, rgb_q, sizes)
+    # the flag enters the lru_cache KEY so toggling SYNAPTA_PALLAS_EDGE
+    # mid-process (A/B harnesses) picks the right compiled path
+    return _analyze_fn_for(mesh, _pallas_wanted())(gray, rgb_q, sizes)
 
 
 def unpack_analysis(packed, B: int):

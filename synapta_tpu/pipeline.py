@@ -104,6 +104,21 @@ class VisualSegmentationPipeline:
         self._inflight: set = set()
         self._inflight_cv = threading.Condition()
 
+    def close(self) -> None:
+        """Release worker threads (PNG encoders, device feed). Safe to call
+        more than once; also invoked by __del__ for un-closed instances."""
+        for attr in ("_png_pool", "_feed_pool"):
+            pool = getattr(self, attr, None)
+            if pool is not None:
+                pool.shutdown(wait=False)
+                setattr(self, attr, None)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     # ----------------------------------------------------------------- run
 
     def process(self) -> List[VisualSegment]:

@@ -353,7 +353,13 @@ class DetectionEngine:
                 return b
         if image_bounds:
             x0, y0, x1, y1 = image_bounds
-            if ws_y is not None and ws_y > y0:
+            # same top-25% cap as the drawings branch: the whitespace
+            # boundary may only trim decoration, never cut into a figure
+            # of stacked images with an internal gap
+            if (
+                ws_y is not None
+                and y0 < ws_y <= y0 + 0.25 * max(y1 - y0, 1.0)
+            ):
                 y0 = ws_y
             x0, y0, x1, y1 = widen(x0, y0, x1, y1)
             b = boxed(

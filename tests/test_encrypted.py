@@ -52,3 +52,58 @@ def test_detection_on_encrypted_pdf(tmp_path):
     eng = DetectionEngine(doc, DetectionConfig())
     regions = eng.detect_page(0)
     assert isinstance(regions, list)
+
+
+def test_real_user_password_refused(tmp_path):
+    """A document locked with a NON-empty user password must be refused
+    (Algorithm 6 /U authentication), not 'decrypted' into garbage."""
+    import hashlib
+    import io
+    import zlib
+
+    import tests.encfixtures as E
+
+    o = E.compute_o(b"", b"secret", 3, 16)
+    id0 = hashlib.md5(b"x").digest()
+    fkey = E.file_key(b"secret", o, -44, id0, 3, 16)
+    u = E.compute_u(fkey, id0, 3)
+    content = zlib.compress(b"BT /F1 24 Tf 72 700 Td (locked) Tj ET\n")
+    enc_content = E.encrypt_data(content, fkey, 4, 0, False)
+
+    def stream(extra, data):
+        return (b"<< " + extra + b" /Length %d >>\nstream\n" % len(data)
+                + data + b"\nendstream")
+
+    def hexs(b):
+        return b"<" + b.hex().encode() + b">"
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        stream(b"/Filter /FlateDecode", enc_content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        (b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P -44 /O ")
+        + hexs(o) + b" /U " + hexs(u) + b" >>",
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.6\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(out.tell())
+        out.write(b"%d 0 obj\n" % i)
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xr = out.tell()
+    out.write(b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1))
+    for off in offs[1:]:
+        out.write(b"%010d 00000 n \n" % off)
+    out.write(b"trailer\n<< /Size %d /Root 1 0 R /Encrypt 6 0 R /ID ["
+              % (len(objs) + 1))
+    out.write(hexs(id0) + b" " + hexs(id0)
+              + b"] >>\nstartxref\n%d\n%%%%EOF\n" % xr)
+    p = tmp_path / "locked.pdf"
+    p.write_bytes(out.getvalue())
+    with pytest.raises(OSError):
+        open_pdf(str(p))
