@@ -278,7 +278,7 @@ struct Interp {
   void flush_span() {
     if (span_open && !cur_span.text.empty() && cur_span.bbox.valid())
       out->spans.push_back(cur_span);
-    if (!cur_run.glyph_contours.empty()) {
+    if (!cur_run.glyph_insts.empty()) {
       dl->order_kind.push_back(1);
       dl->order_index.push_back((int)dl->glyphs.size());
       dl->glyphs.push_back(std::move(cur_run));
@@ -382,19 +382,15 @@ void Interp::op_show_text(const std::string& s, const ObjPtr& resources) {
         const Glyph* g = f->ttf->glyph(gid);
         if (!g->contours.empty()) {
           float upem = f->ttf->units_per_em();
-          std::vector<std::vector<std::pair<float, float>>> devc;
-          devc.reserve(g->contours.size());
-          for (auto& cont : g->contours) {
-            std::vector<std::pair<float, float>> dc;
-            dc.reserve(cont.size());
-            for (auto& pt : cont) {
-              double px, py;
-              trm.apply(pt.first / upem, pt.second / upem, &px, &py);
-              dc.push_back({(float)px, (float)py});
-            }
-            devc.push_back(std::move(dc));
-          }
-          cur_run.glyph_contours.push_back(std::move(devc));
+          RenderGlyphRun::GlyphInst inst;
+          inst.glyph = g;
+          inst.a = (float)(trm.a / upem);
+          inst.b = (float)(trm.b / upem);
+          inst.c = (float)(trm.c / upem);
+          inst.d = (float)(trm.d / upem);
+          inst.e = (float)trm.e;
+          inst.f = (float)trm.f;
+          cur_run.glyph_insts.push_back(inst);
         }
       }
     }

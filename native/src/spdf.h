@@ -387,8 +387,17 @@ struct RenderPath {
 };
 
 struct RenderGlyphRun {
-  // Glyph outlines already transformed to page space (top-left origin pts).
-  std::vector<std::vector<std::vector<std::pair<float, float>>>> glyph_contours;
+  // One glyph occurrence: a pointer to the font's cached outline (stable —
+  // lives in the font's glyph cache) plus the glyph->page affine with the
+  // 1/upem fold-in. The rasterizer renders axis-aligned instances through
+  // a phase-quantized alpha-bitmap cache (each distinct (glyph, scale,
+  // subpixel phase) rasterizes once per page render instead of once per
+  // occurrence) and falls back to direct polygon fill for rotated text.
+  struct GlyphInst {
+    const Glyph* glyph = nullptr;
+    float a, b, c, d, e, f;  // font units -> page pts (top-left origin)
+  };
+  std::vector<GlyphInst> glyph_insts;
   float rgb[3] = {0, 0, 0};
   Rect clip;
 };
