@@ -60,9 +60,22 @@ void append_rect(std::string* j, const Rect& r) {
 
 extern "C" {
 
-void* spdf_open(const char* path) {
+void* spdf_open_pw(const char* path, const char* password) {
   auto* h = new DocHandle();
-  if (!h->doc.load(path)) {
+  if (!h->doc.load(path, password ? password : "")) {
+    delete h;
+    return nullptr;
+  }
+  return h;
+}
+
+void* spdf_open(const char* path) { return spdf_open_pw(path, ""); }
+
+void* spdf_open_bytes_pw(const uint8_t* data, long size,
+                         const char* password) {
+  auto* h = new DocHandle();
+  std::vector<uint8_t> b(data, data + size);
+  if (!h->doc.load_bytes(std::move(b), password ? password : "")) {
     delete h;
     return nullptr;
   }
@@ -70,13 +83,7 @@ void* spdf_open(const char* path) {
 }
 
 void* spdf_open_bytes(const uint8_t* data, long size) {
-  auto* h = new DocHandle();
-  std::vector<uint8_t> b(data, data + size);
-  if (!h->doc.load_bytes(std::move(b))) {
-    delete h;
-    return nullptr;
-  }
-  return h;
+  return spdf_open_bytes_pw(data, size, "");
 }
 
 void spdf_close(void* handle) { delete (DocHandle*)handle; }

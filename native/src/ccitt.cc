@@ -203,12 +203,19 @@ std::string ccitt_decode(const std::string& in, int k, int columns, int rows,
   };
 
   int produced = 0;
+  // G4 (k<0) rows are always 2-D. Mixed Group 3 (k>0) rows carry a tag bit
+  // after each EOL: 1 = the next row is 1-D (MH), 0 = 2-D (MR, same mode
+  // codes as G4). First row of a K>0 stream is 1-D per T.4.
+  bool row_2d = k < 0;
   while (!br.eof() && (rows <= 0 || produced < rows)) {
     if (byte_align) br.byte_align();
-    // skip any EOL codes (000000000001, optionally with 2D tag bit)
+    // skip any EOL codes (000000000001; K>0 appends the 1-D/2-D tag bit)
     while (br.peek(12) == 1) {
       br.skip(12);
-      if (k > 0) br.skip(1);  // mixed-mode tag bit (unused: we do G4/MH)
+      if (k > 0) {
+        row_2d = br.peek(1) == 0;
+        br.skip(1);
+      }
     }
     if (br.eof()) break;
 
@@ -217,8 +224,8 @@ std::string ccitt_decode(const std::string& in, int k, int columns, int rows,
     bool white = true;
     bool bad = false;
 
-    if (k < 0) {
-      // ---- Group 4 2D row ----
+    if (row_2d) {
+      // ---- 2-D row (G4 always; G3 K>0 rows tagged 2-D) ----
       while (a0 < columns) {
         // find b1: first change on ref line right of a0 with opposite
         // color of a0's color run... ref holds alternating changes

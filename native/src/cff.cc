@@ -837,10 +837,17 @@ done:
 const Glyph* CFFFont::glyph(uint16_t gid) {
   auto it = glyph_cache_.find(gid);
   if (it != glyph_cache_.end()) return &it->second;
+  // Guard against seac re-entry: a corrupt font whose endchar-seac base or
+  // accent resolves (via its own charset) back to the glyph being built would
+  // recurse unboundedly (the cache is only populated after run_charstring
+  // returns). Real fonts never self-compose; return an empty glyph instead.
+  static const Glyph kEmpty;
+  if (!building_.insert(gid).second) return &kEmpty;
   Glyph g;
   if (gid < charstrings_.items.size())
     run_charstring(item(charstrings_, gid), priv_for_gid(gid), &g, 0);
   g.loaded = true;
+  building_.erase(gid);
   auto res = glyph_cache_.emplace(gid, std::move(g));
   return &res.first->second;
 }

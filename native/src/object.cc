@@ -5,6 +5,7 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <atomic>
 #include <cstdio>
 #include <cstring>
 #include <csetjmp>
@@ -549,7 +550,8 @@ std::vector<uint8_t> dct_decode_rgb(const uint8_t* data, size_t size, int* w,
 // Document
 // ---------------------------------------------------------------------------
 
-bool Document::load(const std::string& path) {
+bool Document::load(const std::string& path, const std::string& password) {
+  password_ = password;
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) {
     err_ = "cannot open " + path;
@@ -565,19 +567,35 @@ bool Document::load(const std::string& path) {
     return false;
   }
   fclose(f);
-  return load_bytes(std::move(bytes));
+  return load_bytes(std::move(bytes), password);
 }
 
-bool Document::load_bytes(std::vector<uint8_t> bytes) {
+uint64_t Document::next_gen_id() {
+  static std::atomic<uint64_t> counter{1};
+  return counter.fetch_add(1, std::memory_order_relaxed);
+}
+
+bool Document::load_bytes(std::vector<uint8_t> bytes,
+                          const std::string& password) {
+  password_ = password;
   bytes_ = std::move(bytes);
+  bool salvaged = false;
   if (!parse_xref()) {
     // salvage: brute-scan for "N G obj"
     if (!scan_all_objects()) return false;
+    salvaged = true;
   }
   // must run BEFORE any content object is parsed (strings/streams decrypt
   // on parse), and AFTER the xref/trailer — crypto.cc
   setup_encryption();
   if (encrypted_ && file_key_.empty()) return false;  // unsupported scheme
+  // The salvage Catalog probe parses+caches objects before the file key
+  // exists; their strings would stay ciphertext forever (cache hits skip
+  // decrypt_object). Drop those entries so they re-parse decrypted.
+  if (salvaged && encrypted_) {
+    cache_.clear();
+    objstm_loaded_.clear();
+  }
   return true;
 }
 

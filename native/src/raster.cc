@@ -167,21 +167,25 @@ void fill_polygon(Canvas* cv,
 struct GlyphBitmap {
   int w = 0, h = 0;
   int ox = 0, oy = 0;             // offset of bitmap[0,0] from the anchor
+  bool oversize = false;          // bitmap refused for size: caller must
+                                  // fall back to direct polygon filling
   std::vector<uint8_t> alpha;     // coverage 0..255
 };
 
 struct GlyphKey {
   const void* glyph;
+  uint64_t gen;                   // Document::gen_id — Glyph* addresses can
+                                  // be reused across document lifetimes
   int32_t qa, qd;                 // exact float bits of the device scale
   int8_t phx, phy;                // subpixel phase, 1/32s
   bool operator==(const GlyphKey& o) const {
-    return glyph == o.glyph && qa == o.qa && qd == o.qd && phx == o.phx &&
-           phy == o.phy;
+    return glyph == o.glyph && gen == o.gen && qa == o.qa && qd == o.qd &&
+           phx == o.phx && phy == o.phy;
   }
 };
 struct GlyphKeyHash {
   size_t operator()(const GlyphKey& k) const {
-    size_t h = (size_t)k.glyph;
+    size_t h = (size_t)k.glyph ^ (size_t)k.gen * 0x9E3779B97F4A7C15ull;
     h = h * 1315423911u ^ (size_t)(uint32_t)k.qa;
     h = h * 1315423911u ^ (size_t)(uint32_t)k.qd;
     h = h * 1315423911u ^ (size_t)((uint32_t)k.phx * 32 + (uint32_t)k.phy);
@@ -231,6 +235,7 @@ GlyphBitmap rasterize_glyph_alpha(const Glyph& g, float A, float D, float fx,
   out.h = std::max(1, y1 - y0 + 1);
   if ((int64_t)out.w * out.h > 1 << 22) {  // absurd size: refuse cache
     out.w = out.h = 0;
+    out.oversize = true;  // caller falls back to direct polygon fill
     return out;
   }
   out.alpha.assign((size_t)out.w * out.h, 0);
@@ -322,7 +327,8 @@ void blend_glyph_bitmap(Canvas* cv, const GlyphBitmap& bm, int ax, int ay,
   }
 }
 
-void draw_glyph_run(Canvas* cv, const RenderGlyphRun& gr, GlyphCache* cache) {
+void draw_glyph_run(Canvas* cv, const RenderGlyphRun& gr, GlyphCache* cache,
+                    uint64_t doc_gen) {
   // OPT-IN (SPDF_GLYPH_CACHE=1): the cache wins ~10x on full text PAGES
   // (repeated glyphs at one scale: training-data generation, scanned-book
   // synthesis) but LOSES on the pipeline's region crops — fitted-DPI
@@ -355,7 +361,7 @@ void draw_glyph_run(Canvas* cv, const RenderGlyphRun& gr, GlyphCache* cache) {
       int32_t qa, qd;
       memcpy(&qa, &A, 4);
       memcpy(&qd, &D, 4);
-      GlyphKey key{gi.glyph, qa, qd, (int8_t)phx, (int8_t)phy};
+      GlyphKey key{gi.glyph, doc_gen, qa, qd, (int8_t)phx, (int8_t)phy};
       auto it = cache->find(key);
       if (it == cache->end()) {
         if (cache->size() > 20000) cache->clear();  // unbounded-book guard
@@ -363,9 +369,13 @@ void draw_glyph_run(Canvas* cv, const RenderGlyphRun& gr, GlyphCache* cache) {
                                       *gi.glyph, A, D, phx * 0.03125f,
                                       phy * 0.03125f)).first;
       }
-      if (it->second.w) blend_glyph_bitmap(cv, it->second, ax, ay, gr.rgb,
-                                           gr.clip);
-      continue;
+      if (it->second.w) {
+        blend_glyph_bitmap(cv, it->second, ax, ay, gr.rgb, gr.clip);
+        continue;
+      }
+      // size-refused bitmaps (display-size glyphs at high DPI) must still
+      // render: fall through to the direct polygon-fill path below
+      if (!it->second.oversize) continue;  // genuinely empty glyph
     }
     // rotated/skewed: transform contours and fill directly
     std::vector<std::vector<std::pair<float, float>>> devc;
@@ -521,7 +531,8 @@ std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
           stroke_subpath(&cv, sp, rp.line_width, rp.rgb_stroke, rp.clip);
       }
     } else if (kind == 1) {
-      draw_glyph_run(&cv, dl.glyphs[idx], &glyph_cache);
+      draw_glyph_run(&cv, dl.glyphs[idx], &glyph_cache,
+                     doc ? doc->gen_id : 0);
     } else {
       blit_image(&cv, doc, dl.images[idx], &img_cache);
     }

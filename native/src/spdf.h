@@ -17,6 +17,7 @@
 #include <string>
 #include <string_view>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace spdf {
@@ -97,8 +98,9 @@ struct XrefEntry {
 
 class Document {
  public:
-  bool load(const std::string& path);
-  bool load_bytes(std::vector<uint8_t> bytes);
+  bool load(const std::string& path, const std::string& password = "");
+  bool load_bytes(std::vector<uint8_t> bytes,
+                  const std::string& password = "");
 
   ObjPtr resolve(const ObjPtr& o);            // follow Ref chains
   ObjPtr get_object(int num);
@@ -112,6 +114,12 @@ class Document {
 
   const std::string& error() const { return err_; }
   bool encrypted() const { return encrypted_; }
+
+  // Process-unique document id: the glyph bitmap cache keys on Glyph*
+  // addresses, which the allocator can reuse across Document lifetimes;
+  // folding this id into the cache key prevents a new document's glyph at
+  // a reused address from silently blending a freed document's bitmap.
+  const uint64_t gen_id = next_gen_id();
 
   std::vector<uint8_t> bytes_;
 
@@ -130,8 +138,10 @@ class Document {
   void decrypt_object(const ObjPtr& o, int num, int gen, int depth = 0);
   bool encrypted_ = false;
   bool enc_aes_ = false;
+  bool enc_aes256_ = false;   // AESV3: 32-byte file key, no per-object salt
   bool encrypt_metadata_ = true;
   std::string file_key_;
+  std::string password_;      // user or owner password (empty = none)
   int encrypt_obj_num_ = 0;
 
   bool parse_xref();
@@ -148,6 +158,8 @@ class Document {
   std::vector<ObjPtr> pages_;
   bool pages_collected_ = false;
   std::string err_;
+
+  static uint64_t next_gen_id();
 };
 
 // Filters
@@ -298,6 +310,7 @@ class CFFFont : public OutlineFont {
   float upem_ = 1000;
   // charstring interpreter scratch (per-glyph)
   std::unordered_map<uint16_t, Glyph> glyph_cache_;
+  std::unordered_set<uint16_t> building_;  // seac re-entry guard
 };
 
 // Type1 (PDF FontFile): PFA/PFB container, eexec + charstring decryption,
@@ -322,6 +335,7 @@ class Type1Font : public OutlineFont {
   std::unordered_map<uint32_t, uint16_t> unicode_to_gid_;
   int len_iv_ = 4;
   std::unordered_map<uint16_t, Glyph> glyph_cache_;
+  std::unordered_set<uint16_t> building_;  // seac re-entry guard
 };
 
 struct PdfFont {

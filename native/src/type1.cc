@@ -538,10 +538,16 @@ void Type1Font::run_charstring(const std::string& cs, Glyph* g, int depth,
 const Glyph* Type1Font::glyph(uint16_t gid) {
   auto it = glyph_cache_.find(gid);
   if (it != glyph_cache_.end()) return &it->second;
+  // Guard against seac re-entry: a corrupt font whose seac base/accent name
+  // resolves back to the glyph being built would recurse unboundedly (the
+  // cache is populated only after run_charstring returns). Return empty.
+  static const Glyph kEmpty;
+  if (!building_.insert(gid).second) return &kEmpty;
   Glyph g;
   if (gid < charstrings_.size())
     run_charstring(charstrings_[gid], &g, 0, 0, 0, false);
   g.loaded = true;
+  building_.erase(gid);
   auto res = glyph_cache_.emplace(gid, std::move(g));
   return &res.first->second;
 }

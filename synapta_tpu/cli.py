@@ -29,6 +29,8 @@ def main(argv=None) -> int:
                     help="skip the vision LLM (local heuristics only)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--pages-per-batch", type=int, default=8)
+    ap.add_argument("--password", default="",
+                    help="PDF user or owner password (RC4/AES-128/AES-256)")
     ap.add_argument("--stats-json", action="store_true",
                     help="print run stats as one JSON line at the end")
     args = ap.parse_args(argv)
@@ -39,6 +41,7 @@ def main(argv=None) -> int:
     cfg = PipelineConfig(
         use_vision_llm=not args.no_llm,
         pages_per_batch=args.pages_per_batch,
+        pdf_password=args.password,
     )
     pipe = VisualSegmentationPipeline(
         book_id=args.book_id,

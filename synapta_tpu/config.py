@@ -203,6 +203,7 @@ class PipelineConfig:
 
     book_id: str = "book"
     pdf_path: str = ""
+    pdf_password: str = ""                     # user or owner password
     taxonomy_path: Optional[str] = None
     output_dir: str = "extracted_visuals"
     use_mermaid: bool = True

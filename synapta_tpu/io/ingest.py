@@ -42,6 +42,12 @@ def _load_lib():
     lib.spdf_open.restype = ctypes.c_void_p
     lib.spdf_open_bytes.argtypes = [ctypes.c_char_p, ctypes.c_long]
     lib.spdf_open_bytes.restype = ctypes.c_void_p
+    lib.spdf_open_pw.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.spdf_open_pw.restype = ctypes.c_void_p
+    lib.spdf_open_bytes_pw.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+    ]
+    lib.spdf_open_bytes_pw.restype = ctypes.c_void_p
     lib.spdf_close.argtypes = [ctypes.c_void_p]
     lib.spdf_page_count.argtypes = [ctypes.c_void_p]
     lib.spdf_page_count.restype = ctypes.c_int
@@ -70,12 +76,14 @@ def _load_lib():
 class Document:
     """One open PDF. Thread-compatible for read-only page access."""
 
-    def __init__(self, path: Optional[str] = None, data: Optional[bytes] = None):
+    def __init__(self, path: Optional[str] = None, data: Optional[bytes] = None,
+                 password: str = ""):
         lib = _load_lib()
+        pw = password.encode() if password else b""
         if path is not None:
-            self._h = lib.spdf_open(path.encode())
+            self._h = lib.spdf_open_pw(path.encode(), pw)
         elif data is not None:
-            self._h = lib.spdf_open_bytes(data, len(data))
+            self._h = lib.spdf_open_bytes_pw(data, len(data), pw)
         else:
             raise ValueError("need path or data")
         if not self._h:
@@ -204,5 +212,5 @@ class Document:
         return np.frombuffer(buf, dtype=np.uint8).reshape(h.value, w.value, 3).copy()
 
 
-def open_pdf(path: str) -> Document:
-    return Document(path=path)
+def open_pdf(path: str, password: str = "") -> Document:
+    return Document(path=path, password=password)

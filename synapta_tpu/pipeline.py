@@ -129,12 +129,13 @@ class VisualSegmentationPipeline:
             log.info("resumed %d segments from checkpoint", recovered)
         self.writer.initialize()
         with TIMERS.stage("ingest_open"):
-            self.doc = open_pdf(self.cfg.pdf_path)
+            self.doc = open_pdf(self.cfg.pdf_path, self.cfg.pdf_password)
             # SECOND handle for rasterization: each native handle carries
             # its own mutex, so renders (this handle) proceed concurrently
             # with the detection engine's metadata calls (self.doc) instead
             # of serializing on one document lock.
-            self.render_doc = open_pdf(self.cfg.pdf_path)
+            self.render_doc = open_pdf(self.cfg.pdf_path,
+                                       self.cfg.pdf_password)
         self.engine = DetectionEngine(self.doc, self.cfg.detection)
         if self.mesh is None:
             import math

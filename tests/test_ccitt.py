@@ -99,6 +99,66 @@ def test_g4_roundtrip_pixel_exact(tmp_path, h, w, seed):
     assert (got_black == bm).all()
 
 
+def _bits_to_bytes(bits: str) -> bytes:
+    bits += "0" * (-len(bits) % 8)
+    return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def test_g3_mixed_2d_rows(tmp_path):
+    """K>0 (mixed Group 3 2-D): the tag bit after each EOL selects 1-D vs
+    2-D row coding. Hand-assembled stream (MH codes from T.4 tables): row 0
+    is 1-D (4 white "1011", 4 black "011", 8 white "10011"); rows 1-3 are
+    2-D rows identical to their reference line = three V0 codes ("111").
+    The pre-fix decoder skipped the tag and decoded 2-D rows as MH garbage."""
+    W, H = 16, 4
+    eol = "000000000001"
+    bits = eol + "1" + "1011" + "011" + "10011"       # tag=1: 1-D row
+    for _ in range(H - 1):
+        bits += eol + "0" + "111"                      # tag=0: 2-D row
+    data = _bits_to_bytes(bits)
+
+    def stream(extra, payload):
+        return (b"<< " + extra + b" /Length %d >>\nstream\n" % len(payload)
+                + payload + b"\nendstream")
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Resources << /XObject << /Im1 5 0 R >> >> /Contents 4 0 R >>"),
+        stream(b"", b"q 16 0 0 4 100 500 cm /Im1 Do Q\n"),
+        stream((b"/Type /XObject /Subtype /Image /Width %d /Height %d "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+                b"/Filter /CCITTFaxDecode /DecodeParms "
+                b"<< /K 4 /Columns %d /Rows %d >>"
+                % (W, H, W, H)), data),
+    ]
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(out.tell())
+        out.write(b"%d 0 obj\n" % i)
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xr = out.tell()
+    out.write(b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1))
+    for o in offs[1:]:
+        out.write(b"%010d 00000 n \n" % o)
+    out.write(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+              % (len(objs) + 1, xr))
+    p = tmp_path / "k4.pdf"
+    p.write_bytes(out.getvalue())
+
+    doc = open_pdf(str(p))
+    arr = doc.decode_image(5)
+    assert arr is not None and arr.shape[:2] == (H, W)
+    got_black = arr[..., 0] < 128
+    expect = np.zeros((H, W), bool)
+    expect[:, 4:8] = True
+    assert (got_black == expect).all()
+
+
 def test_g4_page_renders(tmp_path):
     bm = _textlike(96, 200, 3)
     p = tmp_path / "c.pdf"

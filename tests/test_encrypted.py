@@ -107,3 +107,56 @@ def test_real_user_password_refused(tmp_path):
     p.write_bytes(out.getvalue())
     with pytest.raises(OSError):
         open_pdf(str(p))
+
+
+# ---------------------------------------------------------------------------
+# AES-256 (V5/R6) + password paths
+# ---------------------------------------------------------------------------
+
+
+def test_r6_empty_password_opens(tmp_path):
+    """AES-256/R6 with an empty user password (the owner-locked modern
+    class) opens without a password and decodes pixel-correct content."""
+    from tests.encfixtures import make_encrypted_pdf_r6
+
+    doc = _open(tmp_path, "r6.pdf", make_encrypted_pdf_r6())
+    assert [s["text"] for s in doc.page_spans(0)] == ["Secret Figure 9"]
+    assert len(doc.page_drawings(0)) == 1
+    arr = doc.render(0, dpi=72)
+    assert int((arr < 128).any(axis=-1).sum()) > 1000
+
+
+def test_r6_user_password(tmp_path):
+    from tests.encfixtures import make_encrypted_pdf_r6
+
+    data = make_encrypted_pdf_r6(user_pw=b"s3cret", owner_pw=b"admin")
+    p = tmp_path / "r6pw.pdf"
+    p.write_bytes(data)
+    # no password and wrong password refuse cleanly
+    with pytest.raises(OSError):
+        open_pdf(str(p))
+    with pytest.raises(OSError):
+        open_pdf(str(p), password="wrong")
+    # user password opens
+    doc = open_pdf(str(p), password="s3cret")
+    assert [s["text"] for s in doc.page_spans(0)] == ["Secret Figure 9"]
+    # owner password opens too (hash includes the 48-byte /U)
+    doc2 = open_pdf(str(p), password="admin")
+    assert [s["text"] for s in doc2.page_spans(0)] == ["Secret Figure 9"]
+
+
+@pytest.mark.parametrize("aes", [False, True], ids=["rc4_v2r3", "aes_v4r4"])
+def test_legacy_user_password(tmp_path, aes):
+    """R3/R4 documents locked with a real user password open with that
+    password (Algorithm 2/6) and with the owner password (Algorithm 7)."""
+    data = make_encrypted_pdf(aes=aes, user_pw=b"upw", owner_pw=b"opw")
+    p = tmp_path / "pw.pdf"
+    p.write_bytes(data)
+    with pytest.raises(OSError):
+        open_pdf(str(p))
+    with pytest.raises(OSError):
+        open_pdf(str(p), password="nope")
+    doc = open_pdf(str(p), password="upw")
+    assert [s["text"] for s in doc.page_spans(0)] == ["Secret Figure 7"]
+    doc2 = open_pdf(str(p), password="opw")
+    assert [s["text"] for s in doc2.page_spans(0)] == ["Secret Figure 7"]
