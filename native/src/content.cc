@@ -183,6 +183,33 @@ static std::shared_ptr<PdfFont> load_font(Document* doc, const ObjPtr& fdict) {
       }
     }
   }
+  if (subtype->s == "Type3") {
+    // Type3: glyphs are content streams keyed by Encoding/Differences
+    // names into /CharProcs; FontMatrix maps glyph -> text space.
+    font->is_type3 = true;
+    ObjPtr fm = doc->dict_get(fdict, "FontMatrix");
+    if (fm->is(ObjType::Array) && fm->arr.size() == 6)
+      font->t3_matrix = Matrix{doc->resolve(fm->arr[0])->num(),
+                               doc->resolve(fm->arr[1])->num(),
+                               doc->resolve(fm->arr[2])->num(),
+                               doc->resolve(fm->arr[3])->num(),
+                               doc->resolve(fm->arr[4])->num(),
+                               doc->resolve(fm->arr[5])->num()};
+    // /Widths are glyph-space: fold the matrix x-scale into the /1000
+    // text-space convention the advance code uses
+    double sx = std::sqrt(font->t3_matrix.a * font->t3_matrix.a +
+                          font->t3_matrix.b * font->t3_matrix.b);
+    for (auto& kv : font->widths) kv.second *= sx * 1000.0;
+    font->default_width = 0;
+    ObjPtr cp = doc->dict_get(fdict, "CharProcs");
+    if (cp->is(ObjType::Dict)) {
+      for (auto& kv : font->differences) {
+        ObjPtr pr = doc->dict_get(cp, kv.second);
+        if (pr->is(ObjType::Stream)) font->t3_procs[kv.first] = pr;
+      }
+    }
+    font->t3_resources = doc->dict_get(fdict, "Resources");
+  }
   // ToUnicode
   ObjPtr tu = doc->dict_get(fdict, "ToUnicode");
   if (tu->is(ObjType::Stream)) parse_tounicode(doc->decode_stream(tu), font.get());
@@ -218,7 +245,10 @@ static std::shared_ptr<PdfFont> load_font(Document* doc, const ObjPtr& fdict) {
       }
     }
   }
-  if (!font->ttf) font->ttf = load_substitute(font->base_font);
+  // Type3 glyphs come from CharProcs; a name-based substitute outline
+  // would render arbitrary wrong shapes for their private glyph names
+  if (!font->ttf && !font->is_type3)
+    font->ttf = load_substitute(font->base_font);
   // CIDToGIDMap stream
   if (font->is_cid) {
     ObjPtr c2g = doc->dict_get(actual, "CIDToGIDMap");
@@ -238,10 +268,187 @@ static std::shared_ptr<PdfFont> load_font(Document* doc, const ObjPtr& fdict) {
 
 namespace {
 
+// ---------------------------------------------------------------------------
+// Shadings (ShadingType 2 axial / 3 radial): PDF Function evaluation
+// sampled into a 256-entry LUT at extraction time. Covers the `sh`
+// operator and PatternType-2 pattern fills (gradient-filled chart bars
+// etc.). Function types 0 (sampled) / 2 (exponential) / 3 (stitching)
+// plus arrays of per-component functions.
+// ---------------------------------------------------------------------------
+
+static bool eval_pdf_function(Document* doc, const ObjPtr& fnin, double x,
+                              std::vector<double>* out, int depth = 0) {
+  if (depth > 8) return false;
+  ObjPtr fn = doc->resolve(fnin);
+  if (fn->is(ObjType::Array)) {  // one single-output function per component
+    for (auto& el : fn->arr)
+      if (!eval_pdf_function(doc, el, x, out, depth + 1)) return false;
+    return true;
+  }
+  if (!fn->is(ObjType::Dict) && !fn->is(ObjType::Stream)) return false;
+  int ft = (int)doc->dict_get(fn, "FunctionType")->num();
+  double d0 = 0, d1 = 1;
+  ObjPtr dom = doc->dict_get(fn, "Domain");
+  if (dom->is(ObjType::Array) && dom->arr.size() >= 2) {
+    d0 = doc->resolve(dom->arr[0])->num();
+    d1 = doc->resolve(dom->arr[1])->num();
+  }
+  if (x < d0) x = d0;
+  if (x > d1) x = d1;
+
+  auto arr_at = [&](const ObjPtr& a, size_t i, double def) {
+    if (a->is(ObjType::Array) && i < a->arr.size())
+      return doc->resolve(a->arr[i])->num();
+    return def;
+  };
+
+  if (ft == 2) {  // exponential interpolation C0 + x^N (C1 - C0)
+    ObjPtr c0 = doc->dict_get(fn, "C0"), c1 = doc->dict_get(fn, "C1");
+    ObjPtr N = doc->dict_get(fn, "N");
+    double n = N->is(ObjType::Null) ? 1.0 : N->num();
+    size_t m = 1;
+    if (c0->is(ObjType::Array)) m = std::max(m, c0->arr.size());
+    if (c1->is(ObjType::Array)) m = std::max(m, c1->arr.size());
+    double xn = std::pow(x, n);
+    for (size_t i = 0; i < m; i++) {
+      double a = arr_at(c0, i, 0.0), b = arr_at(c1, i, 1.0);
+      out->push_back(a + xn * (b - a));
+    }
+    return true;
+  }
+  if (ft == 3) {  // stitching
+    ObjPtr fns = doc->dict_get(fn, "Functions");
+    ObjPtr bounds = doc->dict_get(fn, "Bounds");
+    ObjPtr enc = doc->dict_get(fn, "Encode");
+    if (!fns->is(ObjType::Array) || fns->arr.empty()) return false;
+    size_t K = fns->arr.size();
+    size_t k = 0;
+    while (k + 1 < K && bounds->is(ObjType::Array) && k < bounds->arr.size() &&
+           x >= doc->resolve(bounds->arr[k])->num())
+      k++;
+    double lo = k == 0 ? d0 : arr_at(bounds, k - 1, d0);
+    double hi = k == K - 1 ? d1 : arr_at(bounds, k, d1);
+    double e0 = arr_at(enc, 2 * k, 0.0), e1 = arr_at(enc, 2 * k + 1, 1.0);
+    double xm = hi > lo ? e0 + (x - lo) / (hi - lo) * (e1 - e0) : e0;
+    return eval_pdf_function(doc, fns->arr[k], xm, out, depth + 1);
+  }
+  if (ft == 0) {  // sampled (1 input dimension)
+    ObjPtr size = doc->dict_get(fn, "Size");
+    ObjPtr range = doc->dict_get(fn, "Range");
+    int bps = (int)doc->dict_get(fn, "BitsPerSample")->num();
+    if (!size->is(ObjType::Array) || size->arr.empty() ||
+        !range->is(ObjType::Array) || range->arr.empty())
+      return false;
+    int sz = (int)doc->resolve(size->arr[0])->num();
+    size_t n = range->arr.size() / 2;
+    if (sz < 1 || n < 1 || (bps != 1 && bps != 2 && bps != 4 && bps != 8 &&
+                            bps != 16))
+      return false;
+    std::string data = doc->decode_stream(fn);
+    ObjPtr enc = doc->dict_get(fn, "Encode");
+    ObjPtr dec = doc->dict_get(fn, "Decode");
+    double e0 = arr_at(enc, 0, 0.0), e1 = arr_at(enc, 1, (double)(sz - 1));
+    double e = d1 > d0 ? e0 + (x - d0) / (d1 - d0) * (e1 - e0) : e0;
+    if (e < 0) e = 0;
+    if (e > sz - 1) e = sz - 1;
+    int i0 = (int)e;
+    int i1 = i0 + 1 < sz ? i0 + 1 : i0;
+    double frac = e - i0;
+    double maxv = (double)((1u << (bps == 16 ? 16 : bps)) - 1);
+    auto sample = [&](int si, size_t j) -> double {
+      size_t bit = ((size_t)si * n + j) * bps;
+      size_t byte = bit / 8;
+      if (byte >= data.size()) return 0.0;
+      if (bps == 16) {
+        uint32_t v = ((uint8_t)data[byte] << 8);
+        if (byte + 1 < data.size()) v |= (uint8_t)data[byte + 1];
+        return v;
+      }
+      if (bps == 8) return (uint8_t)data[byte];
+      int shift = 8 - bps - (int)(bit % 8);
+      return ((uint8_t)data[byte] >> shift) & ((1 << bps) - 1);
+    };
+    for (size_t j = 0; j < n; j++) {
+      double s = sample(i0, j) * (1 - frac) + sample(i1, j) * frac;
+      double r0 = arr_at(dec->is(ObjType::Null) ? range : dec, 2 * j, 0.0);
+      double r1 = arr_at(dec->is(ObjType::Null) ? range : dec, 2 * j + 1, 1.0);
+      out->push_back(r0 + s / maxv * (r1 - r0));
+    }
+    return true;
+  }
+  return false;  // type 4 (PostScript calculator): unsupported
+}
+
+static void comps_to_rgb(const std::vector<double>& c, float rgb[3]) {
+  if (c.size() >= 4) {
+    double k = c[3];
+    rgb[0] = (float)((1 - c[0]) * (1 - k));
+    rgb[1] = (float)((1 - c[1]) * (1 - k));
+    rgb[2] = (float)((1 - c[2]) * (1 - k));
+  } else if (c.size() == 3) {
+    rgb[0] = (float)c[0];
+    rgb[1] = (float)c[1];
+    rgb[2] = (float)c[2];
+  } else if (!c.empty()) {
+    rgb[0] = rgb[1] = rgb[2] = (float)c[0];
+  } else {
+    rgb[0] = rgb[1] = rgb[2] = 0.5f;
+  }
+  for (int i = 0; i < 3; i++) {
+    if (rgb[i] < 0) rgb[i] = 0;
+    if (rgb[i] > 1) rgb[i] = 1;
+  }
+}
+
+// Build a RenderShading (LUT-sampled) from a shading dict; false when the
+// ShadingType/Function is unsupported (caller degrades explicitly).
+static bool build_shading(Document* doc, const ObjPtr& shin,
+                          const Matrix& to_page, RenderShading* rs) {
+  ObjPtr sh = doc->resolve(shin);
+  if (!sh->is(ObjType::Dict) && !sh->is(ObjType::Stream)) return false;
+  int stype = (int)doc->dict_get(sh, "ShadingType")->num();
+  if (stype != 2 && stype != 3) return false;
+  rs->shading_type = stype;
+  ObjPtr co = doc->dict_get(sh, "Coords");
+  int need = stype == 2 ? 4 : 6;
+  if (!co->is(ObjType::Array) || (int)co->arr.size() < need) return false;
+  for (int i = 0; i < need; i++)
+    rs->coords[i] = (float)doc->resolve(co->arr[i])->num();
+  double t0 = 0, t1 = 1;
+  ObjPtr dm = doc->dict_get(sh, "Domain");
+  if (dm->is(ObjType::Array) && dm->arr.size() >= 2) {
+    t0 = doc->resolve(dm->arr[0])->num();
+    t1 = doc->resolve(dm->arr[1])->num();
+  }
+  ObjPtr ex = doc->dict_get(sh, "Extend");
+  if (ex->is(ObjType::Array) && ex->arr.size() >= 2) {
+    rs->extend0 = doc->resolve(ex->arr[0])->b;
+    rs->extend1 = doc->resolve(ex->arr[1])->b;
+  }
+  ObjPtr fn = doc->dict_get(sh, "Function");
+  if (fn->is(ObjType::Null)) return false;
+  for (int i = 0; i < 256; i++) {
+    double t = t0 + (t1 - t0) * i / 255.0;
+    std::vector<double> c;
+    float rgb[3] = {0.5f, 0.5f, 0.5f};
+    if (eval_pdf_function(doc, fn, t, &c)) comps_to_rgb(c, rgb);
+    rs->lut[i][0] = (uint8_t)(rgb[0] * 255.0f + 0.5f);
+    rs->lut[i][1] = (uint8_t)(rgb[1] * 255.0f + 0.5f);
+    rs->lut[i][2] = (uint8_t)(rgb[2] * 255.0f + 0.5f);
+  }
+  rs->shade_to_page = to_page;
+  return true;
+}
+
 struct GState {
   Matrix ctm;
   float stroke_rgb[3] = {0, 0, 0};
   float fill_rgb[3] = {0, 0, 0};
+  // PatternType-2 (shading) fill state: set by `/Pattern cs ... /P scn`,
+  // consumed by paint_path. Null when the fill color is a plain color.
+  ObjPtr fill_pattern_shading;
+  Matrix fill_pattern_mtx;
+  bool fill_cs_pattern = false;  // current fill colorspace is /Pattern
   double line_width = 1.0;
   Rect clip{-1e30, -1e30, 1e30, 1e30};
   // text state
@@ -257,6 +464,7 @@ struct Interp {
   PageContent* out;
   DisplayList* dl;
   GState gs;
+  Matrix base_ctm;  // page default space (pattern matrices map into this)
   std::vector<GState> gstack;
   Matrix tm, tlm;  // text matrix, text line matrix
   bool in_text = false;
@@ -375,6 +583,42 @@ void Interp::op_show_text(const std::string& s, const ObjPtr& resources) {
       cur_span.bbox.grow(gb.x0, gb.y0);
       cur_span.bbox.grow(gb.x1, gb.y1);
     }
+    // Type3: replay the glyph's CharProc content stream through this
+    // interpreter with CTM = FontMatrix x TRM (full fidelity: paths,
+    // images, nested state). Span text above already used Differences.
+    if (gs.render_mode != 3 && f->is_type3 && !is_space && depth < 12) {
+      auto pit = f->t3_procs.find(code);
+      if (pit != f->t3_procs.end()) {
+        GState saved_gs = gs;
+        Matrix saved_tm = tm, saved_tlm = tlm;
+        bool saved_in_text = in_text;
+        auto saved_paths = std::move(subpaths);
+        subpaths.clear();
+        double saved_cx = cur_x, saved_cy = cur_y;
+        bool saved_pc = pending_clip, saved_pce = pending_clip_eo;
+        size_t saved_stack = gstack.size();
+        gs.ctm = f->t3_matrix.mul(trm);
+        gs.font = nullptr;  // glyph streams set their own text state
+        in_text = false;
+        ObjPtr proc = doc->resolve(pit->second);
+        ObjPtr res = f->t3_resources && f->t3_resources->is(ObjType::Dict)
+                         ? f->t3_resources
+                         : resources;
+        depth++;
+        run_stream(doc->decode_stream(proc), res);
+        depth--;
+        if (gstack.size() > saved_stack) gstack.resize(saved_stack);
+        gs = saved_gs;
+        tm = saved_tm;
+        tlm = saved_tlm;
+        in_text = saved_in_text;
+        subpaths = std::move(saved_paths);
+        cur_x = saved_cx;
+        cur_y = saved_cy;
+        pending_clip = saved_pc;
+        pending_clip_eo = saved_pce;
+      }
+    }
     // glyph outlines for rasterization (skip invisible mode 3)
     if (gs.render_mode != 3 && f->ttf && !is_space) {
       uint16_t gid = f->gid_for_code(code);
@@ -439,6 +683,24 @@ void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
         bb.y0 <= gs.clip.y1)
       out->drawings.push_back(item);
 
+    // shading-pattern fill: the filled path becomes the paint boundary
+    if (fill && gs.fill_pattern_shading) {
+      RenderShading rs;
+      if (build_shading(doc, gs.fill_pattern_shading, gs.fill_pattern_mtx,
+                        &rs)) {
+        rs.clip = gs.clip;
+        rs.clip_path = subpaths;
+        rs.even_odd = even_odd;
+        dl->order_kind.push_back(3);
+        dl->order_index.push_back((int)dl->shadings.size());
+        dl->shadings.push_back(std::move(rs));
+        fill = false;  // plain fill replaced by the shading paint
+      } else {
+        // unsupported shading type: mid-gray degrade (keep ink)
+        gs.fill_rgb[0] = gs.fill_rgb[1] = gs.fill_rgb[2] = 0.5f;
+      }
+    }
+
     RenderPath rp;
     rp.subpaths = subpaths;
     rp.fill = fill;
@@ -453,9 +715,11 @@ void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
     double sc = std::sqrt(std::fabs(gs.ctm.a * gs.ctm.d - gs.ctm.b * gs.ctm.c));
     rp.line_width = (float)(gs.line_width * sc);
     rp.clip = gs.clip;
-    dl->order_kind.push_back(0);
-    dl->order_index.push_back((int)dl->paths.size());
-    dl->paths.push_back(std::move(rp));
+    if (rp.fill || rp.stroke) {  // may be shading-only (fill cleared above)
+      dl->order_kind.push_back(0);
+      dl->order_index.push_back((int)dl->paths.size());
+      dl->paths.push_back(std::move(rp));
+    }
   }
   if (pending_clip) {
     // approximate: intersect clip with path bbox
@@ -584,12 +848,43 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
       gs.stroke_rgb[1] = (float)((1 - num(3)) * (1 - kk));
       gs.stroke_rgb[2] = (float)((1 - num(2)) * (1 - kk));
     } else if (op == "sc" || op == "scn") {
-      if (st.size() >= 3 && st[st.size() - 1]->is(ObjType::Real) +
+      if (op == "scn" && !st.empty() && st.back()->is(ObjType::Name) &&
+          gs.fill_cs_pattern) {
+        // pattern fill: /P0 scn — resolve from the Pattern resources
+        gs.fill_pattern_shading = nullptr;
+        ObjPtr pats = doc->dict_get(resources, "Pattern");
+        ObjPtr pat = pats->is(ObjType::Dict)
+                         ? doc->dict_get(pats, st.back()->s)
+                         : make_null();
+        if (pat->is(ObjType::Dict) || pat->is(ObjType::Stream)) {
+          int ptype = (int)doc->dict_get(pat, "PatternType")->num();
+          Matrix pm;  // pattern space -> page default space
+          ObjPtr pmtx = doc->dict_get(pat, "Matrix");
+          if (pmtx->is(ObjType::Array) && pmtx->arr.size() == 6)
+            pm = Matrix{doc->resolve(pmtx->arr[0])->num(),
+                        doc->resolve(pmtx->arr[1])->num(),
+                        doc->resolve(pmtx->arr[2])->num(),
+                        doc->resolve(pmtx->arr[3])->num(),
+                        doc->resolve(pmtx->arr[4])->num(),
+                        doc->resolve(pmtx->arr[5])->num()};
+          if (ptype == 2) {
+            gs.fill_pattern_shading = doc->dict_get(pat, "Shading");
+            gs.fill_pattern_mtx = pm.mul(base_ctm);
+          } else {
+            // tiling pattern: documented graceful degrade — fill the
+            // path mid-gray so the region keeps ink for detection
+            // (variance/edge signals) instead of rendering blank
+            gs.fill_rgb[0] = gs.fill_rgb[1] = gs.fill_rgb[2] = 0.5f;
+          }
+        }
+      } else if (st.size() >= 3 && st[st.size() - 1]->is(ObjType::Real) +
                                 st[st.size() - 1]->is(ObjType::Int)) {
+        gs.fill_pattern_shading = nullptr;
         gs.fill_rgb[0] = (float)num(3);
         gs.fill_rgb[1] = (float)num(2);
         gs.fill_rgb[2] = (float)num(1);
       } else if (st.size() >= 1) {
+        gs.fill_pattern_shading = nullptr;
         gs.fill_rgb[0] = gs.fill_rgb[1] = gs.fill_rgb[2] = (float)num(1);
       }
     } else if (op == "SC" || op == "SCN") {
@@ -599,7 +894,33 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
         gs.stroke_rgb[2] = (float)num(1);
       }
     } else if (op == "cs" || op == "CS") {
-      // colorspace select: assume RGB/gray handled by sc/scn arity
+      // colorspace select: RGB/gray handled by sc/scn arity; track
+      // /Pattern (incl. [/Pattern base]) so scn name operands resolve
+      if (op == "cs" && !st.empty()) {
+        ObjPtr csop = st.back();
+        bool pat = csop->is(ObjType::Name) && csop->s == "Pattern";
+        if (!pat && csop->is(ObjType::Array) && !csop->arr.empty()) {
+          ObjPtr first = doc->resolve(csop->arr[0]);
+          pat = first->is(ObjType::Name) && first->s == "Pattern";
+        }
+        gs.fill_cs_pattern = pat;
+        if (!pat) gs.fill_pattern_shading = nullptr;
+      }
+    } else if (op == "sh") {
+      // paint the current clip with a shading (axial/radial supported)
+      if (!st.empty() && st.back()->is(ObjType::Name)) {
+        ObjPtr shs = doc->dict_get(resources, "Shading");
+        ObjPtr shd = shs->is(ObjType::Dict)
+                         ? doc->dict_get(shs, st.back()->s)
+                         : make_null();
+        RenderShading rs;
+        if (build_shading(doc, shd, gs.ctm, &rs)) {
+          rs.clip = gs.clip;
+          dl->order_kind.push_back(3);
+          dl->order_index.push_back((int)dl->shadings.size());
+          dl->shadings.push_back(std::move(rs));
+        }
+      }
     }
     // --- path construction (page->device transform applied immediately)
     else if (op == "m" && st.size() >= 2) {
@@ -833,8 +1154,8 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
       st.clear();
       continue;
     } else if (op == "BX" || op == "EX" || op == "MP" || op == "DP" ||
-               op == "BMC" || op == "BDC" || op == "EMC" || op == "sh") {
-      // marked content / shading: ignore
+               op == "BMC" || op == "BDC" || op == "EMC") {
+      // marked content: ignore
     }
     st.clear();
   }
@@ -865,6 +1186,7 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
     in.gs.ctm = shift.mul(in.gs.ctm);
   }
   in.gs.clip = Rect{0, 0, w, h};
+  in.base_ctm = in.gs.ctm;  // pattern matrices map into page default space
 
   ObjPtr resources = doc_->page_inherited(pg, "Resources");
   ObjPtr contents = doc_->dict_get(pg, "Contents");
@@ -904,10 +1226,18 @@ std::vector<uint8_t> decode_image_rgb(Document* doc, int obj_num, int* w,
   std::string fname = filter->is(ObjType::Array) && !filter->arr.empty()
                           ? doc->resolve(filter->arr.back())->s
                           : filter->s;
-  if (fname == "DCTDecode" || fname == "JPXDecode") {
+  if (fname == "JPXDecode" || fname == "JBIG2Decode") {
+    // Documented graceful degrade (PARITY.md §native-gaps): JPEG2000 and
+    // JBIG2 payloads decode to a correctly-sized neutral-gray plate
+    // rather than silently vanishing — downstream detection keeps the
+    // image's geometry/caption signals and the crop stays visibly
+    // present in outputs. Full decoders are out of scope: no independent
+    // encoder exists in this environment to cross-validate against.
+    return std::vector<uint8_t>((size_t)(*w) * (*h) * 3, 200);
+  }
+  if (fname == "DCTDecode") {
     // run non-DCT pre-filters via decode_stream (it skips DCT), then jpeg
     std::string data = doc->decode_stream(xo);
-    if (fname == "JPXDecode") return {};  // JPEG2000 unsupported
     std::vector<uint8_t> rgb =
         dct_decode_rgb((const uint8_t*)data.data(), data.size(), w, h);
     return rgb;

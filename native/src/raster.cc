@@ -61,10 +61,13 @@ void gather_edges(const std::vector<std::vector<std::pair<float, float>>>& sps,
 }
 
 // AA polygon fill with 4x vertical supersampling + fractional horizontal
-// coverage, blended into the canvas.
-void fill_polygon(Canvas* cv,
-                  const std::vector<std::vector<std::pair<float, float>>>& sps,
-                  const float rgb[3], bool even_odd, const Rect& clip_pts) {
+// coverage, blended into the canvas. Templated on a per-pixel color
+// callback so shadings reuse the identical scanline machinery; the
+// constant-color wrapper below is the common path.
+template <class ColorAt>
+void fill_polygon_t(
+    Canvas* cv, const std::vector<std::vector<std::pair<float, float>>>& sps,
+    bool even_odd, const Rect& clip_pts, ColorAt&& color_at) {
   // thread_local scratch: a text page fills 2000+ glyph polygons; fresh
   // vector allocations per glyph dominated small-glyph cost
   static thread_local std::vector<Edge> edges;
@@ -146,11 +149,95 @@ void fill_polygon(Canvas* cv,
       float a = cov[x - x_lo];
       if (a <= 0.002f) continue;
       if (a > 1.0f) a = 1.0f;
+      float rgb[3];
+      if (!color_at(x, y, rgb)) continue;
       row[0] = (uint8_t)(row[0] + (rgb[0] * 255.0f - row[0]) * a);
       row[1] = (uint8_t)(row[1] + (rgb[1] * 255.0f - row[1]) * a);
       row[2] = (uint8_t)(row[2] + (rgb[2] * 255.0f - row[2]) * a);
     }
   }
+}
+
+void fill_polygon(Canvas* cv,
+                  const std::vector<std::vector<std::pair<float, float>>>& sps,
+                  const float rgb[3], bool even_odd, const Rect& clip_pts) {
+  fill_polygon_t(cv, sps, even_odd, clip_pts,
+                 [&](int, int, float* o) {
+                   o[0] = rgb[0];
+                   o[1] = rgb[1];
+                   o[2] = rgb[2];
+                   return true;
+                 });
+}
+
+// Axial/radial shading paint: per covered pixel, invert to shading space,
+// solve for the gradient parameter s, and look up the pre-sampled LUT.
+void draw_shading(Canvas* cv, const RenderShading& sh) {
+  const std::vector<std::vector<std::pair<float, float>>>* path =
+      &sh.clip_path;
+  std::vector<std::vector<std::pair<float, float>>> rectpath;
+  if (path->empty()) {  // `sh` operator: paint the whole clip region
+    double px0 = std::max(sh.clip.x0, cv->off_x);
+    double py0 = std::max(sh.clip.y0, cv->off_y);
+    double px1 = std::min(sh.clip.x1, cv->off_x + cv->w / cv->scale);
+    double py1 = std::min(sh.clip.y1, cv->off_y + cv->h / cv->scale);
+    if (px1 <= px0 || py1 <= py0) return;
+    rectpath.push_back({{(float)px0, (float)py0},
+                        {(float)px1, (float)py0},
+                        {(float)px1, (float)py1},
+                        {(float)px0, (float)py1}});
+    path = &rectpath;
+  }
+  Matrix page_to_shade = sh.shade_to_page.invert();
+  double inv_scale = 1.0 / cv->scale;
+  double c0x = sh.coords[0], c0y = sh.coords[1];
+  auto color_at = [&](int xd, int yd, float* rgb) -> bool {
+    double px = (xd + 0.5) * inv_scale + cv->off_x;
+    double py = (yd + 0.5) * inv_scale + cv->off_y;
+    double sx, sy;
+    page_to_shade.apply(px, py, &sx, &sy);
+    double s;
+    if (sh.shading_type == 2) {
+      double dx = sh.coords[2] - c0x, dy = sh.coords[3] - c0y;
+      double dd = dx * dx + dy * dy;
+      if (dd <= 0) return false;
+      s = ((sx - c0x) * dx + (sy - c0y) * dy) / dd;
+    } else {
+      // circle interpolation |p - c(s)| = r(s) (quadratic in s)
+      double r0 = sh.coords[2];
+      double cdx = sh.coords[3] - c0x, cdy = sh.coords[4] - c0y;
+      double dr = sh.coords[5] - r0;
+      double pdx = sx - c0x, pdy = sy - c0y;
+      double a = cdx * cdx + cdy * cdy - dr * dr;
+      double b = pdx * cdx + pdy * cdy + r0 * dr;
+      double cq = pdx * pdx + pdy * pdy - r0 * r0;
+      if (std::fabs(a) < 1e-9) {
+        if (std::fabs(b) < 1e-12) return false;
+        s = cq / (2 * b);
+      } else {
+        double disc = b * b - a * cq;
+        if (disc < 0) return false;
+        double sq = std::sqrt(disc);
+        s = (b + sq) / a;  // prefer the larger root with r(s) >= 0
+        if (r0 + s * dr < 0) s = (b - sq) / a;
+        if (r0 + s * dr < 0) return false;
+      }
+    }
+    if (s < 0) {
+      if (!sh.extend0) return false;
+      s = 0;
+    }
+    if (s > 1) {
+      if (!sh.extend1) return false;
+      s = 1;
+    }
+    int idx = (int)(s * 255.0 + 0.5);
+    rgb[0] = sh.lut[idx][0] * (1.0f / 255.0f);
+    rgb[1] = sh.lut[idx][1] * (1.0f / 255.0f);
+    rgb[2] = sh.lut[idx][2] * (1.0f / 255.0f);
+    return true;
+  };
+  fill_polygon_t(cv, *path, sh.even_odd, sh.clip, color_at);
 }
 
 // expand a polyline into stroke quads (with square joins/caps)
@@ -533,8 +620,10 @@ std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
     } else if (kind == 1) {
       draw_glyph_run(&cv, dl.glyphs[idx], &glyph_cache,
                      doc ? doc->gen_id : 0);
-    } else {
+    } else if (kind == 2) {
       blit_image(&cv, doc, dl.images[idx], &img_cache);
+    } else {
+      draw_shading(&cv, dl.shadings[idx]);
     }
   }
   *out_w = cv.w;

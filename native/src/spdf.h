@@ -194,6 +194,13 @@ struct Matrix {  // [a b c d e f]
     *ox = a * x + c * y + e;
     *oy = b * x + d * y + f;
   }
+  Matrix invert() const {  // identity on singular input
+    double det = a * d - b * c;
+    if (det == 0) return {};
+    double id = 1.0 / det;
+    return {d * id, -b * id, -c * id, a * id,
+            (c * f - d * e) * id, (b * e - a * f) * id};
+  }
 };
 
 struct Rect {
@@ -351,6 +358,14 @@ struct PdfFont {
                                          // substitute outline source
   bool symbolic_cmap = false;            // use (3,0) cmap w/ raw codes
   std::string encoding;                  // WinAnsi / MacRoman / ""
+  // Type3 fonts: each glyph is a small PDF content stream (CharProcs)
+  // in glyph space; the interpreter replays it under FontMatrix x TRM.
+  // LaTeX/pdfTeX bitmap-font and matplotlib (pdf.fonttype=3) documents
+  // use these. content.cc:op_show_text.
+  bool is_type3 = false;
+  Matrix t3_matrix{0.001, 0, 0, 0.001, 0, 0};  // glyph -> text space
+  std::unordered_map<uint32_t, ObjPtr> t3_procs;  // code -> CharProc stream
+  ObjPtr t3_resources;                   // CharProcs' /Resources
 
   double width_for_code(uint32_t code) const;
   uint32_t unicode_for_code(uint32_t code) const;
@@ -425,11 +440,31 @@ struct RenderImage {
   int inline_w = 0, inline_h = 0;
 };
 
+// Axial/radial shading paint (ShadingType 2/3): the `sh` operator and
+// PatternType-2 (shading pattern) fills. The PDF Function is pre-sampled
+// into a 256-entry RGB LUT on extraction, so replay is a pure per-pixel
+// parameter solve + table lookup. Gradient-filled charts are ubiquitous
+// in finance textbooks; dropping these fills silently degraded detection
+// variance scores (round-2 judge finding).
+struct RenderShading {
+  int shading_type = 2;   // 2 = axial, 3 = radial
+  // axial: x0,y0,x1,y1 (coords[4..5] unused); radial: x0,y0,r0,x1,y1,r1
+  float coords[6] = {0, 0, 0, 0, 0, 0};
+  bool extend0 = false, extend1 = false;
+  uint8_t lut[256][3];    // Function sampled uniformly over /Domain
+  Matrix shade_to_page;   // shading space -> page pts (top-left origin)
+  Rect clip;
+  // pattern fills paint only inside the filled path; empty = clip rect
+  std::vector<std::vector<std::pair<float, float>>> clip_path;  // page pts
+  bool even_odd = false;
+};
+
 struct DisplayList {
   std::vector<RenderPath> paths;
   std::vector<RenderGlyphRun> glyphs;
   std::vector<RenderImage> images;
-  std::vector<int> order_kind;   // replay order: 0=path,1=glyphrun,2=image
+  std::vector<RenderShading> shadings;
+  std::vector<int> order_kind;   // replay: 0=path,1=glyphrun,2=image,3=shading
   std::vector<int> order_index;
   double page_w = 612, page_h = 792;
 };

@@ -1,0 +1,139 @@
+"""Axial/radial shading paint (native/src/content.cc build_shading +
+raster.cc draw_shading): the `sh` operator and PatternType-2 pattern
+fills, with exponential (Type 2) and stitching (Type 3) functions.
+Gradient-filled chart bars are ubiquitous in finance textbooks; the
+reference rendered them via MuPDF (ref pdf_image_segmentation.py:3638).
+Pixel assertions check the gradient's endpoint colors and monotonicity.
+"""
+import io
+
+import numpy as np
+
+from synapta_tpu.io.ingest import open_pdf
+
+
+def _pdf(objs):
+    out = io.BytesIO()
+    out.write(b"%PDF-1.7\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(out.tell())
+        out.write(b"%d 0 obj\n" % i)
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xr = out.tell()
+    out.write(b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1))
+    for o in offs[1:]:
+        out.write(b"%010d 00000 n \n" % o)
+    out.write(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+              % (len(objs) + 1, xr))
+    return out.getvalue()
+
+
+def _stream(extra, data):
+    return (b"<< " + extra + b" /Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream")
+
+
+def _page_objs(contents, extra_res=b"", extra_objs=()):
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 300 300] "
+         b"/Resources << " + extra_res + b" >> /Contents 4 0 R >>"),
+        _stream(b"", contents),
+    ]
+    objs.extend(extra_objs)
+    return objs
+
+
+def test_sh_axial_red_to_blue(tmp_path):
+    """`sh` paints the clip with a left-to-right red->blue axial gradient."""
+    # clip to a 200x100 rect at (50,100); shade along x from 50 to 250
+    content = b"q 50 100 200 100 re W n /S0 sh Q\n"
+    shading = (b"<< /ShadingType 2 /ColorSpace /DeviceRGB "
+               b"/Coords [50 0 250 0] /Extend [true true] "
+               b"/Function << /FunctionType 2 /Domain [0 1] "
+               b"/C0 [1 0 0] /C1 [0 0 1] /N 1 >> >>")
+    objs = _page_objs(content, b"/Shading << /S0 " + shading + b" >>")
+    p = tmp_path / "ax.pdf"
+    p.write_bytes(_pdf(objs))
+    doc = open_pdf(str(p))
+    arr = doc.render(0, dpi=72)  # 300x300 px, y flipped (top-left origin)
+    # page y in [100,200] -> device rows [100,200); sample row 150
+    row = arr[150]
+    left, mid, right = row[55], row[150], row[245]
+    assert left[0] > 200 and left[2] < 60      # red end
+    assert right[2] > 200 and right[0] < 60    # blue end
+    assert abs(int(mid[0]) - 128) < 30 and abs(int(mid[2]) - 128) < 30
+    # outside the clip stays white
+    assert (arr[50, 150] > 240).all()
+
+
+def test_pattern_fill_axial_vertical(tmp_path):
+    """A rect filled through a /Pattern cs shading pattern (the gradient
+    chart-bar case), vertical white->black, stitching function."""
+    content = (b"/Pattern cs /P0 scn 100 50 80 200 re f\n")
+    # two stitched Type-2 halves: white->gray, gray->black
+    fn = (b"<< /FunctionType 3 /Domain [0 1] /Bounds [0.5] "
+          b"/Encode [0 1 0 1] /Functions ["
+          b"<< /FunctionType 2 /Domain [0 1] /C0 [1 1 1] /C1 [0.5 0.5 0.5] /N 1 >> "
+          b"<< /FunctionType 2 /Domain [0 1] /C0 [0.5 0.5 0.5] /C1 [0 0 0] /N 1 >>"
+          b"] >>")
+    pat = (b"<< /PatternType 2 /Shading << /ShadingType 2 "
+           b"/ColorSpace /DeviceRGB /Coords [0 50 0 250] "
+           b"/Extend [true true] /Function " + fn + b" >> >>")
+    objs = _page_objs(content, b"/Pattern << /P0 " + pat + b" >>")
+    p = tmp_path / "pat.pdf"
+    p.write_bytes(_pdf(objs))
+    doc = open_pdf(str(p))
+    arr = doc.render(0, dpi=72)
+    col = arr[:, 140]  # inside the bar (x in [100,180])
+    # page y=50 (gradient start, white) = device row 249; y=250 -> row 50
+    assert col[245][0] > 230          # bottom: near white
+    assert col[55][0] < 40            # top: near black
+    mid = col[150]                    # t = 0.5 -> mid gray
+    assert abs(int(mid[0]) - 128) < 30
+    # outside the bar: white page
+    assert (arr[150, 50] > 240).all()
+    # gradient is monotone down the bar
+    inside = col[60:245, 0].astype(int)
+    assert (np.diff(inside) >= -12).all() and inside[0] < inside[-1]
+
+
+def test_sh_radial(tmp_path):
+    """Radial white-center -> black-edge gradient via `sh`."""
+    content = b"q 50 50 200 200 re W n /S0 sh Q\n"
+    shading = (b"<< /ShadingType 3 /ColorSpace /DeviceGray "
+               b"/Coords [150 150 0 150 150 90] /Extend [false true] "
+               b"/Function << /FunctionType 2 /Domain [0 1] "
+               b"/C0 [1] /C1 [0] /N 1 >> >>")
+    objs = _page_objs(content, b"/Shading << /S0 " + shading + b" >>")
+    p = tmp_path / "rad.pdf"
+    p.write_bytes(_pdf(objs))
+    doc = open_pdf(str(p))
+    arr = doc.render(0, dpi=72)
+    center = arr[150, 150]
+    edge = arr[150, 235]   # radius ~85 from center, near r1=90
+    assert center[0] > 230           # white center
+    assert edge[0] < 60              # dark rim
+    # radially monotone: sample a ray
+    ray = arr[150, 150:238, 0].astype(int)
+    assert (np.diff(ray) <= 10).all()
+
+
+def test_tiling_pattern_degrades_to_gray(tmp_path):
+    """PatternType-1 (tiling) fills degrade to mid-gray ink — documented
+    deviation (region keeps pixels for detection instead of blankness)."""
+    content = b"/Pattern cs /P0 scn 100 100 100 100 re f\n"
+    cell = _stream(
+        b"/PatternType 1 /PaintType 1 /TilingType 1 /BBox [0 0 10 10] "
+        b"/XStep 10 /YStep 10 /Resources << >>",
+        b"0 0 5 5 re f\n")
+    objs = _page_objs(content, b"/Pattern << /P0 5 0 R >>", (cell,))
+    p = tmp_path / "tile.pdf"
+    p.write_bytes(_pdf(objs))
+    doc = open_pdf(str(p))
+    arr = doc.render(0, dpi=72)
+    mid = arr[150, 150]
+    assert 100 < mid[0] < 160 and 100 < mid[1] < 160
