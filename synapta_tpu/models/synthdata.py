@@ -26,12 +26,36 @@ WORDS = (
     "cash flow discount present future net gross total average percent basis "
     "Start Screen Approve Execute Risk Check Assets Inputs Output Model "
     "Black-Scholes-Merton Binomial Quarterly Cumulative Performance Stocks "
-    "Bonds Cash Alts Equities Year Return Time Value Price Amount Q1 Q2 Q3 Q4"
+    "Bonds Cash Alts Equities Year Return Time Value Price Amount Q1 Q2 Q3 Q4 "
+    # full-alphabet coverage: the original vocabulary had NO lowercase
+    # j/z and little q/x/v — the recognizer systematically confused
+    # unseen letters (z->2, j->i on the scanned fixture). General prose
+    # words covering every letter in common contexts:
+    "maximizes subject objective adjust adjacent junior project zero zone "
+    "horizon optimize size seize jazz quiz quote quickly require frequency "
+    "exact excess example exchange taxes proxy vertex zigzag lazy dozen "
+    "analyze utilize amortize organize equilibrium adjustment rejected "
+    "majority journal judgment joint venture injection trajectory extra "
+    "expenditure explicit voluntarily equivalent quantity qualified very "
+    "leverage over every novel violation java objective offset suffix "
+    "effective offer coefficient efficient different difference buffer"
 ).split()
+
+
+_SOUP = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789.,;:()%$-+/"
+)
 
 
 def random_text(rng: np.random.Generator) -> str:
     kind = rng.random()
+    if kind < 0.04:
+        # charset soup: uniform random characters so EVERY class gets
+        # gradient signal (rare glyphs otherwise never appear and steal
+        # probability mass from lookalikes at inference)
+        n = int(rng.integers(3, 14))
+        return "".join(_SOUP[rng.integers(0, len(_SOUP))] for _ in range(n))
     if kind < 0.25:  # numeric / currency / ticks
         style = rng.integers(0, 6)
         v = rng.uniform(-5000, 100000)
@@ -133,6 +157,25 @@ def render_line(
         )
     elif rng.random() < 0.3:  # mild contrast/noise jitter
         out = np.clip(out + rng.normal(0, 0.02, out.shape).astype(np.float32), 0, 1)
+    if rng.random() < 0.12:
+        # tile-border artifacts: detection boxes clip within a pixel or
+        # two of neighboring ink (specks, descenders of the line above, a
+        # partial stroke of an adjacent word). Without these the model
+        # reads a dark leading edge as a thin letter ('lower'->'Ilower').
+        edge = rng.integers(0, 4)
+        dark = rng.uniform(0.0, 0.35)
+        n_rows = int(rng.integers(4, out.shape[0]))
+        r0 = int(rng.integers(0, out.shape[0] - n_rows + 1))
+        if edge == 0:
+            out[r0:r0 + n_rows, 0] = dark
+        elif edge == 1:
+            out[r0:r0 + n_rows, -1] = dark
+        elif edge == 2:
+            c0 = int(rng.integers(0, out.shape[1]))
+            out[0, c0:c0 + int(rng.integers(2, 9))] = dark
+        else:
+            c0 = int(rng.integers(0, out.shape[1]))
+            out[-1, c0:c0 + int(rng.integers(2, 9))] = dark
     return out
 
 

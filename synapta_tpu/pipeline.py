@@ -206,6 +206,7 @@ class VisualSegmentationPipeline:
                         prepared = self._prepare_batch(pages)
                 except Exception:
                     log.exception("prepare failed for batch %s", list(pages))
+                    self.stats.errors += 1
                 self.stats.pages += len(pages)
                 next_analyzing = None
                 if prepared is not None:
@@ -223,11 +224,13 @@ class VisualSegmentationPipeline:
                         next_recognizing = self._ocr_dispatch(*analyzing)
                     except Exception:
                         log.exception("ocr dispatch failed; skipping batch")
+                        self.stats.errors += 1
                 if recognizing is not None:
                     try:
                         self._enrich_finish(recognizing)
                     except Exception:
                         log.exception("enrich stage failed; skipping batch")
+                        self.stats.errors += 1
                 analyzing, recognizing = next_analyzing, next_recognizing
             # drain the pipeline tail
             if recognizing is not None:
@@ -235,11 +238,13 @@ class VisualSegmentationPipeline:
                     self._enrich_finish(recognizing)
                 except Exception:
                     log.exception("enrich stage failed; skipping batch")
+                    self.stats.errors += 1
             if analyzing is not None:
                 try:
                     self._enrich_finish(self._ocr_dispatch(*analyzing))
                 except Exception:
                     log.exception("final batch failed")
+                    self.stats.errors += 1
         finally:
             self._drain_patches()
             with TIMERS.stage("finalize"), self._writer_lock:
@@ -367,6 +372,7 @@ class VisualSegmentationPipeline:
                 log.exception(
                     "segment processing failed on page %d", r.page_num
                 )
+                self.stats.errors += 1
 
     def _device_pass(self, canvases: np.ndarray, dims: List[tuple],
                      ctxs: Optional[List[Any]] = None):
@@ -649,6 +655,7 @@ class VisualSegmentationPipeline:
                         self._register_followups(seg, followups)
             except Exception:
                 log.exception("LLM patch failed for %s", seg.segment_id)
+                self.stats.errors += 1
             finally:
                 with self._inflight_cv:
                     self._inflight.discard(fut)
@@ -677,6 +684,7 @@ class VisualSegmentationPipeline:
                     self._relink_and_update(seg)
             except Exception:
                 log.exception("LLM follow-up failed for %s", seg.segment_id)
+                self.stats.errors += 1
             finally:
                 with self._inflight_cv:
                     self._inflight.discard(fut)

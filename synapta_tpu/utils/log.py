@@ -29,6 +29,7 @@ class PipelineStats:
     ocr_blocks: int = 0
     llm_analyses: int = 0
     concept_links: int = 0
+    errors: int = 0          # swallowed per-batch/per-segment failures
     wall_s: float = 0.0
 
     def as_dict(self) -> dict:
