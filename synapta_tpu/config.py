@@ -30,6 +30,11 @@ class DetectionConfig:
     body_text_min_height: float = 35.0         # ref :3397
     body_text_left_margin_frac: float = 0.15   # ref :3398
     fallback_region_height: float = 250.0      # pt above caption, ref :3487
+    figure_text_max_font: float = 12.0         # in-figure labels are small;
+                                               # heading-sized text (chapter/
+                                               # section titles) never widens
+                                               # a figure box (matches the
+                                               # heading-path font threshold)
     min_region_width: float = 50.0             # sanity guards, ref :3496
     min_region_height: float = 40.0
     # Pass 2 — embedded-image validation (ref :2933-2998)

@@ -187,6 +187,9 @@ def train(
                 f"({(time.time() - t0) / (s + 1):.3f}s/step)",
                 flush=True,
             )
+            # periodic checkpoint: tunnel hiccups / wall-clock caps must
+            # not lose a long run (save is ~5MB, negligible)
+            save_params(params, out)
     final_cer = evaluate(model, params, np.random.default_rng(seed + 1))
     print(f"eval CER: {final_cer:.4f}")
     save_params(params, out)

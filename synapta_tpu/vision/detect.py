@@ -213,7 +213,12 @@ class DetectionEngine:
                 bb[2] - bb[0] > page_w * cfg.body_text_width_frac
                 and len(text) > cfg.body_text_min_chars
             )
-            if not is_body:
+            # heading-sized text is never an in-figure label: chapter/
+            # section titles above a figure otherwise get absorbed by the
+            # fixpoint widening, bloating the box over the heading line
+            # (same font threshold the heading-path extractor uses)
+            is_heading = b.get("size", 0.0) > cfg.figure_text_max_font
+            if not is_body and not is_heading:
                 out.append(bb)
         return out
 

@@ -35,10 +35,10 @@ def diverse(tmp_path_factory):
 
 @pytest.mark.parametrize("cls,min_iou", [
     ("two_column", 0.9),
-    ("rotated_label", 0.75),
+    ("rotated_label", 0.9),
     ("cmyk_jpeg", 0.9),
     ("scanned_page", 0.9),
-    ("multi_visual", 0.5),
+    ("multi_visual", 0.95),
 ])
 def test_detection_per_class(diverse, cls, min_iou):
     _, _, per_class = diverse

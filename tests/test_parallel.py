@@ -117,3 +117,35 @@ def test_pipeline_dp_mesh_identical_outputs(tmp_path):
     b = run(8, "out8")
     assert a["total_segments"] == b["total_segments"] > 0
     assert a["segments"] == b["segments"]
+
+
+def test_init_distributed_single_process_noop(monkeypatch):
+    """No coordinator configured -> returns False without touching the
+    backend (the single-process degenerate case)."""
+    from synapta_tpu.parallel.mesh import init_distributed
+
+    monkeypatch.delenv("SYNAPTA_COORDINATOR", raising=False)
+    monkeypatch.delenv("SYNAPTA_NUM_PROCESSES", raising=False)
+    assert init_distributed() is False
+    assert init_distributed(num_processes=1) is False
+
+
+def test_init_distributed_arg_plumbing(monkeypatch):
+    """Env vars and arguments reach jax.distributed.initialize; the call
+    itself is stubbed (no pod here)."""
+    import synapta_tpu.parallel.mesh as M
+
+    calls = {}
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None):
+        calls.update(coordinator=coordinator_address,
+                     num_processes=num_processes, process_id=process_id)
+
+    monkeypatch.setattr(M.jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("SYNAPTA_COORDINATOR", "10.0.0.1:8476")
+    monkeypatch.setenv("SYNAPTA_NUM_PROCESSES", "4")
+    monkeypatch.setenv("SYNAPTA_PROCESS_ID", "2")
+    assert M.init_distributed() is True
+    assert calls == {"coordinator": "10.0.0.1:8476", "num_processes": 4,
+                     "process_id": 2}
