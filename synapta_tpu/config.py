@@ -182,6 +182,11 @@ class OCRConfig:
     line_height: int = 32
     line_max_width: int = 384   # must match trained recognizer pos_embed
     line_batch: int = 128
+    # split lines whose squash against the tile would exceed this factor:
+    # the CTC head emits W/4 frames, so at 2x squash a dense line has
+    # ~1.3 frames/char and decodes truncate mid-line (measured on the
+    # scanned fixture: 40 of 74 chars). 1.3x keeps >=2 frames/char.
+    split_squash: float = 1.3
     # detector input geometry
     det_size: int = 640
     binarize_threshold: float = 0.55

@@ -152,10 +152,13 @@ def evaluate_scanned(pages: int = 2, seed: int = 1) -> Dict:
         hyp = norm_text(seg.ocr_result.raw_text.replace("\n", " "))
         ref = norm_text(want.replace("\n", " "))
         cers.append(cer(ref, hyp))
+    wall = pipe.stats.wall_s
     return {
         "pages": pages,
         "scanned_detected": detected,
         "scanned_ocr_cer": round(float(np.mean(cers)), 4),
+        "scanned_wall_s": round(wall, 2),
+        "scanned_pages_per_s": round(pages / wall, 3) if wall else 0.0,
     }
 
 

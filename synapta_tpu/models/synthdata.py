@@ -72,7 +72,10 @@ def random_text(rng: np.random.Generator) -> str:
             f"{rng.choice(['Figure', 'Fig.', 'Exhibit', 'Chart', 'Diagram'])} "
             f"{rng.integers(1, 30)}.{rng.integers(1, 20)}"
         )
-    n = int(rng.integers(1, 7))
+    # 20% long lines (7-13 words): inference tiles run up to
+    # cfg.split_squash x the natural width; dense long lines must be
+    # in-distribution or the squashed frames decode short
+    n = int(rng.integers(7, 14)) if kind > 0.8 else int(rng.integers(1, 7))
     words = [WORDS[rng.integers(0, len(WORDS))] for _ in range(n)]
     s = " ".join(words)
     if rng.random() < 0.3:

@@ -73,7 +73,15 @@ def line_boxes_from_ink(ink: jnp.ndarray, merge_x: int = 7,
     # never early-exit the while_loop, so every extra iteration is paid
     # (~6ms/chunk) — the recognizer's confidence gate drops the rare
     # half-converged stroke fragment that slips through as a junk box.
-    labels = connected_components(downsample2(fused), max_iters=10)
+    from synapta_tpu.ops.features import _use_pallas_cc
+
+    half = downsample2(fused)
+    if _use_pallas_cc():
+        from synapta_tpu.ops.pallas_cc import connected_components_pallas
+
+        labels = connected_components_pallas(half, max_iters=10)
+    else:
+        labels = connected_components(half, max_iters=10)
     stats = component_stats_device(labels, k=k)
     # stats are in half-res pixels: scale boxes x2, areas x4
     return jnp.stack(

@@ -209,19 +209,18 @@ class TPUOCR:
         return tiles, owners, boxes_flat, parts
 
     def _split_long_line(self, crop: np.ndarray, box) -> List[List[int]]:
-        """Split a line box that would squash MORE THAN 2x against the
-        recognizer tile (384/28 ≈ 13.7 aspect) into parts at WHITESPACE
-        valleys. The recognizer trains with the same width clamp
-        (models/synthdata.py:100), so moderate squash is in-distribution —
-        splitting those lines measurably HURTS (space-join insertions);
-        only extreme scanned-page lines (>2x squash, where the recognizer
-        drops characters mid-word) split. Parts re-join with spaces after
-        decoding (splits land on word gaps)."""
+        """Split a line box that would squash more than cfg.split_squash
+        against the recognizer tile (384/28 ≈ 13.7 aspect) into parts at
+        WHITESPACE valleys. The CTC head emits W/4 frames, so squash
+        directly eats frames-per-character: at 2x a dense 74-char line
+        decodes only ~40 chars before the frames run out (measured on the
+        scanned fixture). Parts re-join after decoding; true word-gap cuts
+        re-join with a space, forced mid-glyph cuts concatenate."""
         cfg = self.cfg
         x0, y0, x1, y1 = (int(v) for v in box)
         h = max(y1 - y0, 1)
         tile_aspect = (cfg.line_max_width - 8) / float(cfg.line_height - 4)
-        if (x1 - x0) / h <= 2.0 * tile_aspect:
+        if (x1 - x0) / h <= cfg.split_squash * tile_aspect:
             return [list(box)], []
         # size parts to fill the tile roughly unsquashed
         n = int(np.ceil((x1 - x0) / (h * tile_aspect)))

@@ -48,8 +48,27 @@ def _run_length_rows(mask: jnp.ndarray, min_len: int) -> jnp.ndarray:
     return box_count(runs > 0)
 
 
+def _use_pallas_cc() -> bool:
+    # opt-in switch like SYNAPTA_PALLAS_EDGE; cached at first use
+    global _PALLAS_CC
+    if _PALLAS_CC is None:
+        import os
+
+        _PALLAS_CC = os.environ.get("SYNAPTA_PALLAS_CC", "") not in ("", "0")
+    return _PALLAS_CC
+
+
+_PALLAS_CC = None
+
+
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
 def _cc_jit(mask, connectivity=8, max_iters=64):
+    if _use_pallas_cc():
+        from synapta_tpu.ops.pallas_cc import connected_components_pallas
+
+        return connected_components_pallas(
+            mask, max_iters=max_iters, connectivity=connectivity
+        )
     return connected_components(mask, max_iters=max_iters,
                                 connectivity=connectivity)
 

@@ -643,6 +643,7 @@ class VisualSegmentationPipeline:
                 if analysis and analysis.get("method") != "fallback_heuristic":
                     followups = self._apply_analysis(seg, analysis, f, ocr, canvas)
                     self._relink_and_update(seg)
+                    self.stats.llm_patches += 1
                     if followups:
                         self._register_followups(seg, followups)
                 else:
@@ -682,6 +683,7 @@ class VisualSegmentationPipeline:
                     last = state["n"] == 0
                 if last:
                     self._relink_and_update(seg)
+                    self.stats.llm_patches += 1
             except Exception:
                 log.exception("LLM follow-up failed for %s", seg.segment_id)
                 self.stats.errors += 1
@@ -696,17 +698,20 @@ class VisualSegmentationPipeline:
     def _drain_patches(self) -> None:
         """Block until every in-flight LLM patch has landed (bounded by the
         client's own timeout*retries, plus margin)."""
-        deadline = time.time() + (
+        t0 = time.time()
+        deadline = t0 + (
             self.cfg.llm.comprehensive_timeout * self.cfg.llm.max_retries + 120
         )
         with self._inflight_cv:
             while self._inflight and time.time() < deadline:
                 self._inflight_cv.wait(timeout=5.0)
+            self.stats.llm_unpatched = len(self._inflight)
             if self._inflight:
                 log.warning(
                     "%d LLM patches still in flight at shutdown; finalizing "
                     "with their pre-patch records", len(self._inflight),
                 )
+        self.stats.llm_drain_wait_s = round(time.time() - t0, 3)
 
     # ------------------------------------------------------------- context
 

@@ -30,6 +30,24 @@ def setup_jax(cache_dir: str | None = None) -> None:
     cache_dir = cache_dir or os.environ.get(
         "SYNAPTA_JAX_CACHE", os.path.expanduser("~/.cache/synapta_jax")
     )
+    # CPU-backend entries are AOT-compiled for the machine that wrote
+    # them; loading them on a host with different CPU features risks
+    # SIGILL (and warns loudly). Key the CPU cache by a host fingerprint
+    # so cross-machine entries are never loaded. TPU entries are
+    # device-keyed by XLA already and stay shared.
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats.startswith("cpu"):
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next(
+                    (ln for ln in f if ln.startswith("flags")), "unknown"
+                )
+        except OSError:
+            flags = "unknown"
+        fp = hashlib.sha256(flags.encode()).hexdigest()[:12]
+        cache_dir = os.path.join(cache_dir, f"cpu-{fp}")
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -29,6 +29,9 @@ class PipelineStats:
     ocr_blocks: int = 0
     llm_analyses: int = 0
     concept_links: int = 0
+    llm_patches: int = 0     # late-LLM responses applied to written segments
+    llm_unpatched: int = 0   # patches still in flight at shutdown
+    llm_drain_wait_s: float = 0.0  # tail wait for in-flight LLM patches
     errors: int = 0          # swallowed per-batch/per-segment failures
     wall_s: float = 0.0
 

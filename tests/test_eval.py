@@ -29,4 +29,8 @@ def test_scanned_page_ocr():
 
     r = evaluate_scanned(pages=1, seed=1)
     assert r["scanned_detected"] == 1
-    assert r["scanned_ocr_cer"] <= 0.15, r
+    # target bar (BASELINE.md): dense scanned-page lines split at
+    # whitespace valleys so the CTC frame budget covers every character
+    # (full 4-page eval measures 0.014; one page leaves margin for seed
+    # variation)
+    assert r["scanned_ocr_cer"] <= 0.05, r
