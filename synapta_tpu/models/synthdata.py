@@ -57,7 +57,7 @@ def random_text(rng: np.random.Generator) -> str:
         n = int(rng.integers(3, 14))
         return "".join(_SOUP[rng.integers(0, len(_SOUP))] for _ in range(n))
     if kind < 0.25:  # numeric / currency / ticks
-        style = rng.integers(0, 6)
+        style = rng.integers(0, 7)
         v = rng.uniform(-5000, 100000)
         return [
             f"{v:,.2f}",
@@ -66,6 +66,9 @@ def random_text(rng: np.random.Generator) -> str:
             f"{rng.integers(1900, 2030)}",
             f"{rng.uniform(0, 100):.2f}",
             f"{rng.uniform(0.1, 9.9):.1f}{rng.choice(['K', 'M', 'B'])}",
+            # axis tick labels: short letter+digit tokens (Q1, H2, FY9)
+            # rendered tiny on charts \u2014 see the blur augmentation below
+            f"{rng.choice(['Q', 'H', 'T', 'FY', 'Y'])}{rng.integers(0, 10)}",
         ][style] + ("\u2030" if style == 2 and rng.random() < 0.1 else "")
     if kind < 0.35:  # figure labels
         return (
@@ -160,6 +163,21 @@ def render_line(
         )
     elif rng.random() < 0.3:  # mild contrast/noise jitter
         out = np.clip(out + rng.normal(0, 0.02, out.shape).astype(np.float32), 0, 1)
+    if len(text) <= 8 and rng.random() < 0.25:
+        # tiny-glyph blur: chart tick labels ('Q1', '25') are detected in
+        # ~10-14px boxes and bilinear-UPSCALED ~2-3x to tile height, so
+        # their edges smear; '1'/'z'-class lookalikes need training
+        # signal at exactly this blur level. Short strings only — long
+        # lines at 9px then upscaled are unreadable mush and would just
+        # be label noise.
+        from PIL import Image as _Image
+
+        small_h = int(rng.integers(9, 15))
+        small_w = max(1, int(out.shape[1] * small_h / out.shape[0]))
+        im = _Image.fromarray((out * 255).astype(np.uint8))
+        im = im.resize((small_w, small_h), _Image.BILINEAR)
+        im = im.resize((out.shape[1], out.shape[0]), _Image.BILINEAR)
+        out = np.asarray(im).astype(np.float32) / 255.0
     if rng.random() < 0.12:
         # tile-border artifacts: detection boxes clip within a pixel or
         # two of neighboring ink (specks, descenders of the line above, a
