@@ -56,6 +56,16 @@ def random_text(rng: np.random.Generator) -> str:
         # probability mass from lookalikes at inference)
         n = int(rng.integers(3, 14))
         return "".join(_SOUP[rng.integers(0, len(_SOUP))] for _ in range(n))
+    if kind < 0.10:
+        # bare axis-tick tokens (chart y/x labels): SHORT digit or
+        # letter+digit strings that appear tiny on charts and upscale
+        # blurry — paired with the tiny-glyph blur augmentation below
+        t = rng.integers(0, 3)
+        if t == 0:
+            return f"{rng.choice(['Q', 'H', 'T', 'FY', 'Y'])}{rng.integers(0, 10)}"
+        if t == 1:
+            return f"{5 * rng.integers(0, 21)}"
+        return f"{rng.integers(0, 10)}"
     if kind < 0.25:  # numeric / currency / ticks
         style = rng.integers(0, 7)
         v = rng.uniform(-5000, 100000)
@@ -88,6 +98,21 @@ def random_text(rng: np.random.Generator) -> str:
     if rng.random() < 0.15:  # flowchart/caption punctuation
         s += rng.choice(["?", ":", ";", "!", ".", ")", "%", "\u2030"])
     return s
+
+
+def fit_text(text: str, max_label: int = 48) -> str:
+    """Trim to <= max_label chars at a word boundary.
+
+    charset.encode() hard-truncates LABELS at max_label, but the image
+    renders the full string — without this trim every long line trains
+    the recognizer that text past char 48 does not exist (measured:
+    'yield table Price taxes' rendered, label ends at 'tab'), which
+    poisons ~20% of batches and collapses decode confidence.
+    """
+    if len(text) <= max_label:
+        return text
+    cut = text.rfind(" ", 1, max_label + 1)
+    return text[: cut if cut > 0 else max_label]
 
 
 _FONT_CACHE = {}
@@ -163,7 +188,7 @@ def render_line(
         )
     elif rng.random() < 0.3:  # mild contrast/noise jitter
         out = np.clip(out + rng.normal(0, 0.02, out.shape).astype(np.float32), 0, 1)
-    if len(text) <= 8 and rng.random() < 0.25:
+    if len(text) <= 8 and rng.random() < (0.45 if len(text) <= 4 else 0.25):
         # tiny-glyph blur: chart tick labels ('Q1', '25') are detected in
         # ~10-14px boxes and bilinear-UPSCALED ~2-3x to tile height, so
         # their edges smear; '1'/'z'-class lookalikes need training
@@ -212,7 +237,7 @@ def make_batch(
     labels = np.zeros((batch, max_label), np.int32)
     lens = np.zeros((batch,), np.int32)
     for i in range(batch):
-        text = random_text(rng)
+        text = fit_text(random_text(rng), max_label)
         imgs[i, :, :, 0] = render_line(text, rng, height, width)
         ids, n = charset.encode(text, max_label)
         labels[i] = ids
@@ -246,7 +271,7 @@ def make_batch_spdf(
 
     from synapta_tpu.models import charset as _cs
 
-    texts = [random_text(rng) for _ in range(batch)]
+    texts = [fit_text(random_text(rng), max_label) for _ in range(batch)]
     book = SyntheticBook(width=1000.0, height=float(batch * 28 + 40))
     c = book.new_page()
     metas = []

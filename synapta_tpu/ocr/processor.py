@@ -314,8 +314,15 @@ class TPUOCR:
             # the reference's PaddleOCR applied its own rec-score gate.
             # Very short decodes must be near-certain: crisp digits
             # score ~99; stroke fragments decode in the 55-85 band.
+            # Exception: letter+digit tokens ('Q1', 'H2') are axis-tick
+            # shapes no stroke fragment ever decodes to, and tick glyphs
+            # are tiny/blurred so their trained confidence tops out ~70-95
+            # — they get the ordinary gate.
             text = rec["text"].strip()
-            min_conf = 82.0 if len(text) <= 2 else 55.0
+            ticky = (
+                len(text) == 2 and text[0].isalpha() and text[1].isdigit()
+            )
+            min_conf = 82.0 if (len(text) <= 2 and not ticky) else 55.0
             if rec["confidence"] < min_conf:
                 continue
             results[owner].append(
