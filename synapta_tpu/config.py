@@ -187,6 +187,11 @@ class OCRConfig:
     # ~1.3 frames/char and decodes truncate mid-line (measured on the
     # scanned fixture: 40 of 74 chars). 1.3x keeps >=2 frames/char.
     split_squash: float = 1.3
+    # line-detection backend: "heuristic" = device ink morphology + CC
+    # (ocr/linedet.py, exact on clean renders, default);
+    # "db" = trainable DB-style FPN (models/detector.py) for
+    # degraded/scanned inputs — PaddleOCR-DBNet parity path
+    line_detector: str = "heuristic"
     # detector input geometry
     det_size: int = 640
     binarize_threshold: float = 0.55

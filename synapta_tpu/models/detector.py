@@ -1,0 +1,442 @@
+"""Trainable DB-style text-line detector (flax linen).
+
+The on-TPU replacement for PaddleOCR's DBNet detection stage (ref
+pdf_image_segmentation.py:1092-1126, SURVEY.md §2.3/§7.3): a small FPN
+over the page raster predicts a shrunk-text probability map and an
+adaptive threshold map; Differentiable Binarization (Liao et al., AAAI
+2020 — PAPERS.md) joins them during training so the probability map
+learns crisp line borders. Inference binarizes the probability map and
+reuses the framework's device connected-components + component-stats
+reductions to emit line AABBs — the same compact (B, K, 5) device->host
+contract as the heuristic path in ocr/linedet.py, so the two detectors
+are drop-in interchangeable (OCRConfig.line_detector).
+
+The heuristic ink-projection detector stays the default for rendered
+PDFs (it is exact on clean rasters and cheaper); this model is the
+trainable path for degraded/scanned inputs where fixed morphology
+misses (skew, touching lines, textured backgrounds), and the parity
+surface SURVEY §2.3 requires.
+
+Input:  (B, S, S, 1) float32 in [0, 1], S = OCRConfig.det_size
+Output: (B, S/2, S/2, 2) — [prob, thresh] maps at half resolution
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from typing import Any, List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DET_WEIGHTS_PATH = os.path.join(
+    os.path.dirname(__file__), "weights", "detector.msgpack"
+)
+
+
+class ConvBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding="SAME", use_bias=False, dtype=self.dtype,
+        )(x)
+        x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class Detector(nn.Module):
+    """Tiny FPN + DB head. ~120k params: trainable on synthetic pages in
+    minutes, and the conv stack keeps the MXU busy at (512, 512) pages."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):  # (B, S, S, 1)
+        x = x.astype(self.dtype)
+        c1 = ConvBlock(16, 2, self.dtype)(x)    # 1/2
+        c1 = ConvBlock(16, 1, self.dtype)(c1)
+        c2 = ConvBlock(32, 2, self.dtype)(c1)   # 1/4
+        c2 = ConvBlock(32, 1, self.dtype)(c2)
+        c3 = ConvBlock(64, 2, self.dtype)(c2)   # 1/8
+        c3 = ConvBlock(64, 1, self.dtype)(c3)
+        c4 = ConvBlock(96, 2, self.dtype)(c3)   # 1/16
+        c4 = ConvBlock(96, 1, self.dtype)(c4)
+
+        def up(t, like):
+            return jax.image.resize(
+                t, (t.shape[0],) + like.shape[1:3] + (t.shape[3],), "bilinear"
+            ).astype(self.dtype)
+
+        # top-down merge (FPN): lateral 1x1 + upsample-add
+        lat = lambda t, f: nn.Conv(  # noqa: E731
+            f, (1, 1), dtype=self.dtype, use_bias=False
+        )(t)
+        p3 = lat(c3, 64) + up(lat(c4, 64), c3)
+        p2 = lat(c2, 32) + up(ConvBlock(32, 1, self.dtype)(p3), c2)
+        p1 = lat(c1, 16) + up(ConvBlock(16, 1, self.dtype)(p2), c1)
+        h = ConvBlock(16, 1, self.dtype)(p1)    # 1/2 resolution head
+        out = nn.Conv(2, (3, 3), padding="SAME", dtype=jnp.float32)(h)
+        return out  # logits: [:, :, :, 0] prob, [:, :, :, 1] thresh
+
+
+# ---------------------------------------------------------------- targets
+
+
+def shrink_box(x0, y0, x1, y1, ratio: float = 0.3) -> Tuple[int, int, int, int]:
+    """Shrink an axis-aligned line box by d = ratio * min(w, h).
+
+    DB's polygon offset d = A(1-r^2)/L nearly collapses thin text lines
+    (w >> h gives d ~ 0.42h, leaving 16% of the height) and has no
+    stable inverse there. Text lines in this corpus are axis-aligned
+    rects, so a min-side-proportional offset is used instead: it keeps
+    40% of the line height (separating adjacent lines at any leading
+    >= 1.1em) and inverts exactly — unshrink with r' = r/(1-2r)."""
+    w, h = max(x1 - x0, 1.0), max(y1 - y0, 1.0)
+    d = ratio * min(w, h)
+    return (
+        int(round(x0 + d)), int(round(y0 + d)),
+        int(round(x1 - d)), int(round(y1 - d)),
+    )
+
+
+def unshrink_boxes(boxes: np.ndarray, ratio: float = 0.75) -> np.ndarray:
+    """Exact inverse of shrink_box: d' = r/(1-2r) * min(w', h')."""
+    out = boxes.copy().astype(np.float32)
+    w = np.maximum(boxes[..., 2] - boxes[..., 0], 1.0)
+    h = np.maximum(boxes[..., 3] - boxes[..., 1], 1.0)
+    d = ratio * np.minimum(w, h)
+    out[..., 0] -= d
+    out[..., 1] -= d
+    out[..., 2] += d
+    out[..., 3] += d
+    return out
+
+
+def render_det_page(
+    rng: np.random.Generator, size: int = 512
+) -> Tuple[np.ndarray, List[List[float]]]:
+    """One synthetic page raster + its text-line pixel boxes.
+
+    Pages mix body text, tiny tick labels, and the graphic distractors the
+    detector must NOT fire on (rules, bars, circles, polylines) — rendered
+    through the native engine so the glyph rasterization matches inference.
+    """
+    from synapta_tpu.io.ingest import Document
+    from synapta_tpu.io.pdf_writer import SyntheticBook
+    from synapta_tpu.models.synthdata import fit_text, random_text
+
+    pw = ph = 360.0
+    book = SyntheticBook(width=pw, height=ph)
+    c = book.new_page()
+    boxes_pdf: List[Tuple[float, float, float, float]] = []
+    # graphic distractors first (text draws over them like real charts)
+    for _ in range(int(rng.integers(0, 4))):
+        kind = rng.integers(0, 4)
+        x0, y0 = rng.uniform(10, pw - 80), rng.uniform(10, ph - 80)
+        w, h = rng.uniform(20, 120), rng.uniform(20, 100)
+        if kind == 0:
+            c.rect(x0, y0, x0 + w, y0 + h,
+                   fill=None if rng.random() < 0.5 else
+                   tuple(rng.uniform(0.2, 0.9, 3)))
+        elif kind == 1:
+            c.line(x0, y0, x0 + w, y0 + (0 if rng.random() < 0.5 else h),
+                   width=float(rng.uniform(0.5, 2.0)))
+        elif kind == 2:
+            c.circle(x0 + w / 2, y0 + h / 2, min(w, h) / 2,
+                     fill=None if rng.random() < 0.5 else
+                     tuple(rng.uniform(0.2, 0.9, 3)))
+        else:
+            pts = [(x0 + w * t / 6.0,
+                    y0 + h * rng.random()) for t in range(7)]
+            c.polyline(pts, width=float(rng.uniform(0.8, 1.6)))
+    n_lines = int(rng.integers(6, 22))
+    y = rng.uniform(8, 24)
+    for _ in range(n_lines):
+        if y > ph - 16:
+            break
+        tiny = rng.random() < 0.25
+        sz = float(rng.uniform(5, 8)) if tiny else float(rng.uniform(8, 16))
+        text = fit_text(random_text(rng), 40 if not tiny else 8)
+        x = rng.uniform(6, pw * 0.5)
+        bb = c.text(x, y, text, size=sz, bold=bool(rng.random() < 0.2),
+                    record=False)
+        if bb is not None:
+            boxes_pdf.append(bb)
+        y += sz * rng.uniform(1.3, 2.6)
+    doc = Document(data=book.tobytes())
+    scale = size / pw
+    page = doc.render(0, dpi=72.0 * scale)
+    doc.close()
+    gray = (
+        0.299 * page[..., 0] + 0.587 * page[..., 1] + 0.114 * page[..., 2]
+    ).astype(np.float32) / 255.0
+    canvas = np.ones((size, size), np.float32)
+    canvas[: min(size, gray.shape[0]), : min(size, gray.shape[1])] = gray[
+        :size, :size
+    ]
+    # scanned-style degradation (30%): grey paper, noise, mild skew —
+    # the domain where this detector earns its keep over the heuristic
+    if rng.random() < 0.3:
+        canvas = canvas * rng.uniform(0.82, 0.95) + rng.uniform(0.02, 0.08)
+        canvas = np.clip(
+            canvas + rng.normal(0, rng.uniform(0.01, 0.04), canvas.shape), 0, 1
+        ).astype(np.float32)
+    px_boxes = [
+        [b[0] * scale, b[1] * scale, b[2] * scale, b[3] * scale]
+        for b in boxes_pdf
+        if b[2] > b[0] and b[3] > b[1] and b[0] * scale < size
+        and b[1] * scale < size
+    ]
+    return canvas, px_boxes
+
+
+def make_det_batch(
+    rng: np.random.Generator, batch: int = 8, size: int = 512
+):
+    """-> (images (B,S,S,1), prob* (B,S/2,S/2), band (B,S/2,S/2),
+    thresh* (B,S/2,S/2)) — targets at half resolution."""
+    half = size // 2
+    imgs = np.zeros((batch, size, size, 1), np.float32)
+    prob_t = np.zeros((batch, half, half), np.float32)
+    band = np.zeros((batch, half, half), np.float32)
+    thr_t = np.zeros((batch, half, half), np.float32)
+    for i in range(batch):
+        canvas, boxes = render_det_page(rng, size)
+        imgs[i, :, :, 0] = canvas
+        for b in boxes:
+            hx0, hy0, hx1, hy1 = (v / 2.0 for v in b)
+            sx0, sy0, sx1, sy1 = shrink_box(hx0, hy0, hx1, hy1)
+            sx0, sy0 = max(sx0, 0), max(sy0, 0)
+            sx1, sy1 = min(sx1, half), min(sy1, half)
+            if sx1 > sx0 and sy1 > sy0:
+                prob_t[i, sy0:sy1, sx0:sx1] = 1.0
+            # border band: expanded minus shrunk; thresh target high at
+            # the true border, falling to background outside (constant
+            # approximation of DB's distance-normalized map — exact for
+            # the axis-aligned line geometry this corpus has)
+            ex0 = max(int(hx0 - 2), 0)
+            ey0 = max(int(hy0 - 2), 0)
+            ex1 = min(int(np.ceil(hx1 + 2)), half)
+            ey1 = min(int(np.ceil(hy1 + 2)), half)
+            if ex1 > ex0 and ey1 > ey0:
+                band[i, ey0:ey1, ex0:ex1] = 1.0
+                thr_t[i, ey0:ey1, ex0:ex1] = 0.7
+        inner = prob_t[i] > 0
+        band[i][inner] = 1.0
+        thr_t[i][inner] = 0.3
+    return imgs, prob_t, band, thr_t
+
+
+# ------------------------------------------------------------------ loss
+
+
+def db_loss(params, model, imgs, prob_t, band, thr_t):
+    out = model.apply({"params": params}, imgs)
+    p_logit = out[..., 0]
+    t_pred = jax.nn.sigmoid(out[..., 1])
+    # BCE with online hard-negative mining, 3:1 neg:pos (DB recipe)
+    bce = optax_sigmoid_bce(p_logit, prob_t)
+    pos = prob_t > 0.5
+    n_pos = jnp.maximum(pos.sum(), 1)
+    neg_bce = jnp.where(pos, -jnp.inf, bce)
+    k = jnp.minimum(3 * n_pos, bce.size - n_pos)
+    flat = neg_bce.reshape(-1)
+    topk = jax.lax.top_k(flat, flat.shape[0])[0]  # sorted desc
+    idx = jnp.arange(flat.shape[0])
+    neg_sum = jnp.where(idx < k, jnp.where(jnp.isfinite(topk), topk, 0.0),
+                        0.0).sum()
+    l_prob = (jnp.where(pos, bce, 0.0).sum() + neg_sum) / (n_pos + k)
+    # threshold map L1 inside the border band
+    l_thr = (jnp.abs(t_pred - thr_t) * band).sum() / jnp.maximum(
+        band.sum(), 1.0
+    )
+    # differentiable binarization dice
+    b_hat = jax.nn.sigmoid(50.0 * (jax.nn.sigmoid(p_logit) - t_pred))
+    inter = (b_hat * prob_t).sum()
+    l_bin = 1.0 - 2.0 * inter / (b_hat.sum() + prob_t.sum() + 1e-6)
+    return l_prob + 10.0 * l_thr + l_bin
+
+
+def optax_sigmoid_bce(logits, labels):
+    log_p = jax.nn.log_sigmoid(logits)
+    log_np = jax.nn.log_sigmoid(-logits)
+    return -(labels * log_p + (1.0 - labels) * log_np)
+
+
+# ------------------------------------------------------------- training
+
+
+def save_det_params(params, path: str = DET_WEIGHTS_PATH) -> None:
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_det_params(path: str = DET_WEIGHTS_PATH, size: int = 512):
+    from flax import serialization
+
+    template = jax.eval_shape(
+        lambda: Detector().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, size, size, 1), jnp.float32)
+        )["params"]
+    )
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def train_detector(
+    steps: int = 400,
+    batch: int = 8,
+    lr: float = 1e-3,
+    seed: int = 0,
+    size: int = 512,
+    out: str = DET_WEIGHTS_PATH,
+    init_from: str | None = None,
+    log_every: int = 50,
+) -> None:
+    import optax
+
+    from synapta_tpu.utils.jaxsetup import setup_jax
+
+    setup_jax()
+    model = Detector()
+    if init_from:
+        params = load_det_params(init_from, size)
+    else:
+        params = model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((2, size, size, 1))
+        )["params"]
+    tx = optax.adamw(optax.warmup_cosine_decay_schedule(0.0, lr, 50, steps))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, imgs, prob_t, band, thr_t):
+        loss, grads = jax.value_and_grad(db_loss)(
+            params, model, imgs, prob_t, band, thr_t
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    import time
+
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    for s in range(steps):
+        imgs, prob_t, band, thr_t = make_det_batch(rng, batch, size)
+        params, opt_state, loss = step_fn(
+            params, opt_state, imgs, prob_t, band, thr_t
+        )
+        if (s + 1) % log_every == 0:
+            print(
+                f"step {s + 1}/{steps} loss {float(loss):.4f} "
+                f"({(time.time() - t0) / (s + 1):.3f}s/step)",
+                flush=True,
+            )
+            save_det_params(params, out)
+    save_det_params(params, out)
+    print(f"saved -> {out}")
+
+
+# ------------------------------------------------------------ inference
+
+
+class DBLineDetector:
+    """Drop-in alternative to ocr/linedet.detect_lines: probability map ->
+    device CC -> compact (B, K, 5) boxes -> host unshrink + filtering."""
+
+    def __init__(self, weights_path: str = DET_WEIGHTS_PATH,
+                 det_size: int = 512, prob_thresh: float = 0.3):
+        self.model = Detector()
+        self.params = load_det_params(weights_path, det_size)
+        self.det_size = det_size
+        self.prob_thresh = prob_thresh
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _boxes_device(self, params, gray):  # (B, S, S) float in [0,1]
+        from synapta_tpu.ops.cc import (
+            component_stats_device,
+            connected_components,
+        )
+
+        out = self.model.apply({"params": params}, gray[..., None])
+        prob = jax.nn.sigmoid(out[..., 0])
+        mask = (prob > self.prob_thresh).astype(jnp.float32)
+        labels = connected_components(mask, max_iters=10)
+        stats = component_stats_device(labels, k=128)
+        return jnp.stack(
+            [
+                stats["x0"].astype(jnp.float32),
+                stats["y0"].astype(jnp.float32),
+                stats["x1"].astype(jnp.float32) + 1.0,
+                stats["y1"].astype(jnp.float32) + 1.0,
+                stats["area"],
+            ],
+            axis=-1,
+        )
+
+    def detect_lines(self, rgb_batch: np.ndarray) -> List[List[List[int]]]:
+        """(B, H, W, 3) uint8 -> per-crop reading-ordered [x0,y0,x1,y1]
+        in input pixel coordinates (same contract as linedet.detect_lines)."""
+        b, h, w = rgb_batch.shape[:3]
+        gray = (
+            0.299 * rgb_batch[..., 0]
+            + 0.587 * rgb_batch[..., 1]
+            + 0.114 * rgb_batch[..., 2]
+        ).astype(np.float32) / 255.0
+        s = self.det_size
+        if (h, w) != (s, s):
+            import jax.image as jimage
+
+            gray = np.asarray(
+                jimage.resize(jnp.asarray(gray), (b, s, s), "bilinear")
+            )
+        boxes = np.asarray(self._boxes_device(self.params, jnp.asarray(gray)))
+        # half-res map -> input scale
+        sx = w / float(s)
+        sy = h / float(s)
+        out: List[List[List[int]]] = []
+        for i in range(b):
+            rows = []
+            valid = boxes[i][boxes[i][:, 4] > 4.0]
+            if len(valid):
+                un = unshrink_boxes(valid[:, :4])
+                for x0, y0, x1, y1 in un:
+                    bx = [
+                        int(max(x0 * 2 * sx, 0)),
+                        int(max(y0 * 2 * sy, 0)),
+                        int(min(x1 * 2 * sx, w)),
+                        int(min(y1 * 2 * sy, h)),
+                    ]
+                    bw, bh = bx[2] - bx[0], bx[3] - bx[1]
+                    if bw < 6 or bh < 5 or bh > 64 or bw < bh * 0.6:
+                        continue
+                    rows.append(bx)
+            rows.sort(key=lambda bb: (bb[1], bb[0]))
+            out.append(rows)
+        return out
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--out", default=DET_WEIGHTS_PATH)
+    ap.add_argument("--init-from", default=None)
+    args = ap.parse_args()
+    train_detector(args.steps, args.batch, args.lr, args.seed, args.size,
+                   args.out, args.init_from)

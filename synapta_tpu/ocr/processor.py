@@ -41,6 +41,15 @@ class TPUOCR:
             )
         self.params = load_params(path)
         self.model = Recognizer()
+        # line detection backend: "heuristic" (ink morphology, exact on
+        # clean renders, default) or "db" (trainable DB-style model,
+        # models/detector.py — the PaddleOCR-DBNet parity path for
+        # degraded/scanned inputs)
+        self._db_detector = None
+        if getattr(cfg, "line_detector", "heuristic") == "db":
+            from synapta_tpu.models.detector import DBLineDetector
+
+            self._db_detector = DBLineDetector(det_size=cfg.crop_size)
 
         def _decode(p, x):
             # tiles arrive uint8 (4x less tunnel H2D than f32); normalize
@@ -192,7 +201,11 @@ class TPUOCR:
                 extract_line_boxes(line_boxes[i]) for i in range(crops.shape[0])
             ]
         else:
-            per_crop_boxes = detect_lines(crops)
+            per_crop_boxes = (
+                self._db_detector.detect_lines(crops)
+                if self._db_detector is not None
+                else detect_lines(crops)
+            )
         from synapta_tpu.utils.profiler import TIMERS
 
         tiles, owners, boxes_flat, parts = [], [], [], []

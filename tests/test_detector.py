@@ -1,0 +1,116 @@
+"""Trainable DB-style detector (models/detector.py): target geometry,
+loss sanity, and — once weights exist — box recall/IoU on synthetic pages
+vs the known text-line truth (the parity surface SURVEY §2.3's
+"JAX DBNet detector" row requires)."""
+import os
+
+import numpy as np
+import pytest
+
+from synapta_tpu.models.detector import (
+    DET_WEIGHTS_PATH,
+    DBLineDetector,
+    make_det_batch,
+    render_det_page,
+    shrink_box,
+    unshrink_boxes,
+)
+
+needs_det_weights = pytest.mark.skipif(
+    not os.path.exists(DET_WEIGHTS_PATH), reason="detector not trained"
+)
+
+
+def test_shrink_unshrink_roundtrip():
+    x0, y0, x1, y1 = 10.0, 20.0, 210.0, 40.0
+    s = shrink_box(x0, y0, x1, y1)
+    assert x0 < s[0] < s[2] < x1 and y0 < s[1] < s[3] < y1
+    un = unshrink_boxes(np.array([s], np.float32))[0]
+    # unshrink recovers the original box within a couple of pixels
+    assert abs(un[0] - x0) < 3 and abs(un[1] - y0) < 3
+    assert abs(un[2] - x1) < 3 and abs(un[3] - y1) < 3
+
+
+def test_det_batch_targets():
+    rng = np.random.default_rng(1)
+    imgs, prob_t, band, thr_t = make_det_batch(rng, batch=2)
+    assert imgs.shape == (2, 512, 512, 1)
+    assert prob_t.shape == (2, 256, 256)
+    # positives exist and sit inside the border band
+    assert prob_t.sum() > 0
+    assert float((band >= prob_t).min()) == 1.0
+    # threshold target: 0.3 inside text, 0.7 at borders, 0 elsewhere
+    uniq = set(np.round(np.unique(thr_t).astype(np.float64), 2))
+    assert uniq.issubset({0.0, 0.3, 0.7}), uniq
+
+
+def test_db_loss_decreases_on_perfect_prediction():
+    import jax.numpy as jnp
+
+    from synapta_tpu.models.detector import Detector, db_loss
+
+    rng = np.random.default_rng(2)
+    imgs, prob_t, band, thr_t = make_det_batch(rng, batch=1, size=128)
+    model = Detector()
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(imgs))["params"]
+    loss = db_loss(params, model, jnp.asarray(imgs), jnp.asarray(prob_t),
+                   jnp.asarray(band), jnp.asarray(thr_t))
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def _recall_iou(pred, truth, iou_thresh=0.3):
+    hit = 0
+    for t in truth:
+        best = 0.0
+        for p in pred:
+            ix0, iy0 = max(t[0], p[0]), max(t[1], p[1])
+            ix1, iy1 = min(t[2], p[2]), min(t[3], p[3])
+            inter = max(ix1 - ix0, 0) * max(iy1 - iy0, 0)
+            a = (t[2] - t[0]) * (t[3] - t[1]) + (p[2] - p[0]) * (
+                p[3] - p[1]
+            ) - inter
+            best = max(best, inter / a if a > 0 else 0.0)
+        hit += best >= iou_thresh
+    return hit / max(len(truth), 1)
+
+
+@needs_det_weights
+def test_db_backend_through_processor():
+    """OCRConfig.line_detector='db' drives the full process_batch path."""
+    from synapta_tpu.config import OCRConfig
+    from synapta_tpu.models.train import WEIGHTS_PATH
+    from synapta_tpu.ocr.processor import TPUOCR
+
+    if not os.path.exists(WEIGHTS_PATH):
+        pytest.skip("recognizer weights not trained")
+    rng = np.random.default_rng(5)
+    canvas, truth = render_det_page(rng, 512)
+    rgb = np.repeat((canvas[..., None] * 255).astype(np.uint8), 3, -1)[None]
+    ocr = TPUOCR(OCRConfig(line_detector="db"))
+    out = ocr.process_batch(rgb)
+    assert len(out) == 1
+    assert out[0].blocks, "db backend found no text on a text-full page"
+    assert out[0].confidence > 0.3
+
+
+@needs_det_weights
+def test_trained_detector_finds_lines():
+    rng = np.random.default_rng(3)
+    det = DBLineDetector()
+    recalls = []
+    for _ in range(4):
+        canvas, truth = render_det_page(rng, 512)
+        rgb = np.repeat(
+            (canvas[..., None] * 255).astype(np.uint8), 3, axis=-1
+        )[None]
+        pred = det.detect_lines(rgb)[0]
+        # truth boxes big enough to be text lines (same floor the
+        # heuristic path applies)
+        truth_px = [
+            t for t in truth
+            if (t[2] - t[0]) >= 6 and 5 <= (t[3] - t[1]) <= 64
+        ]
+        recalls.append(_recall_iou(pred, truth_px))
+    assert float(np.mean(recalls)) >= 0.8, recalls
