@@ -69,8 +69,38 @@ def _load_lib():
     ]
     lib.spdf_decode_image.restype = ctypes.c_void_p
     lib.spdf_free.argtypes = [ctypes.c_void_p]
+    lib.spdf_png_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.spdf_png_encode.restype = ctypes.c_void_p
     _lib = lib
     return lib
+
+
+def png_encode(rgb: "np.ndarray") -> bytes:
+    """PNG-encode an (H, W, 3) uint8 array via the native engine (filter-
+    NONE rows + fast deflate — ~3x cheaper than PIL's adaptive-filter
+    encoder on crop renders; profiled as the largest host CPU stage of
+    the 1,000-page bench). ctypes releases the GIL for the call, so pool
+    threads overlap it like the PIL path it replaces."""
+    import numpy as np
+
+    lib = _load_lib()
+    arr = np.ascontiguousarray(rgb)
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("png_encode expects (H, W, 3) uint8")
+    n = ctypes.c_long(0)
+    p = lib.spdf_png_encode(
+        arr.ctypes.data_as(ctypes.c_char_p), arr.shape[1], arr.shape[0],
+        ctypes.byref(n),
+    )
+    if not p:
+        raise RuntimeError("native PNG encode failed")
+    try:
+        return ctypes.string_at(p, n.value)
+    finally:
+        lib.spdf_free(p)
 
 
 class Document:

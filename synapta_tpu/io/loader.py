@@ -55,9 +55,15 @@ def prepare_batch(
 
     def encode_png(img: np.ndarray) -> bytes:
         with timers.stage("png_encode"):
-            bio = _io.BytesIO()
-            Image.fromarray(img).save(bio, format="PNG", compress_level=1)
-            return bio.getvalue()
+            try:
+                from synapta_tpu.io.ingest import png_encode
+
+                return png_encode(img)
+            except Exception:
+                # native engine absent/failed: PIL fallback
+                bio = _io.BytesIO()
+                Image.fromarray(img).save(bio, format="PNG", compress_level=1)
+                return bio.getvalue()
 
     regions: List[Any] = []
     rendered: List[Any] = []

@@ -58,6 +58,35 @@ class ResultsWriter:
         self.jsonl_path = self.output_dir / f".{book_id}_segments.jsonl"
         self._seen_ids: set[str] = set()
         self._dicts: List[Dict[str, Any]] = []
+        # persistent append handle + batched fsync: per-segment
+        # open/fsync cost ~5ms each on the bench book (profiled). Appends
+        # flush to the OS on every write; fsync happens every
+        # _SYNC_EVERY appends and at finalize. A crash loses at most the
+        # un-synced tail — load_checkpoint already tolerates torn tails,
+        # and resume re-derives the lost segments from their pages.
+        self._f = None
+        self._unsynced = 0
+
+    _SYNC_EVERY = 64
+
+    def _log_write(self, d: Dict[str, Any], sync: bool = False) -> None:
+        if self._f is None:
+            self._f = open(self.jsonl_path, "a", encoding="utf-8")
+        self._f.write(json.dumps(d, ensure_ascii=False) + "\n")
+        self._f.flush()
+        self._unsynced += 1
+        if sync or self._unsynced >= self._SYNC_EVERY:
+            os.fsync(self._f.fileno())
+            self._unsynced = 0
+
+    def close_log(self) -> None:
+        if self._f is not None:
+            if self._unsynced:
+                self._f.flush()
+                os.fsync(self._f.fileno())
+                self._unsynced = 0
+            self._f.close()
+            self._f = None
 
     # ---- resume -----------------------------------------------------------
 
@@ -100,10 +129,7 @@ class ResultsWriter:
         d = segment.to_dict()
         self._seen_ids.add(segment.segment_id)
         self._dicts.append(d)
-        with open(self.jsonl_path, "a", encoding="utf-8") as f:
-            f.write(json.dumps(d, ensure_ascii=False) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
+        self._log_write(d)
         return True
 
     def append_dict(self, d: Dict[str, Any]) -> bool:
@@ -112,8 +138,7 @@ class ResultsWriter:
             return False
         self._seen_ids.add(sid)
         self._dicts.append(d)
-        with open(self.jsonl_path, "a", encoding="utf-8") as f:
-            f.write(json.dumps(d, ensure_ascii=False) + "\n")
+        self._log_write(d)
         return True
 
     def update(self, segment: VisualSegment) -> None:
@@ -127,8 +152,7 @@ class ResultsWriter:
         else:
             self._seen_ids.add(segment.segment_id)
             self._dicts.append(d)
-        with open(self.jsonl_path, "a", encoding="utf-8") as f:
-            f.write(json.dumps(d, ensure_ascii=False) + "\n")
+        self._log_write(d)
 
     def write_png(self, segment_id: str, png_bytes: bytes) -> str:
         path = self.output_dir / f"{segment_id}.png"
@@ -155,6 +179,7 @@ class ResultsWriter:
     def finalize(self) -> None:
         """Compact JSONL into the canonical JSON + write the summary CSV
         (ref :3900-3952)."""
+        self.close_log()
         self._write_json()
         self._write_csv()
 

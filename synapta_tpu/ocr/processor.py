@@ -115,14 +115,22 @@ class TPUOCR:
         sub = src[yy0:yy1, xx0:xx1]
         if sub.size == 0:
             sub = np.full((8, 8, 3), 255, np.uint8)
+        # integer luma (ITU-R 601 in 8.8 fixed point): the float path made
+        # float64 temporaries per tile and showed up in ocr_tile_prep
+        s16 = sub.astype(np.uint16)
         gray = (
-            0.299 * sub[..., 0] + 0.587 * sub[..., 1] + 0.114 * sub[..., 2]
+            (77 * s16[..., 0] + 150 * s16[..., 1] + 29 * s16[..., 2]) >> 8
         ).astype(np.uint8)
         # contrast-normalize: scanned/photographed sources have grey
         # backgrounds and compressed ink range (the recognizer trains on
         # clean white renders); stretch the 1-99 percentile span to full
         # range. Identity-ish on clean tiles (bg 255, ink ~0 already).
-        lo, hi = np.percentile(gray, (1.0, 99.0))
+        # Percentiles via the 256-bin histogram: np.percentile sorts the
+        # whole tile (~2ms each at hires) — the histogram is ~10x cheaper.
+        cum = np.cumsum(np.bincount(gray.ravel(), minlength=256))
+        n_px = cum[-1]
+        lo = float(np.searchsorted(cum, 0.01 * n_px))
+        hi = float(np.searchsorted(cum, 0.99 * n_px))
         if hi - lo > 30.0:
             gray = np.clip(
                 (gray.astype(np.float32) - lo) * (255.0 / (hi - lo)),
