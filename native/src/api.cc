@@ -194,16 +194,79 @@ uint8_t* spdf_decode_image(void* handle, int obj_num, int* w, int* h) {
 // deflates fine unfiltered, so fixed filter 0 + fast deflate cuts the
 // per-crop host cost ~3x on the 1-core host (profiled: png_encode was
 // the single largest CPU stage of the 1,000-page bench).
+//
+// Crops with <= 256 distinct colors (virtually every chart/diagram
+// render: flat fills + antialiased text against white) additionally
+// take the palettized PNG8 path — deflate then runs over 1 byte/px
+// instead of 3, which cuts the dominant compress cost ~3x again and
+// produces smaller files. Photographic crops (> 256 colors) fall back
+// to truecolor. Both emit spec-conformant PNGs (lossless either way).
 // Returns malloc'd PNG bytes, sets *out_len; caller frees via spdf_free.
 uint8_t* spdf_png_encode(const uint8_t* rgb, int w, int h, long* out_len) {
   *out_len = 0;
   if (!rgb || w <= 0 || h <= 0) return nullptr;
   const size_t stride = (size_t)w * 3;
-  std::vector<uint8_t> raw((stride + 1) * (size_t)h);
-  for (int y = 0; y < h; y++) {
-    uint8_t* row = raw.data() + (stride + 1) * (size_t)y;
-    row[0] = 0;  // filter: NONE
-    memcpy(row + 1, rgb + stride * (size_t)y, stride);
+  const size_t n_px = (size_t)w * (size_t)h;
+
+  // ---- try to palettize: open-addressed map of 24-bit colors ----------
+  // 2048 slots (power of two); key = color | 0x80000000 marks occupancy.
+  // A last-color fast path makes runs (white background) ~1 compare/px.
+  std::vector<uint8_t> idx(n_px);
+  uint32_t slots[2048];
+  memset(slots, 0, sizeof(slots));
+  uint8_t slot_idx[2048];
+  std::vector<uint8_t> palette;  // r,g,b triplets
+  palette.reserve(256 * 3);
+  int n_colors = 0;
+  uint32_t last_color = 0xffffffffu;
+  uint8_t last_idx = 0;
+  bool palettized = true;
+  for (size_t i = 0; i < n_px; i++) {
+    const uint8_t* p = rgb + i * 3;
+    uint32_t c = ((uint32_t)p[0] << 16) | ((uint32_t)p[1] << 8) | p[2];
+    if (c == last_color) {
+      idx[i] = last_idx;
+      continue;
+    }
+    uint32_t key = c | 0x80000000u;
+    uint32_t slot = (c * 2654435761u) >> 21;  // top 11 bits
+    while (true) {
+      uint32_t s = slots[slot & 2047];
+      if (s == key) break;
+      if (s == 0) {
+        if (n_colors == 256) { palettized = false; break; }
+        slots[slot & 2047] = key;
+        slot_idx[slot & 2047] = (uint8_t)n_colors;
+        palette.push_back(p[0]);
+        palette.push_back(p[1]);
+        palette.push_back(p[2]);
+        n_colors++;
+        break;
+      }
+      slot++;
+    }
+    if (!palettized) break;
+    last_color = c;
+    last_idx = slot_idx[slot & 2047];
+    idx[i] = last_idx;
+  }
+
+  // ---- raw scanlines (filter byte 0 per row) ---------------------------
+  std::vector<uint8_t> raw;
+  if (palettized) {
+    raw.resize(((size_t)w + 1) * (size_t)h);
+    for (int y = 0; y < h; y++) {
+      uint8_t* row = raw.data() + ((size_t)w + 1) * (size_t)y;
+      row[0] = 0;
+      memcpy(row + 1, idx.data() + (size_t)w * (size_t)y, w);
+    }
+  } else {
+    raw.resize((stride + 1) * (size_t)h);
+    for (int y = 0; y < h; y++) {
+      uint8_t* row = raw.data() + (stride + 1) * (size_t)y;
+      row[0] = 0;  // filter: NONE
+      memcpy(row + 1, rgb + stride * (size_t)y, stride);
+    }
   }
   uLongf bound = compressBound((uLong)raw.size());
   std::vector<uint8_t> idat(bound);
@@ -212,7 +275,7 @@ uint8_t* spdf_png_encode(const uint8_t* rgb, int w, int h, long* out_len) {
     return nullptr;
 
   std::vector<uint8_t> png;
-  png.reserve(bound + 64);
+  png.reserve(bound + 64 + palette.size());
   static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a,
                                  '\n'};
   png.insert(png.end(), sig, sig + 8);
@@ -234,10 +297,11 @@ uint8_t* spdf_png_encode(const uint8_t* rgb, int w, int h, long* out_len) {
   uint8_t ihdr[13];
   be32((uint32_t)w, ihdr);
   be32((uint32_t)h, ihdr + 4);
-  ihdr[8] = 8;   // bit depth
-  ihdr[9] = 2;   // color type: truecolor RGB
+  ihdr[8] = 8;                         // bit depth
+  ihdr[9] = palettized ? 3 : 2;        // color type: indexed / truecolor
   ihdr[10] = ihdr[11] = ihdr[12] = 0;  // deflate / filter 0 / no interlace
   chunk("IHDR", ihdr, 13);
+  if (palettized) chunk("PLTE", palette.data(), palette.size());
   chunk("IDAT", idat.data(), bound);
   chunk("IEND", nullptr, 0);
 
@@ -245,6 +309,41 @@ uint8_t* spdf_png_encode(const uint8_t* rgb, int w, int h, long* out_len) {
   memcpy(out, png.data(), png.size());
   *out_len = (long)png.size();
   return out;
+}
+
+// Fused luma + 2x2-strided subsample over a crop batch — the analyze
+// pass's H2D prep (ops/color.gray_quarter_host). The numpy version costs
+// ~100ms per 32-crop chunk in uint16 temporaries on the 1-core host;
+// this single pass runs at memory speed (~15ms) and releases the GIL
+// via ctypes. gray: (n,h,w) uint8, integer luma (77,150,29)/256 with
+// rounding — bit-identical to the numpy path. rgbq: (n,h/2,w/2,3) uint8.
+// Caller allocates both outputs.
+void spdf_gray_quarter(const uint8_t* rgb, int n, int h, int w,
+                       uint8_t* gray, uint8_t* rgbq) {
+  const int hq = h / 2, wq = w / 2;
+  for (int i = 0; i < n; i++) {
+    const uint8_t* src = rgb + (size_t)i * h * w * 3;
+    uint8_t* g = gray + (size_t)i * h * w;
+    uint8_t* q = rgbq + (size_t)i * hq * wq * 3;
+    for (int y = 0; y < h; y++) {
+      const uint8_t* row = src + (size_t)y * w * 3;
+      uint8_t* grow = g + (size_t)y * w;
+      for (int x = 0; x < w; x++) {
+        const uint8_t* p = row + x * 3;
+        grow[x] =
+            (uint8_t)((77 * p[0] + 150 * p[1] + 29 * p[2] + 128) >> 8);
+      }
+      if ((y & 1) == 0 && (y >> 1) < hq) {
+        uint8_t* qrow = q + (size_t)(y >> 1) * wq * 3;
+        for (int x = 0; x < wq; x++) {
+          const uint8_t* p = row + (size_t)(x * 2) * 3;
+          qrow[x * 3] = p[0];
+          qrow[x * 3 + 1] = p[1];
+          qrow[x * 3 + 2] = p[2];
+        }
+      }
+    }
+  }
 }
 
 void spdf_free(void* p) { free(p); }

@@ -19,6 +19,7 @@ Replaces the reference's serial in-loop page walk
 """
 from __future__ import annotations
 
+import hashlib
 import io as _io
 import os
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
@@ -100,6 +101,12 @@ def prepare_batch(
                     if png_pool is not None
                     else encode_png(hi)
                 )
+                # segment ids hash the RAW render, not the encoded PNG —
+                # encoder changes must not re-id (and so duplicate on
+                # resume) identical content (io/writers.segment_id_for_region)
+                r.content_digest = hashlib.md5(
+                    np.ascontiguousarray(hi).tobytes()
+                ).hexdigest()[:8]
                 rendered.append((arr, ctx_val, png))
             except Exception as e:
                 rendered.append(e)

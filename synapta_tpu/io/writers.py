@@ -45,6 +45,22 @@ def segment_id_for(book_id: str, page_num: int, image_bytes: bytes) -> str:
     return f"{book_id}_p{page_num:03d}_{hashlib.md5(image_bytes).hexdigest()[:8]}"
 
 
+def segment_id_for_region(book_id: str, region, png: bytes) -> str:
+    """Content-hash id for a prepared region, preferring the RAW-PIXEL
+    digest the loader stamps on it (``region.content_digest``).
+
+    Hashing the encoded PNG made ids depend on the encoder: when the
+    native encoder gained palettization the bytes changed for identical
+    pixels, so a resume re-added every previously-checkpointed segment
+    under a new id. The raw render is what the id is semantically about;
+    the PNG-bytes path remains only as a fallback for regions prepared
+    without a digest."""
+    digest = getattr(region, "content_digest", None)
+    if digest:
+        return f"{book_id}_p{region.page_num:03d}_{digest}"
+    return segment_id_for(book_id, region.page_num, png)
+
+
 class ResultsWriter:
     """Owns all pipeline outputs for one book run."""
 

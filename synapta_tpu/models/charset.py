@@ -35,3 +35,32 @@ def decode_greedy(best_ids) -> str:
             out.append(ID_TO_CHAR.get(i, ""))
         prev = i
     return "".join(out)
+
+
+# lookup table for the batched decode: id -> char ('' for blank/OOR)
+_LUT = None
+
+
+def decode_greedy_batch(best: "object") -> list[str]:
+    """Vectorized CTC greedy decode of an (N, T) int array.
+
+    One numpy pass computes the keep mask (frame differs from its
+    predecessor and is non-blank) for the whole batch; per row only the
+    kept ids hit Python. ~10x cheaper than per-tile decode_greedy on the
+    1-core host (the bench decodes ~15k tiles/book)."""
+    import numpy as np
+
+    global _LUT
+    if _LUT is None:
+        lut = np.array([""] + list(CHARS), dtype=object)
+        _LUT = lut
+    best = np.asarray(best)
+    if best.ndim == 1:
+        best = best[None]
+    keep = np.empty(best.shape, dtype=bool)
+    keep[:, 0] = best[:, 0] != BLANK
+    keep[:, 1:] = (best[:, 1:] != best[:, :-1]) & (best[:, 1:] != BLANK)
+    safe = np.where(best < len(_LUT), best, 0)
+    return [
+        "".join(_LUT[safe[i][keep[i]]]) for i in range(best.shape[0])
+    ]

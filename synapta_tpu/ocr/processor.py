@@ -176,17 +176,25 @@ class TPUOCR:
 
     @staticmethod
     def recognize_sync(pending) -> List[Dict]:
-        """Host half: materialize dispatched batches and CTC-decode."""
+        """Host half: materialize dispatched batches and CTC-decode
+        (batched numpy decode — the per-tile Python loop was ~2s/book)."""
+        from synapta_tpu.models.charset import decode_greedy_batch
+
         out: List[Dict] = []
         for dev_packed, chunk_n, pad_n in pending:
             packed = np.asarray(dev_packed)
-            best = packed[..., 0].astype(np.int32)
-            conf = packed[..., 1]
-            for i in range(chunk_n - pad_n):
-                text = decode_greedy(best[i])
-                nonblank = best[i] != BLANK
-                c = float(conf[i][nonblank].mean()) if nonblank.any() else 0.0
-                out.append({"text": text, "confidence": c * 100.0})
+            n = chunk_n - pad_n
+            best = packed[:n, :, 0].astype(np.int32)
+            conf = packed[:n, :, 1]
+            texts = decode_greedy_batch(best)
+            nonblank = best != BLANK
+            counts = nonblank.sum(axis=1)
+            sums = np.where(nonblank, conf, 0.0).sum(axis=1)
+            means = np.where(counts > 0, sums / np.maximum(counts, 1), 0.0)
+            out.extend(
+                {"text": t, "confidence": float(c) * 100.0}
+                for t, c in zip(texts, means)
+            )
         return out
 
     # ---------------------------------------------------------------- crops

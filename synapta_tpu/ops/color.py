@@ -5,16 +5,27 @@ import jax.numpy as jnp
 
 
 def gray_quarter_host(rgb):
-    """HOST-side (numpy) luma + 2x2-strided color subsample — the analyze
+    """HOST-side luma + 2x2-strided color subsample — the analyze
     pass's H2D diet. The tunnel moves ~40MB/s, so shipping (gray u8 +
     quarter-res RGB) instead of full RGB cuts the transfer 2.4x; gray uses
     the integer luma (77, 150, 29)/256 (max 0.7 gray-level deviation from
     the float weights below — decision thresholds are locked by tests).
     The strided subsample is itself a uniform spatial sample, so the
     k-means mask statistics survive (the reference sampled <= 5000 px
-    anyway, ref pdf_image_segmentation.py:1582)."""
+    anyway, ref pdf_image_segmentation.py:1582).
+
+    Computed by the native engine when present (one memory-speed pass,
+    GIL-free; the numpy uint16 path costs ~100ms per 32-crop chunk on the
+    1-core host) with a bit-identical numpy fallback."""
     import numpy as np
 
+    if rgb.ndim == 4 and rgb.shape[-1] == 3 and rgb.dtype == np.uint8:
+        try:
+            from synapta_tpu.io.ingest import gray_quarter_native
+
+            return gray_quarter_native(rgb)
+        except Exception:
+            pass
     r = rgb[..., 0].astype(np.uint16)
     g = rgb[..., 1].astype(np.uint16)
     b = rgb[..., 2].astype(np.uint16)

@@ -28,7 +28,7 @@ import numpy as np
 
 from synapta_tpu.config import PipelineConfig
 from synapta_tpu.io.ingest import Document, open_pdf
-from synapta_tpu.io.writers import ResultsWriter, segment_id_for
+from synapta_tpu.io.writers import ResultsWriter, segment_id_for_region
 from synapta_tpu.linker.concepts import ConceptLinker
 from synapta_tpu.llm.fake import DisabledClient
 from synapta_tpu.llm.pixtral import PixtralClient, convert_metadata
@@ -335,7 +335,7 @@ class VisualSegmentationPipeline:
         analysis_futures = []
         for i, r in enumerate(regions):
             if keep[i] and not self.writer.has_segment(
-                segment_id_for(self.cfg.book_id, r.page_num, pngs[i])
+                segment_id_for_region(self.cfg.book_id, r, pngs[i])
             ):
                 analysis_futures.append(
                     self.llm.submit_comprehensive(canvases[i], ocr_results[i])
@@ -474,7 +474,7 @@ class VisualSegmentationPipeline:
         so they only run after the writer holds the segment.
         """
         cfg = self.cfg
-        sid = segment_id_for(cfg.book_id, region.page_num, png)
+        sid = segment_id_for_region(cfg.book_id, region, png)
         if self.writer.has_segment(sid):
             return None  # resume skip
         seg = VisualSegment(

@@ -45,6 +45,7 @@ class DetectedRegion:
     notes: str = ""
     image_obj: Optional[int] = None    # PDF object number for embedded images
     variance: Optional[float] = None   # gray variance of embedded pixels
+    content_digest: Optional[str] = None  # raw-pixel md5-8, stamped by loader
 
 
 class DetectionEngine:

@@ -159,6 +159,21 @@ def test_resume_skips_done_segments(book):
     payload = json.load(open(os.path.join(out, "r_visual_segments.json")))
     assert payload["total_segments"] == first
 
+    # ids hash RAW pixels, not encoded PNGs: resume must still dedup when
+    # the PNG encoder changes (regression: palettization re-id'd every
+    # segment). Forcing the PIL fallback changes the bytes, not the id.
+    import unittest.mock as _mock
+
+    with _mock.patch(
+        "synapta_tpu.io.ingest.png_encode",
+        side_effect=RuntimeError("encoder swapped"),
+    ):
+        p3 = mk()
+        p3.process()
+    assert p3.stats.segments == 0
+    payload = json.load(open(os.path.join(out, "r_visual_segments.json")))
+    assert payload["total_segments"] == first
+
 
 @needs_weights
 def test_fake_llm_flow(book):
