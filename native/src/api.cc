@@ -1,5 +1,6 @@
 // C API for the spdf engine (ctypes-friendly). Page metadata crosses the
 // boundary as JSON; pixel buffers as malloc'd RGB8 the caller frees.
+#include <cmath>
 #include "spdf.h"
 
 #include <zlib.h>
@@ -268,11 +269,26 @@ uint8_t* spdf_png_encode(const uint8_t* rgb, int w, int h, long* out_len) {
       memcpy(row + 1, rgb + stride * (size_t)y, stride);
     }
   }
+  // Z_RLE restricts match search to run-length matches (distance 1):
+  // ~3x faster than the level-1 full matcher on these scanlines, and
+  // palettized line art (long flat runs) compresses within ~10% of it.
+  // Truecolor (photo) crops keep the full matcher: RLE rarely matches
+  // 3-byte-pixel runs, and photos are the crops where size matters.
   uLongf bound = compressBound((uLong)raw.size());
   std::vector<uint8_t> idat(bound);
-  if (compress2(idat.data(), &bound, raw.data(), (uLong)raw.size(), 1) !=
-      Z_OK)
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (deflateInit2(&zs, 1, Z_DEFLATED, 15, 8,
+                   palettized ? Z_RLE : Z_DEFAULT_STRATEGY) != Z_OK)
     return nullptr;
+  zs.next_in = (Bytef*)raw.data();
+  zs.avail_in = (uInt)raw.size();
+  zs.next_out = idat.data();
+  zs.avail_out = (uInt)bound;
+  int zrc = deflate(&zs, Z_FINISH);
+  deflateEnd(&zs);
+  if (zrc != Z_STREAM_END) return nullptr;
+  bound = (uLongf)(bound - zs.avail_out);
 
   std::vector<uint8_t> png;
   png.reserve(bound + 64 + palette.size());
@@ -342,6 +358,131 @@ void spdf_gray_quarter(const uint8_t* rgb, int n, int h, int w,
           qrow[x * 3 + 2] = p[2];
         }
       }
+    }
+  }
+}
+
+// Ink-preserving downscale of an RGB8 image to (oh, ow). Replaces the
+// second fitted-DPI rasterization of oversized regions.
+//
+// Pure area averaging (a coverage-exact box filter) matches the integral
+// the rasterizer's antialiasing computes at the lower DPI — but that
+// integral LIGHTENS sub-pixel strokes (a 1px stroke at 150 DPI becomes
+// ~0.7-coverage gray at fitted DPI), and the device feature pass
+// binarizes ink at gray<200 (ops/filters.binarize_ink): lightened
+// strokes break the morphological h/v line runs and line charts stop
+// classifying (measured: 'line' -> 'unknown' on the e2e fixture). The
+// direct fitted-DPI render never had this problem because the rasterizer
+// draws each stroke with >=1px of near-full coverage at ANY scale.
+//
+// So after averaging, each output pixel is rescaled by
+// (min luma over its footprint) / (average luma): uniform interiors are
+// untouched (min == avg), while any footprint containing ink keeps the
+// ink's darkness — strokes stay dark and connected at the cost of ~1px
+// dilation, mirroring the rasterizer's minimum-stroke-width behavior.
+// Hue is preserved because all three channels scale together.
+// Separable: horizontal into a float accumulator, then vertical.
+// Caller allocates dst (oh*ow*3).
+void spdf_box_downscale(const uint8_t* src, int h, int w, uint8_t* dst,
+                        int oh, int ow) {
+  if (h <= 0 || w <= 0 || oh <= 0 || ow <= 0) return;
+  // horizontal pass: (h, w, 3) u8 -> (h, ow, 3) float
+  std::vector<float> tmp((size_t)h * ow * 3);
+  const double sx = (double)w / ow;
+  // precompute per-output-column input spans + edge weights
+  std::vector<int> x0(ow), x1(ow);
+  std::vector<float> wx0(ow), wx1(ow);
+  for (int j = 0; j < ow; j++) {
+    double a = j * sx, b = (j + 1) * sx;
+    if (b > w) b = w;
+    int ia = (int)a, ib = (int)std::ceil(b);
+    x0[j] = ia;
+    x1[j] = ib;
+    wx0[j] = (float)(1.0 - (a - ia));        // coverage of first px
+    wx1[j] = (float)(b - (ib - 1));          // coverage of last px
+    if (ib - ia == 1) wx0[j] = (float)(b - a);  // span within one px
+  }
+  // per-(row, out-col): min luma and ink-coverage over the span
+  std::vector<uint8_t> tmin((size_t)h * ow, 255);
+  std::vector<float> tink((size_t)h * ow, 0.0f);
+  for (int y = 0; y < h; y++) {
+    const uint8_t* row = src + (size_t)y * w * 3;
+    float* trow = tmp.data() + (size_t)y * ow * 3;
+    uint8_t* mrow = tmin.data() + (size_t)y * ow;
+    float* krow = tink.data() + (size_t)y * ow;
+    for (int j = 0; j < ow; j++) {
+      float acc0 = 0, acc1 = 0, acc2 = 0, kacc = 0;
+      int ia = x0[j], ib = x1[j];
+      uint8_t mn = 255;
+      for (int x = ia; x < ib; x++) {
+        float wgt = (x == ia) ? wx0[j] : (x == ib - 1 ? wx1[j] : 1.0f);
+        const uint8_t* p = row + (size_t)x * 3;
+        acc0 += wgt * p[0];
+        acc1 += wgt * p[1];
+        acc2 += wgt * p[2];
+        uint8_t lum =
+            (uint8_t)((77 * p[0] + 150 * p[1] + 29 * p[2] + 128) >> 8);
+        if (lum < mn) mn = lum;
+        if (lum < 200) kacc += wgt;  // binarize_ink threshold
+      }
+      float inv = (float)(1.0 / sx);
+      trow[j * 3] = acc0 * inv;
+      trow[j * 3 + 1] = acc1 * inv;
+      trow[j * 3 + 2] = acc2 * inv;
+      mrow[j] = mn;
+      krow[j] = kacc * inv;
+    }
+  }
+  // vertical pass: -> (oh, ow, 3) u8, ink-coverage-blended toward min
+  const double sy = (double)h / oh;
+  std::vector<float> acc((size_t)ow * 3);
+  std::vector<float> kcol((size_t)ow);
+  std::vector<uint8_t> mcol((size_t)ow);
+  for (int i = 0; i < oh; i++) {
+    double a = i * sy, b = (i + 1) * sy;
+    if (b > h) b = h;
+    int ia = (int)a, ib = (int)std::ceil(b);
+    float w0 = (float)(1.0 - (a - ia));
+    float w1 = (float)(b - (ib - 1));
+    if (ib - ia == 1) w0 = (float)(b - a);
+    uint8_t* out = dst + (size_t)i * ow * 3;
+    std::fill(acc.begin(), acc.end(), 0.0f);
+    std::fill(kcol.begin(), kcol.end(), 0.0f);
+    std::fill(mcol.begin(), mcol.end(), (uint8_t)255);
+    for (int y = ia; y < ib; y++) {
+      float wgt = (y == ia) ? w0 : (y == ib - 1 ? w1 : 1.0f);
+      const float* trow = tmp.data() + (size_t)y * ow * 3;
+      const uint8_t* mrow = tmin.data() + (size_t)y * ow;
+      const float* krow = tink.data() + (size_t)y * ow;
+      for (int k = 0; k < ow * 3; k++) acc[k] += wgt * trow[k];
+      for (int j = 0; j < ow; j++) {
+        kcol[j] += wgt * krow[j];
+        if (mrow[j] < mcol[j]) mcol[j] = mrow[j];
+      }
+    }
+    float inv = (float)(1.0 / sy);
+    for (int j = 0; j < ow; j++) {
+      float r = acc[j * 3] * inv, g = acc[j * 3 + 1] * inv,
+            bch = acc[j * 3 + 2] * inv;
+      // blend each channel toward the footprint\'s darkest ink by the
+      // fraction of the footprint that IS ink: a sub-pixel stroke\'s core
+      // (coverage ~0.7 after a 1.5x downscale) stays below the
+      // binarize_ink threshold like the fitted-DPI rasterizer would have
+      // drawn it, while low-coverage halo pixels stay near the plain
+      // average (no stroke dilation, pie/wedge edge structure intact)
+      float f = kcol[j] * inv;
+      if (f > 1.0f) f = 1.0f;
+      float lum = (77.0f * r + 150.0f * g + 29.0f * bch) * (1.0f / 256.0f);
+      float s = 1.0f;
+      if (lum > 0.5f) {
+        float target = lum + (mcol[j] - lum) * f;
+        s = target / lum;
+        if (s > 1.0f) s = 1.0f;
+      }
+      float v0 = r * s + 0.5f, v1 = g * s + 0.5f, v2 = bch * s + 0.5f;
+      out[j * 3] = (uint8_t)(v0 < 0 ? 0 : (v0 > 255 ? 255 : v0));
+      out[j * 3 + 1] = (uint8_t)(v1 < 0 ? 0 : (v1 > 255 ? 255 : v1));
+      out[j * 3 + 2] = (uint8_t)(v2 < 0 ? 0 : (v2 > 255 ? 255 : v2));
     }
   }
 }

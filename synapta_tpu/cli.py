@@ -54,7 +54,13 @@ def main(argv=None) -> int:
     )
     pipe.process()
     if args.stats_json:
-        print(json.dumps(pipe.stats.as_dict()))
+        from synapta_tpu.utils.profiler import TIMERS
+
+        stats = pipe.stats.as_dict()
+        stats["stage_s"] = {
+            k: v["total_s"] for k, v in TIMERS.report().items()
+        }
+        print(json.dumps(stats))
     return 0
 
 

@@ -17,6 +17,17 @@ class DetectionConfig:
 
     # Rendering
     render_dpi: int = 150                      # ref :3639
+    # EXPERIMENT (default off): render oversized regions ONCE at
+    # render_dpi and derive the analysis canvas with a native
+    # ink-preserving box downscale (ingest.box_downscale) instead of a
+    # second fitted-DPI rasterization (~4.7ms/region on the 1-core bench
+    # host). Rejected as default after A/B: sub-pixel strokes that
+    # phase-split across two output rows land above the binarize_ink
+    # threshold in both, breaking morphological h/v line runs — line
+    # charts intermittently classify as 'unknown' (the direct fitted
+    # render re-rasterizes each stroke into one full-coverage row, which
+    # no local resampler can reproduce). ~2s/book is not worth that.
+    single_render: bool = False
     # Pass 1 — caption-driven detection
     caption_search_height: float = 500.0       # pt above caption, ref :3227
     caption_match_max_offset: int = 20         # caption regex must start <20 chars in, ref :3188

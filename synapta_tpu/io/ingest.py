@@ -79,6 +79,11 @@ def _load_lib():
         ctypes.c_char_p, ctypes.c_char_p,
     ]
     lib.spdf_gray_quarter.restype = None
+    lib.spdf_box_downscale.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.spdf_box_downscale.restype = None
     _lib = lib
     return lib
 
@@ -125,6 +130,29 @@ def gray_quarter_native(rgb: "np.ndarray"):
         rgbq.ctypes.data_as(ctypes.c_char_p),
     )
     return gray, rgbq
+
+
+def box_downscale(rgb: "np.ndarray", oh: int, ow: int) -> "np.ndarray":
+    """Native area-average downscale of an (H, W, 3) uint8 image.
+
+    Coverage-exact box filter: each output pixel is the mean of its
+    (fractional) source footprint — the same integral the rasterizer's
+    antialiasing computes when rendering directly at the lower DPI, so a
+    downscaled 150-DPI render is a faithful stand-in for a second
+    fitted-DPI rasterization (unlike bilinear point-sampling, which drops
+    sub-pixel strokes). Used by io/loader to halve region raster cost."""
+    import numpy as np
+
+    lib = _load_lib()
+    arr = np.ascontiguousarray(rgb)
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("box_downscale expects (H, W, 3) uint8")
+    out = np.empty((oh, ow, 3), np.uint8)
+    lib.spdf_box_downscale(
+        arr.ctypes.data_as(ctypes.c_char_p), arr.shape[0], arr.shape[1],
+        out.ctypes.data_as(ctypes.c_char_p), oh, ow,
+    )
+    return out
 
 
 class Document:

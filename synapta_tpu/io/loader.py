@@ -88,10 +88,31 @@ def prepare_batch(
                 dpi = min(render_dpi, 72.0 * canvas_size / max(w_pt, h_pt))
                 clip = [r.bbox.x0, r.bbox.y0, r.bbox.x1, r.bbox.y1]
                 with timers.stage("render"):
-                    arr = render_doc.render(r.page_num, dpi=dpi, clip=clip)
                     if dpi >= render_dpi - 1e-6:
+                        arr = render_doc.render(
+                            r.page_num, dpi=dpi, clip=clip
+                        )
                         hi, ctx_val = arr, None
+                    elif getattr(engine.cfg, "single_render", True):
+                        # render ONCE at full DPI; the analysis canvas is
+                        # a coverage-exact box downscale (same integral
+                        # the rasterizer's antialiasing computes at the
+                        # fitted DPI — see ingest.box_downscale)
+                        from synapta_tpu.io.ingest import box_downscale
+
+                        hi = render_doc.render(
+                            r.page_num, dpi=render_dpi, clip=clip
+                        )
+                        # replicate the native renderer's lround dims
+                        scale = dpi / 72.0
+                        oh = max(1, int(h_pt * scale + 0.5))
+                        ow = max(1, int(w_pt * scale + 0.5))
+                        arr = box_downscale(hi, oh, ow)
+                        ctx_val = (hi, render_dpi / dpi)
                     else:
+                        arr = render_doc.render(
+                            r.page_num, dpi=dpi, clip=clip
+                        )
                         hi = render_doc.render(
                             r.page_num, dpi=render_dpi, clip=clip
                         )
