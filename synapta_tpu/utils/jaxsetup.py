@@ -39,11 +39,22 @@ def setup_jax(cache_dir: str | None = None) -> None:
     if plats.startswith("cpu"):
         import hashlib
 
+        # Key on model identity AND the flags line: XLA derives scheduling
+        # pseudo-features (+prefer-no-gather/scatter) from the CPU MODEL,
+        # so two hosts with identical cpuinfo flags but different models
+        # produce incompatible AOT entries (observed: cache entries from a
+        # flags-identical sibling host loading with SIGILL-risk warnings).
         try:
             with open("/proc/cpuinfo") as f:
-                flags = next(
-                    (ln for ln in f if ln.startswith("flags")), "unknown"
-                )
+                keep = ("flags", "model", "cpu family", "stepping",
+                        "vendor_id")
+                lines = []
+                for ln in f:
+                    if ln.startswith(keep):
+                        lines.append(ln)
+                    if ln.strip() == "":
+                        break  # first processor block is enough
+                flags = "".join(lines) or "unknown"
         except OSError:
             flags = "unknown"
         fp = hashlib.sha256(flags.encode()).hexdigest()[:12]
