@@ -121,3 +121,59 @@ def test_text_blocks_grouping(book):
     blocks = doc.page_text_blocks(0)
     # the wrapped paragraph should merge into one block of >200 chars
     assert any(len(b["text"]) > 200 for b in blocks)
+
+
+def test_png_encode_roundtrip_palettized_and_truecolor():
+    """Both PNG encoder paths (PNG8/Z_RLE and truecolor/level-1) must be
+    lossless and spec-conformant (native/src/api.cc::spdf_png_encode)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from synapta_tpu.io.ingest import png_encode
+
+    # palettized path: flat fills + few colors
+    pal = np.full((120, 200, 3), 255, np.uint8)
+    pal[10:50, 20:180] = (200, 30, 30)
+    pal[60:100, 20:90] = (30, 80, 200)
+    pal[55:58, :] = 0
+    # truecolor path: smooth gradient -> > 256 distinct colors
+    yy, xx = np.mgrid[0:120, 0:200]
+    tru = np.stack(
+        [(yy * 2) % 256, (xx * 3) % 256, (yy + xx) % 256], -1
+    ).astype(np.uint8)
+    for img in (pal, tru):
+        data = png_encode(img)
+        im = Image.open(io.BytesIO(data))
+        im.load()
+        back = np.asarray(im.convert("RGB"))
+        assert np.array_equal(back, img)
+    # palettized output actually uses the PNG8 path (color type 3)
+    assert png_encode(pal)[25] == 3
+    assert png_encode(tru)[25] == 2
+
+
+def test_box_downscale_properties():
+    """Native ink-preserving area downscale (ingest.box_downscale):
+    uniform areas exact, dims honored, sub-pixel dark strokes stay below
+    the ops/filters.binarize_ink threshold (the reason it exists)."""
+    import numpy as np
+
+    from synapta_tpu.io.ingest import box_downscale
+
+    # uniform image stays exactly uniform at any ratio
+    uni = np.full((311, 471, 3), 137, np.uint8)
+    out = box_downscale(uni, 200, 313)
+    assert out.shape == (200, 313, 3)
+    assert np.all(out == 137)
+    # a 1px black horizontal line at 1.5x downscale must stay ink-dark
+    # (< 200 gray) and unbroken along its full length
+    img = np.full((150, 300, 3), 255, np.uint8)
+    img[75, :, :] = 0
+    out = box_downscale(img, 100, 200)
+    gray = out.astype(int).sum(-1) / 3.0
+    line_rows = (gray < 200).any(axis=1)
+    assert line_rows.any()
+    row = gray[np.argmax((gray < 200).sum(axis=1))]
+    assert (row < 200).all(), "stroke must not break into dashes"
