@@ -180,6 +180,14 @@ class TPUOCR:
         (batched numpy decode — the per-tile Python loop was ~2s/book)."""
         from synapta_tpu.models.charset import decode_greedy_batch
 
+        # start every D2H copy before materializing any: the tunnel charges
+        # ~50ms latency per round trip, so serial np.asarray pulls pay it
+        # once per chunk while async copies pay it once per super-batch
+        for dev_packed, _, _ in pending:
+            try:
+                dev_packed.copy_to_host_async()
+            except AttributeError:
+                break
         out: List[Dict] = []
         for dev_packed, chunk_n, pad_n in pending:
             packed = np.asarray(dev_packed)

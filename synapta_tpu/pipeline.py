@@ -423,6 +423,14 @@ class VisualSegmentationPipeline:
         """Materialize dispatched analyze chunks -> (chunk_meta, feat_parts)."""
         from synapta_tpu.ops.features import unpack_analysis
 
+        # overlap the D2H pulls: enqueue every chunk's copy before
+        # materializing any (one tunnel round-trip latency, not one per
+        # chunk — see ocr.processor.recognize_sync)
+        for _, _, _, packed, _ in pending:
+            try:
+                packed.copy_to_host_async()
+            except AttributeError:
+                break
         feat_parts: List[Dict[str, Any]] = []
         chunk_meta = []
         for chunk, real, chunk_sizes, packed, start in pending:
