@@ -177,3 +177,50 @@ def test_box_downscale_properties():
     assert line_rows.any()
     row = gray[np.argmax((gray < 200).sum(axis=1))]
     assert (row < 200).all(), "stroke must not break into dashes"
+
+
+def test_incremental_update_newest_revision_wins(tmp_path):
+    """Incremental-update PDFs (appended revision + xref /Prev chain,
+    PDF 32000-1 §7.5.6): the engine must resolve each object from the
+    NEWEST revision. Real editors (Acrobat 'save', signing tools) append
+    rather than rewrite, so a parser that reads only the first xref or
+    prefers older entries silently shows stale content."""
+    import io
+
+    from fontfixtures import _pdf, _stream
+
+    from synapta_tpu.io.ingest import open_pdf
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>"),
+        _stream(b"", b"BT /F1 24 Tf 72 700 Td (Hello original) Tj ET\n"),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    base = _pdf(objs)
+    prev_xref = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+
+    # append a revision replacing object 4 (the content stream)
+    new4 = _stream(b"", b"BT /F1 24 Tf 72 700 Td (Hello updated) Tj ET\n")
+    upd = io.BytesIO()
+    upd.write(base)
+    off4 = upd.tell()
+    upd.write(b"4 0 obj\n" + new4 + b"\nendobj\n")
+    xref = upd.tell()
+    upd.write(b"xref\n0 1\n0000000000 65535 f \n")
+    upd.write(b"4 1\n%010d 00000 n \n" % off4)
+    upd.write(b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n" % prev_xref)
+    upd.write(b"startxref\n%d\n%%%%EOF\n" % xref)
+
+    path = str(tmp_path / "incremental.pdf")
+    with open(path, "wb") as f:
+        f.write(upd.getvalue())
+    doc = open_pdf(path)
+    texts = [b["text"] for b in doc.page_text_blocks(0)]
+    assert any("updated" in t for t in texts), texts
+    assert not any("original" in t for t in texts), texts
+    # the updated content must also be what rasterizes
+    arr = doc.render(0, dpi=72)
+    assert (arr < 128).any()
