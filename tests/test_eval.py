@@ -16,7 +16,12 @@ def test_eval_harness_small():
     assert r["detection_recall@0.5"] == 1.0
     assert r["mean_iou"] > 0.8
     assert r["n_detected"] >= r["n_truth_visuals"]
-    assert 0.0 <= r["ocr_cer"] <= 1.0
+    # HARD bar, not a smoke bound: a round-3 recognizer retrain regressed
+    # full-book clean CER 0.025 -> 0.095 (small-text confusions: fund->rud,
+    # 25->2s) while the line-level train eval IMPROVED to 0.0029, and the
+    # old `0 <= cer <= 1` assert let it land. Weights must clear the
+    # BASELINE.md-parity bar on the BOOK eval, not just training batches.
+    assert r["ocr_cer"] <= 0.06, r
 
 
 @pytest.mark.skipif(
