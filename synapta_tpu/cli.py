@@ -28,7 +28,8 @@ def main(argv=None) -> int:
     ap.add_argument("--no-llm", action="store_true",
                     help="skip the vision LLM (local heuristics only)")
     ap.add_argument("--no-resume", action="store_true")
-    ap.add_argument("--pages-per-batch", type=int, default=8)
+    ap.add_argument("--pages-per-batch", type=int, default=None,
+                help="pages per super-batch (default: config's tuned value)")
     ap.add_argument("--password", default="",
                     help="PDF user or owner password (RC4/AES-128/AES-256)")
     ap.add_argument("--stats-json", action="store_true",
@@ -40,7 +41,8 @@ def main(argv=None) -> int:
 
     cfg = PipelineConfig(
         use_vision_llm=not args.no_llm,
-        pages_per_batch=args.pages_per_batch,
+        **({"pages_per_batch": args.pages_per_batch}
+           if args.pages_per_batch else {}),
         pdf_password=args.password,
     )
     pipe = VisualSegmentationPipeline(

@@ -186,7 +186,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--taxonomy", default=None)
     ap.add_argument("--password", default="")
     ap.add_argument("--no-llm", action="store_true")
-    ap.add_argument("--pages-per-batch", type=int, default=8)
+    ap.add_argument("--pages-per-batch", type=int, default=None,
+                help="pages per super-batch (default: config's tuned value)")
     args = ap.parse_args(argv)
 
     books = list(args.books)
@@ -201,7 +202,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     cfg = PipelineConfig(
         use_vision_llm=not args.no_llm,
-        pages_per_batch=args.pages_per_batch,
+        **({"pages_per_batch": args.pages_per_batch}
+           if args.pages_per_batch else {}),
     )
     from synapta_tpu.llm.fake import DisabledClient
 
