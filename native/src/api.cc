@@ -187,21 +187,26 @@ uint8_t* spdf_decode_image(void* handle, int obj_num, int* w, int* h) {
   return out;
 }
 
-// PNG-encode an RGB8 buffer: filter-NONE rows + zlib level 1.
+// PNG-encode an RGB8 buffer: fixed per-path row filter + zlib level 1.
 //
 // The pipeline writes one 150-DPI crop PNG per segment; PIL's encoder
 // spends most of its time trying all five PNG row filters per row
-// (adaptive heuristic). Crop renders are white-background line art that
-// deflates fine unfiltered, so fixed filter 0 + fast deflate cuts the
-// per-crop host cost ~3x on the 1-core host (profiled: png_encode was
-// the single largest CPU stage of the 1,000-page bench).
+// (adaptive heuristic). Fixed filters + fast deflate cut the per-crop
+// host cost ~3x on the 1-core host (profiled: png_encode was the
+// single largest CPU stage of the 1,000-page bench).
 //
-// Crops with <= 256 distinct colors (virtually every chart/diagram
-// render: flat fills + antialiased text against white) additionally
-// take the palettized PNG8 path — deflate then runs over 1 byte/px
-// instead of 3, which cuts the dominant compress cost ~3x again and
-// produces smaller files. Photographic crops (> 256 colors) fall back
-// to truecolor. Both emit spec-conformant PNGs (lossless either way).
+// Crops with <= 256 distinct colors take the palettized PNG8 path —
+// filter NONE + Z_RLE deflate over 1 byte/px (flat fills + text on
+// white are long index runs).
+//
+// Truecolor crops (charts with gradients/antialiased color blends
+// exceed 256 colors more often than expected — measured p50 of 838
+// distinct colors on the bench book) use the UP row filter + Z_RLE:
+// vertically-smooth content becomes near-zero delta rows that
+// run-length match, which measured BOTH faster (deflate 9.8 -> 6.8
+// ms/crop: fewer Huffman-coded literals) and smaller (146 -> 104 KB
+// avg) than unfiltered level-1 full-matcher deflate. Both paths emit
+// spec-conformant lossless PNGs.
 // Returns malloc'd PNG bytes, sets *out_len; caller frees via spdf_free.
 uint8_t* spdf_png_encode(const uint8_t* rgb, int w, int h, long* out_len) {
   *out_len = 0;
@@ -265,21 +270,26 @@ uint8_t* spdf_png_encode(const uint8_t* rgb, int w, int h, long* out_len) {
     raw.resize((stride + 1) * (size_t)h);
     for (int y = 0; y < h; y++) {
       uint8_t* row = raw.data() + (stride + 1) * (size_t)y;
-      row[0] = 0;  // filter: NONE
-      memcpy(row + 1, rgb + stride * (size_t)y, stride);
+      row[0] = 2;  // filter: UP (first row's prior is all zeros per spec)
+      const uint8_t* cur = rgb + stride * (size_t)y;
+      if (y == 0) {
+        memcpy(row + 1, cur, stride);
+      } else {
+        const uint8_t* above = cur - stride;
+        uint8_t* out = row + 1;
+        for (size_t i = 0; i < stride; i++) out[i] = (uint8_t)(cur[i] - above[i]);
+      }
     }
   }
   // Z_RLE restricts match search to run-length matches (distance 1):
-  // ~3x faster than the level-1 full matcher on these scanlines, and
-  // palettized line art (long flat runs) compresses within ~10% of it.
-  // Truecolor (photo) crops keep the full matcher: RLE rarely matches
-  // 3-byte-pixel runs, and photos are the crops where size matters.
+  // ~3x faster than the level-1 full matcher on these scanlines.
+  // Palettized line art (long flat index runs) and UP-filtered truecolor
+  // (near-zero delta runs) both compress at or below the full matcher.
   uLongf bound = compressBound((uLong)raw.size());
   std::vector<uint8_t> idat(bound);
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
-  if (deflateInit2(&zs, 1, Z_DEFLATED, 15, 8,
-                   palettized ? Z_RLE : Z_DEFAULT_STRATEGY) != Z_OK)
+  if (deflateInit2(&zs, 1, Z_DEFLATED, 15, 8, Z_RLE) != Z_OK)
     return nullptr;
   zs.next_in = (Bytef*)raw.data();
   zs.avail_in = (uInt)raw.size();

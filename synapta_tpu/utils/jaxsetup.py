@@ -35,6 +35,16 @@ def setup_jax(cache_dir: str | None = None) -> None:
     # SIGILL (and warns loudly). Key the CPU cache by a host fingerprint
     # so cross-machine entries are never loaded. TPU entries are
     # device-keyed by XLA already and stay shared.
+    #
+    # Known cosmetic residue: on CPU models where XLA derives the
+    # +prefer-no-gather/+prefer-no-scatter scheduling pseudo-features,
+    # cpu_aot_loader warns on EVERY load — including entries this same
+    # machine just wrote (verified: fresh cache, write then reload in
+    # consecutive processes on one host). The loader compares compile
+    # features against llvm's host query, which never reports those
+    # pseudo-features. XLA 0.9 exposes no flag to relax the check; the
+    # entries are genuinely same-machine and safe. The driver-facing
+    # dryrun runs compilation-cache-free, so its signal stays clean.
     plats = os.environ.get("JAX_PLATFORMS", "")
     if plats.startswith("cpu"):
         import hashlib
