@@ -53,11 +53,8 @@ def main() -> None:
             self._pool = ThreadPoolExecutor(max_workers=16)
 
         def _delayed(self, fn, *a):
-            # snapshot any ndarray args: the loader recycles canvas
-            # buffers, so a deferred read must not see a later batch
-            import numpy as _np
-            a = tuple(_np.array(x, copy=True) if isinstance(x, _np.ndarray)
-                      else x for x in a)
+            # no pixel copies needed: the pipeline snapshots ring-view
+            # pixels once per segment before any submit (_snap_pixels)
 
             def work():
                 time.sleep(self.delay)

@@ -365,21 +365,18 @@ class PixtralClient:
 
     # --------------------------------------------------------- async forms
 
-    # submit_* snapshot the pixels: the worker thread may not read them
-    # until seconds later, and the loader recycles canvas buffers through
-    # a small ring (io/loader.py _lease_canvases) — a deferred read of the
-    # caller's view could otherwise observe a later batch's pixels.
+    # Pixel lifetime contract: the pipeline snapshots ring-view pixels
+    # once per segment BEFORE any submit (pipeline._snap_pixels), so the
+    # arrays received here remain valid for deferred reads — no copies
+    # needed in client implementations.
 
     def submit_comprehensive(self, pixels, ocr) -> Future:
-        pixels = None if pixels is None else np.array(pixels, copy=True)
         return self._pool.submit(self.analyze_comprehensive, pixels, ocr)
 
     def submit_mermaid(self, pixels, visual_type, ocr) -> Future:
-        pixels = None if pixels is None else np.array(pixels, copy=True)
         return self._pool.submit(self.extract_mermaid, pixels, visual_type, ocr)
 
     def submit_calculations(self, pixels, ocr, nearby) -> Future:
-        pixels = None if pixels is None else np.array(pixels, copy=True)
         return self._pool.submit(self.extract_calculations, pixels, ocr, nearby)
 
     def shutdown(self) -> None:

@@ -331,17 +331,30 @@ class VisualSegmentationPipeline:
         self.stats.ocr_blocks += sum(len(o.blocks) for o in ocr_results)
 
         # submit LLM analyses for the whole batch up front (pool overlaps);
-        # segments already checkpointed never re-pay a paid API call
+        # segments already checkpointed never re-pay a paid API call.
+        # Pixels are snapshotted ONCE per submitted segment, here at the
+        # submit boundary: canvases are views into the loader's recycled
+        # ring (io/loader.py _lease_canvases), and every deferred read —
+        # a client thread pool, AND the late-patch on_done callback that
+        # submits follow-up calls minutes later — must see these pixels,
+        # not a later batch's. Copying here keeps every client
+        # implementation (including user-supplied llm_client objects)
+        # safe by contract; the same snapshot threads through
+        # _build_segment so follow-ups reuse it.
         analysis_futures = []
+        snaps: List[Optional[np.ndarray]] = []
         for i, r in enumerate(regions):
+            snap = None
             if keep[i] and not self.writer.has_segment(
                 segment_id_for_region(self.cfg.book_id, r, pngs[i])
             ):
+                snap = self._snap_pixels(canvases[i])
                 analysis_futures.append(
-                    self.llm.submit_comprehensive(canvases[i], ocr_results[i])
+                    self.llm.submit_comprehensive(snap, ocr_results[i])
                 )
             else:
                 analysis_futures.append(None)
+            snaps.append(snap)
 
         for i, r in enumerate(regions):
             if not keep[i]:
@@ -353,7 +366,7 @@ class VisualSegmentationPipeline:
                     r,
                     C.CropFeatures(feats, i, dims[i][0], dims[i][1]),
                     ocr_results[i],
-                    canvases[i],
+                    snaps[i] if snaps[i] is not None else canvases[i],
                     pngs[i],
                     analysis_futures[i],
                     post_write,
@@ -462,6 +475,13 @@ class VisualSegmentationPipeline:
                     )[:real]
                 )
         return ocr_results
+
+    def _snap_pixels(self, pixels: Optional[np.ndarray]):
+        """Copy ring-view pixels for deferred LLM reads. No-op when the
+        client is disabled: nothing will ever read them."""
+        if pixels is None or not self.llm.enabled:
+            return pixels
+        return np.array(pixels, copy=True)
 
     def _build_segment(
         self,

@@ -138,3 +138,52 @@ def test_llm_followups_patch_in(tmp_path):
         assert s["segment_type"] == "flowchart"
         assert s["mermaid_repr"] is not None
         assert "flowchart" in s["mermaid_repr"]["mermaid_code"]
+
+
+@needs_weights
+def test_deferred_pixel_reads_survive_canvas_recycling(tmp_path):
+    """The loader recycles batch canvases through a small ring
+    (io/loader._lease_canvases); pixels handed to llm submit_* must be
+    snapshotted by the PIPELINE so that clients reading them long after
+    submission — e.g. the late-patch on_done path that submits follow-up
+    calls once the comprehensive response lands — never observe a later
+    batch's pixels. Digest each submitted array at submit time, then
+    re-digest the SAME array object after the whole book has processed
+    (by which point the 4-slot ring has been recycled many times over):
+    any view into the ring would have changed content."""
+    import zlib
+
+    import numpy as np
+
+    class RecordingClient(FakePixtralClient):
+        def __init__(self):
+            super().__init__()
+            self.records = []  # (crc_at_submit, array_ref)
+
+        def submit_comprehensive(self, pixels, ocr):
+            arr = np.ascontiguousarray(pixels)
+            self.records.append((zlib.crc32(arr), pixels))
+            return super().submit_comprehensive(pixels, ocr)
+
+    pdf = str(tmp_path / "book.pdf")
+    make_test_book(pdf, pages=12, seed=13)
+    client = RecordingClient()
+    pipe = VisualSegmentationPipeline(
+        book_id="ringbook",
+        pdf_path=pdf,
+        output_dir=str(tmp_path / "out"),
+        use_mermaid=False,
+        config=PipelineConfig(use_vision_llm=False, pages_per_batch=2),
+        llm_client=client,
+        ocr=TPUOCR(),
+        resume=False,
+    )
+    pipe.process()
+    assert len(client.records) >= 10  # enough batches to wrap the ring
+    import numpy as np  # noqa: F811
+    for i, (crc0, arr) in enumerate(client.records):
+        arr = np.ascontiguousarray(arr)
+        assert zlib.crc32(arr) == crc0, (
+            f"submission {i}: pixels mutated after submit — a recycled "
+            "ring view leaked through the llm submit boundary"
+        )
