@@ -31,6 +31,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=1000)
     ap.add_argument("--delay", type=float, default=2.0)
+    # Pool sizing is Little's law, not taste: at TPU throughput the
+    # pipeline emits ~1.3 calls/page -> ~26 calls/s over a 1,000-page
+    # book, and 2 s/call latency means ~52 calls permanently in flight.
+    # 64 network-bound threads cover that with margin; the reference by
+    # contrast ran every call serially inline (ref :615,853,999).
+    ap.add_argument("--workers", type=int, default=64)
     args = ap.parse_args()
 
     from synapta_tpu.utils.jaxsetup import setup_jax
@@ -47,10 +53,10 @@ def main() -> None:
         the external vision-LLM's per-call latency (same harness as
         tests/test_llm_async.py)."""
 
-        def __init__(self, delay: float, **kw):
+        def __init__(self, delay: float, workers: int = 64, **kw):
             super().__init__(**kw)
             self.delay = delay
-            self._pool = ThreadPoolExecutor(max_workers=16)
+            self._pool = ThreadPoolExecutor(max_workers=workers)
 
         def _delayed(self, fn, *a):
             # no pixel copies needed: the pipeline snapshots ring-view
@@ -116,11 +122,12 @@ def main() -> None:
 
     base_wall, base_stats, base_segs = run("off", None)
     llm_wall, llm_stats, llm_segs = run(
-        "on", DelayedFakeClient(args.delay)
+        "on", DelayedFakeClient(args.delay, workers=args.workers)
     )
     out = {
         "pages": args.pages,
         "delay_s": args.delay,
+        "workers": args.workers,
         "wall_off_s": round(base_wall, 2),
         "wall_on_s": round(llm_wall, 2),
         "overhead_pct": round(100 * (llm_wall - base_wall) / base_wall, 2),
