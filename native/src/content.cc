@@ -73,6 +73,13 @@ static void parse_tounicode(const std::string& cmap, PdfFont* font) {
       continue;
     }
     std::string kw = lx.next_keyword();
+    if (kw.empty()) {
+      // stray delimiter (corrupt CMap): next_keyword() returns empty
+      // WITHOUT consuming — skip the byte or this loop never advances
+      // (fuzz finding: infinite loop on mutated ToUnicode streams)
+      lx.seek(lx.pos() + 1);
+      continue;
+    }
     if (kw == "endbfchar" || kw == "endbfrange" || kw == "endcodespacerange") {
       stack.clear();
       continue;

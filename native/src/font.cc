@@ -179,6 +179,9 @@ void TrueTypeFont::parse_glyph_outline(uint16_t gid, Glyph* g, int depth) {
   if (glyf == tables_.end() || gid + 1 >= loca_.size()) return;
   uint32_t off = loca_[gid], end = loca_[gid + 1];
   if (end <= off) return;  // empty glyph (space)
+  // loca VALUES come from the file and may point anywhere; clamp to the
+  // glyf table or a corrupt font reads far out of bounds (fuzz finding)
+  if (end > glyf->second.second) return;
   const uint8_t* d = (const uint8_t*)data_.data() + glyf->second.first + off;
   const uint8_t* dend =
       (const uint8_t*)data_.data() + glyf->second.first + end;
@@ -188,13 +191,20 @@ void TrueTypeFont::parse_glyph_outline(uint16_t gid, Glyph* g, int depth) {
     // simple glyph
     const uint8_t* p = d + 10;
     std::vector<uint16_t> cont_ends(ncont);
+    int prev_end = -1;
     for (int i = 0; i < ncont; i++, p += 2) {
       if (p + 2 > dend) return;
       cont_ends[i] = rd16(p);
+      // ends must be nondecreasing or the contour loop below indexes
+      // xs/ys/flags past npts (fuzz finding: heap overflow)
+      if ((int)cont_ends[i] < prev_end) return;
+      prev_end = cont_ends[i];
     }
     if (p + 2 > dend) return;
     uint16_t ninstr = rd16(p);
-    p += 2 + ninstr;
+    p += 2;
+    if ((size_t)ninstr > (size_t)(dend - p)) return;  // instr skip in-bounds
+    p += ninstr;
     int npts = ncont ? cont_ends[ncont - 1] + 1 : 0;
     std::vector<uint8_t> flags;
     flags.reserve(npts);
@@ -317,13 +327,16 @@ void TrueTypeFont::parse_glyph_outline(uint16_t gid, Glyph* g, int depth) {
       }
       float a = 1, b = 0, c = 0, dd = 1;
       if (flags & 8) {
+        if (p + 2 > dend) break;
         a = dd = rds16(p) / 16384.0f;
         p += 2;
       } else if (flags & 0x40) {
+        if (p + 4 > dend) break;
         a = rds16(p) / 16384.0f;
         dd = rds16(p + 2) / 16384.0f;
         p += 4;
       } else if (flags & 0x80) {
+        if (p + 8 > dend) break;
         a = rds16(p) / 16384.0f;
         b = rds16(p + 2) / 16384.0f;
         c = rds16(p + 4) / 16384.0f;

@@ -24,7 +24,12 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_SO_PATH = os.path.join(os.path.dirname(__file__), "_pdf_native.so")
+# SPDF_NATIVE_SO overrides the engine binary — used by the fuzz/sanitizer
+# harness to point at an ASan build without touching the installed lib
+_SO_PATH = os.environ.get(
+    "SPDF_NATIVE_SO",
+    os.path.join(os.path.dirname(__file__), "_pdf_native.so"),
+)
 
 _lib = None
 

@@ -1,0 +1,139 @@
+"""Corrupt-input robustness for the native PDF engine.
+
+The engine's whole job is ingesting third-party PDFs, and real-world
+files are routinely damaged (truncated downloads, bad OCR re-saves,
+broken incremental writers). The reference gets this robustness from
+MuPDF (ref pdf_image_segmentation.py:2731), which survives arbitrary
+corruption; this suite locks in the same property for spdf.
+
+A seeded corpus of mutated PDFs (byte flips, truncations, chunk
+deletes/duplicates, stream zeroing) over structurally diverse bases
+(TrueType book, CFF, Type1, RC4/AES encrypted) must never crash or
+hang the process — every case either parses (possibly to an empty
+document) or raises a clean Python exception. Cases run in ONE child
+interpreter so a segfault/deadlock fails THIS test instead of killing
+the pytest process.
+
+Fuzz findings this suite regression-tests (all fixed in native/src):
+- font.cc parse_glyph_outline: unvalidated loca offsets read far out
+  of the glyf table; unchecked instruction-count skip; non-monotonic
+  contour ends overflowing the point arrays; unchecked composite
+  scale reads.
+- content.cc parse_tounicode: a stray delimiter in a corrupt CMap made
+  next_keyword() return empty without consuming -> infinite loop.
+"""
+from __future__ import annotations
+
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TESTS_DIR)
+
+_WORKER = r"""
+import sys
+from synapta_tpu.io.ingest import open_pdf
+bad = 0
+for path in sys.argv[1:]:
+    try:
+        d = open_pdf(path)
+        for p in range(min(d.page_count, 2)):
+            d.render(p, dpi=40)
+            d.page_text_blocks(p)
+    except Exception:
+        pass  # clean refusal is a correct outcome for corrupt input
+print("FUZZDONE")
+"""
+
+
+def _mutants(data: bytes, rng: random.Random, out_dir: str, tag: str,
+             n_flips: int = 14, n_struct: int = 10) -> list:
+    """Seeded mutation classes over one base document."""
+    n = len(data)
+    paths = []
+
+    def emit(buf: bytes) -> None:
+        p = os.path.join(out_dir, f"{tag}_{len(paths):03d}.pdf")
+        with open(p, "wb") as f:
+            f.write(buf)
+        paths.append(p)
+
+    for _ in range(n_flips):  # byte flips, single to bursty
+        mut = bytearray(data)
+        for _ in range(rng.choice([1, 2, 8, 32, 128])):
+            mut[rng.randrange(n)] = rng.randrange(256)
+        emit(bytes(mut))
+    for _ in range(n_struct):  # truncation
+        emit(data[: rng.randrange(16, n)])
+    for _ in range(n_struct):  # chunk delete
+        a = rng.randrange(n)
+        b = min(n, a + rng.randrange(1, 4096))
+        emit(data[:a] + data[b:])
+    for _ in range(n_struct):  # chunk duplicate at random offset
+        a = rng.randrange(n)
+        b = min(n, a + rng.randrange(1, 2048))
+        c = rng.randrange(n)
+        emit(data[:c] + data[a:b] + data[c:])
+    for _ in range(n_struct):  # tail corruption (xref/trailer territory)
+        mut = bytearray(data)
+        for _ in range(rng.choice([1, 4, 16])):
+            mut[n - 1 - rng.randrange(min(n, 3000))] = rng.randrange(256)
+        emit(bytes(mut))
+    for _ in range(6):  # zero a stream-sized region
+        mut = bytearray(data)
+        a = rng.randrange(n)
+        b = min(n, a + rng.randrange(64, 8192))
+        mut[a:b] = bytes(b - a)
+        emit(bytes(mut))
+    return paths
+
+
+@pytest.mark.parametrize("base", ["ttf_book", "cff", "type1", "enc"])
+def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
+    rng = random.Random(20260818)
+    if base == "ttf_book":
+        from synapta_tpu.io.pdf_writer import make_test_book
+
+        src = str(tmp_path / "base.pdf")
+        make_test_book(src, pages=2, seed=3)
+        data = open(src, "rb").read()
+    elif base == "cff":
+        from tests.fontfixtures import make_cff_pdf
+
+        data = make_cff_pdf(False)
+    elif base == "type1":
+        from tests.fontfixtures import make_type1_pdf
+
+        data = make_type1_pdf()
+    else:
+        from tests.encfixtures import make_encrypted_pdf
+
+        data = make_encrypted_pdf(aes=True)
+
+    out = tmp_path / "cases"
+    out.mkdir()
+    paths = _mutants(data, rng, str(out), base)
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [p for p in ("/root/.axon_site", REPO, env.get("PYTHONPATH", ""))
+         if p]
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    # generous wall bound: the whole corpus runs in a few seconds when
+    # healthy; a single infinite loop blows straight through this
+    r = subprocess.run(
+        [sys.executable, str(worker)] + paths,
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, (
+        f"engine crashed on a corrupt input (rc={r.returncode}); "
+        f"stderr tail: {r.stderr[-400:]}"
+    )
+    assert "FUZZDONE" in r.stdout
