@@ -44,6 +44,11 @@ for path in sys.argv[1:]:
         for p in range(min(d.page_count, 2)):
             d.render(p, dpi=40)
             d.page_text_blocks(p)
+            for im in d.page_images(p):
+                try:
+                    d.decode_image(im.get("obj", 0))
+                except Exception:
+                    pass
     except Exception:
         pass  # clean refusal is a correct outcome for corrupt input
 print("FUZZDONE")
@@ -92,7 +97,9 @@ def _mutants(data: bytes, rng: random.Random, out_dir: str, tag: str,
     return paths
 
 
-@pytest.mark.parametrize("base", ["ttf_book", "cff", "type1", "enc"])
+@pytest.mark.parametrize(
+    "base", ["ttf_book", "cff", "type1", "enc", "pil_images", "ccitt"]
+)
 def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
     rng = random.Random(20260818)
     if base == "ttf_book":
@@ -109,10 +116,23 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
         from tests.fontfixtures import make_type1_pdf
 
         data = make_type1_pdf()
-    else:
+    elif base == "enc":
         from tests.encfixtures import make_encrypted_pdf
 
         data = make_encrypted_pdf(aes=True)
+    elif base == "pil_images":
+        from tests.corpus import make_pil_book
+
+        src = str(tmp_path / "pil.pdf")
+        make_pil_book(src, pages=2)
+        data = open(src, "rb").read()
+    else:  # ccitt
+        import numpy as np  # noqa: F401
+
+        from tests.test_ccitt import _ccitt_pdf, _g4_strip, _textlike
+
+        bm = _textlike(96, 160, 4)
+        data = _ccitt_pdf(bm, _g4_strip(bm))
 
     out = tmp_path / "cases"
     out.mkdir()
