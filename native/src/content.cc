@@ -1187,10 +1187,17 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
   // account for MediaBox origin offset
   ObjPtr mb = doc_->page_inherited(pg, "MediaBox");
   if (mb->is(ObjType::Array) && mb->arr.size() == 4) {
-    double x0 = doc_->resolve(mb->arr[0])->num();
-    double y0 = doc_->resolve(mb->arr[1])->num();
-    Matrix shift{1, 0, 0, 1, -x0, -y0};
-    in.gs.ctm = shift.mul(in.gs.ctm);
+    // normalized origin = min corner (corners may come in any order;
+    // page_size normalizes the extent the same way)
+    double xa = doc_->resolve(mb->arr[0])->num();
+    double ya = doc_->resolve(mb->arr[1])->num();
+    double xb = doc_->resolve(mb->arr[2])->num();
+    double yb = doc_->resolve(mb->arr[3])->num();
+    double x0 = std::min(xa, xb), y0 = std::min(ya, yb);
+    if (std::isfinite(x0) && std::isfinite(y0)) {
+      Matrix shift{1, 0, 0, 1, -x0, -y0};
+      in.gs.ctm = shift.mul(in.gs.ctm);
+    }
   }
   in.gs.clip = Rect{0, 0, w, h};
   in.base_ctm = in.gs.ctm;  // pattern matrices map into page default space

@@ -5,6 +5,7 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <cmath>
 #include <atomic>
 #include <cstdio>
 #include <cstring>
@@ -1064,8 +1065,13 @@ void Document::page_size(int index, double* w, double* h) {
   if (mb->is(ObjType::Array) && mb->arr.size() == 4) {
     double x0 = resolve(mb->arr[0])->num(), y0 = resolve(mb->arr[1])->num();
     double x1 = resolve(mb->arr[2])->num(), y1 = resolve(mb->arr[3])->num();
-    *w = x1 - x0;
-    *h = y1 - y0;
+    // the spec allows corners in any order (real generators do emit
+    // inverted boxes); readers normalize — so does fitz (ref :2731)
+    double nw = std::fabs(x1 - x0), nh = std::fabs(y1 - y0);
+    if (nw > 0 && nh > 0 && std::isfinite(nw) && std::isfinite(nh)) {
+      *w = nw;
+      *h = nh;
+    }
   }
 }
 

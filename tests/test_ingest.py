@@ -224,3 +224,35 @@ def test_incremental_update_newest_revision_wins(tmp_path):
     # the updated content must also be what rasterizes
     arr = doc.render(0, dpi=72)
     assert (arr < 128).any()
+
+
+def test_mediabox_corner_normalization(tmp_path):
+    """The spec allows MediaBox corners in any order and real generators
+    emit inverted boxes; readers (incl. fitz, ref :2731) normalize.
+    Inverted corners must render identically to the normal form, and
+    non-finite boxes must fall back to US Letter instead of a 1x1 plate."""
+    import numpy as np
+
+    from tests.fontfixtures import _pdf
+
+    def book(mb: bytes) -> bytes:
+        return _pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox " + mb +
+            b" /Contents 4 0 R /Resources << >> >>",
+            b"<< /Length 40 >>\nstream\n0 0 m 100 100 l S\nendstream",
+        ])
+
+    renders = {}
+    for name, mb in [("normal", b"[0 0 612 792]"),
+                     ("inverted", b"[612 792 0 0]"),
+                     ("nan", b"[0 0 nan nan]")]:
+        p = tmp_path / f"{name}.pdf"
+        p.write_bytes(book(mb))
+        d = open_pdf(str(p))
+        w, h = d.page_size(0)
+        assert (w, h) == (612.0, 792.0), (name, w, h)
+        renders[name] = np.asarray(d.render(0, dpi=72))
+    assert renders["normal"].shape == renders["inverted"].shape
+    assert (renders["normal"] == renders["inverted"]).all()
