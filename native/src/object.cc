@@ -303,6 +303,12 @@ ObjPtr Lexer::parse_dict_or_stream() {
 // Filters
 // ---------------------------------------------------------------------------
 
+// Per-stream decoded-size ceiling. No legitimate book stream comes
+// close (a full-page 600-DPI RGB scan is ~100 MB); without it a
+// crafted zlib/LZW bomb — especially cascaded [/Fl /Fl] filters —
+// inflates a few KB into gigabytes and OOMs the host.
+static const size_t kMaxDecodedStream = (size_t)256 << 20;
+
 std::string flate_decode(const std::string& in) {
   std::string out;
   out.reserve(in.size() * 4 + 64);
@@ -314,6 +320,7 @@ std::string flate_decode(const std::string& in) {
   char buf[65536];
   int ret = Z_OK;
   do {
+    if (out.size() > kMaxDecodedStream) break;  // decompression bomb
     zs.next_out = (Bytef*)buf;
     zs.avail_out = sizeof(buf);
     ret = inflate(&zs, Z_NO_FLUSH);
@@ -420,7 +427,7 @@ std::string ascii85_decode(const std::string& in) {
 std::string runlength_decode(const std::string& in) {
   std::string out;
   size_t p = 0;
-  while (p < in.size()) {
+  while (p < in.size() && out.size() <= kMaxDecodedStream) {
     uint8_t l = in[p++];
     if (l == 128) break;
     if (l < 128) {
@@ -468,6 +475,7 @@ std::string lzw_decode(const std::string& in, int early) {
         entry = prev + prev[0];
       }
       out += entry;
+      if (out.size() > kMaxDecodedStream) return out;  // LZW bomb
       if (!prev.empty()) table.push_back(prev + entry[0]);
       prev = entry;
       if ((int)table.size() + early >= (1 << bits) && bits < 12) bits++;
@@ -937,6 +945,12 @@ std::string Document::decode_stream(const ObjPtr& stm) {
     }
   }
   for (size_t i = 0; i < filters.size(); i++) {
+    // cascaded-filter bomb guard: a stage that hit the per-stream
+    // ceiling must not feed the next stage (exponential blowup)
+    if (data.size() > ((size_t)256 << 20)) {
+      data.clear();
+      break;
+    }
     const std::string& f = filters[i]->s;
     if (f == "FlateDecode" || f == "Fl") data = flate_decode(data);
     else if (f == "ASCIIHexDecode" || f == "AHx") data = ascii_hex_decode(data);

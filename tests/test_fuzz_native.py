@@ -157,3 +157,33 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
         f"stderr tail: {r.stderr[-400:]}"
     )
     assert "FUZZDONE" in r.stdout
+
+
+def test_cascaded_flate_bomb_contained(tmp_path):
+    """A crafted [/FlateDecode /FlateDecode] stream expanding a ~500-byte
+    payload toward gigabytes must be contained by the per-stream decode
+    ceiling (object.cc kMaxDecodedStream) instead of OOMing the host.
+    The page still renders (blank) and peak RSS stays bounded."""
+    import resource
+    import zlib
+
+    from synapta_tpu.io.ingest import open_pdf
+    from tests.fontfixtures import _pdf
+
+    body = zlib.compress(zlib.compress(b"\0" * (1 << 28), 9), 9)
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << >> >>",
+        b"<< /Length " + str(len(body)).encode() +
+        b" /Filter [/FlateDecode /FlateDecode] >>\nstream\n" +
+        body + b"\nendstream",
+    ])
+    p = tmp_path / "bomb.pdf"
+    p.write_bytes(pdf)
+    d = open_pdf(str(p))
+    arr = d.render(0, dpi=72)
+    assert arr is not None and arr.shape == (792, 612, 3)
+    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    assert peak_mb < 2500, f"bomb guard failed: peak RSS {peak_mb:.0f}MB"
