@@ -54,7 +54,14 @@ def segment_id_for_region(book_id: str, region, png: bytes) -> str:
     pixels, so a resume re-added every previously-checkpointed segment
     under a new id. The raw render is what the id is semantically about;
     the PNG-bytes path remains only as a fallback for regions prepared
-    without a digest."""
+    without a digest.
+
+    Digest scheme history: md5[:8] originally, crc32 hex since round 3
+    (8x faster, same 32-bit strength and 8-hex shape, ref :3783). The
+    schemes collide on nothing, so resuming a book checkpointed under
+    the OLD scheme re-processes every segment once and keeps both
+    records — start such upgrades with ``resume=False`` (or a fresh
+    output dir) to avoid duplicated segments in the compacted JSON."""
     digest = getattr(region, "content_digest", None)
     if digest:
         return f"{book_id}_p{region.page_num:03d}_{digest}"
