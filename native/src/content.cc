@@ -1173,7 +1173,10 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
 bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
   ObjPtr pg = doc_->page(page_index);
   if (!pg->is(ObjType::Dict)) return false;
-  double w, h;
+  double pw, ph;  // unrotated normalized extent
+  doc_->page_extent(page_index, &pw, &ph);
+  int rot = doc_->page_rotation(page_index);
+  double w, h;    // display size (rotated)
   doc_->page_size(page_index, &w, &h);
   dl->page_w = w;
   dl->page_h = h;
@@ -1182,8 +1185,16 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
   in.doc = doc_;
   in.out = out;
   in.dl = dl;
-  // device space: top-left origin, y down, units = points
-  in.gs.ctm = Matrix{1, 0, 0, -1, 0, h};
+  // device space: top-left origin, y down, units = points. /Rotate is
+  // the display rotation (clockwise); folding it into the base CTM
+  // rotates EVERYTHING downstream consistently — text/drawing/image
+  // metadata, the display list, clips, and the raster (like fitz).
+  switch (rot) {
+    case 90:  in.gs.ctm = Matrix{0, 1, 1, 0, 0, 0}; break;
+    case 180: in.gs.ctm = Matrix{-1, 0, 0, 1, pw, 0}; break;
+    case 270: in.gs.ctm = Matrix{0, -1, -1, 0, ph, pw}; break;
+    default:  in.gs.ctm = Matrix{1, 0, 0, -1, 0, ph}; break;
+  }
   // account for MediaBox origin offset
   ObjPtr mb = doc_->page_inherited(pg, "MediaBox");
   if (mb->is(ObjType::Array) && mb->arr.size() == 4) {

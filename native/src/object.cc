@@ -1071,7 +1071,18 @@ ObjPtr Document::page_inherited(const ObjPtr& pg, const std::string& key) {
   return make_null();
 }
 
-void Document::page_size(int index, double* w, double* h) {
+int Document::page_rotation(int index) {
+  // inheritable /Rotate, normalized to {0, 90, 180, 270}
+  ObjPtr pg = page(index);
+  ObjPtr rot = page_inherited(pg, "Rotate");
+  if (rot->is(ObjType::Null)) return 0;
+  long r = (long)rot->num() % 360;
+  if (r < 0) r += 360;
+  return (r == 90 || r == 180 || r == 270) ? (int)r : 0;
+}
+
+void Document::page_extent(int index, double* w, double* h) {
+  // UNROTATED normalized MediaBox extent
   *w = 612;
   *h = 792;
   ObjPtr pg = page(index);
@@ -1087,6 +1098,13 @@ void Document::page_size(int index, double* w, double* h) {
       *h = nh;
     }
   }
+}
+
+void Document::page_size(int index, double* w, double* h) {
+  // DISPLAY size: /Rotate 90/270 swaps the extent, like fitz page.rect
+  page_extent(index, w, h);
+  int r = page_rotation(index);
+  if (r == 90 || r == 270) std::swap(*w, *h);
 }
 
 }  // namespace spdf

@@ -109,7 +109,9 @@ class Document {
 
   int page_count();
   ObjPtr page(int index);                      // page dict
-  void page_size(int index, double* w, double* h);
+  void page_size(int index, double* w, double* h);   // display (rotated)
+  void page_extent(int index, double* w, double* h);  // unrotated extent
+  int page_rotation(int index);  // inheritable /Rotate in {0,90,180,270}
   ObjPtr page_inherited(const ObjPtr& page, const std::string& key);
 
   const std::string& error() const { return err_; }

@@ -256,3 +256,67 @@ def test_mediabox_corner_normalization(tmp_path):
         renders[name] = np.asarray(d.render(0, dpi=72))
     assert renders["normal"].shape == renders["inverted"].shape
     assert (renders["normal"] == renders["inverted"]).all()
+
+
+def test_page_rotate_renders_and_reports_display_space(tmp_path):
+    """/Rotate (inheritable, clockwise display rotation) must rotate the
+    raster, the page size, and all metadata coordinates consistently —
+    fitz semantics. Solid-fill content is pixel-exact against
+    numpy-rotating the unrotated render."""
+    from tests.fontfixtures import _pdf
+
+    def book(rotate: int) -> bytes:
+        content = b"0 0 0 rg 50 30 100 50 re f"
+        return _pdf([
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 400 600] "
+            b"/Rotate " + str(rotate).encode() +
+            b" /Contents 4 0 R /Resources << >> >>",
+            b"<< /Length " + str(len(content)).encode() +
+            b" >>\nstream\n" + content + b"\nendstream",
+        ])
+
+    renders = {}
+    for rot in (0, 90, 180, 270):
+        p = tmp_path / f"r{rot}.pdf"
+        p.write_bytes(book(rot))
+        d = open_pdf(str(p))
+        w, h = d.page_size(0)
+        assert (w, h) == ((600.0, 400.0) if rot in (90, 270)
+                          else (400.0, 600.0)), (rot, w, h)
+        renders[rot] = np.asarray(d.render(0, dpi=72))
+    for rot in (90, 180, 270):
+        expect = np.rot90(renders[0], k=-(rot // 90))  # k=-1 is 90 deg CW
+        assert renders[rot].shape == expect.shape
+        assert (renders[rot] == expect).all(), f"rot {rot} mismatch"
+
+
+def test_page_rotate_transforms_text_metadata(tmp_path):
+    """Text block bboxes come out in rotated display space: for /Rotate
+    90 a point (x, y) maps to display (y, x)."""
+    make_test_book(str(tmp_path / "b.pdf"), pages=1, seed=3)
+    data = (tmp_path / "b.pdf").read_bytes()
+    i = data.find(b"/Type /Page ")
+    assert i > 0
+    # injecting /Rotate breaks xref offsets; the salvage path recovers
+    (tmp_path / "b90.pdf").write_bytes(
+        data[:i] + b"/Rotate 90 " + data[i:]
+    )
+    d0 = open_pdf(str(tmp_path / "b.pdf"))
+    d9 = open_pdf(str(tmp_path / "b90.pdf"))
+    assert d9.page_size(0) == tuple(reversed(d0.page_size(0)))
+    # display-space mapping for /Rotate 90: an unrotated display bbox
+    # [x0, y0, x1, y1] (y down) appears rotated with top-left
+    # (ph - y1, x0), ph = unrotated page height. Block GROUPING may
+    # differ between orientations (line merging is geometric), so
+    # require a nonempty correspondence of top-left corners rather
+    # than identical block sets.
+    ph = d0.page_size(0)[1]
+    expect9 = {
+        (round(ph - b["bbox"][3], 1), round(b["bbox"][0], 1))
+        for b in d0.page_text_blocks(0)
+    }
+    got9 = {(round(b["bbox"][0], 1), round(b["bbox"][1], 1))
+            for b in d9.page_text_blocks(0)}
+    assert got9 & expect9, (expect9, got9)
