@@ -447,6 +447,9 @@ static bool build_shading(Document* doc, const ObjPtr& shin,
   return true;
 }
 
+// colorspace family for sc/scn operand interpretation (PDF 8.6)
+enum class CsKind { Gray, Rgb, Cmyk, Sep, Pattern, Other };
+
 struct GState {
   Matrix ctm;
   float stroke_rgb[3] = {0, 0, 0};
@@ -456,6 +459,8 @@ struct GState {
   ObjPtr fill_pattern_shading;
   Matrix fill_pattern_mtx;
   bool fill_cs_pattern = false;  // current fill colorspace is /Pattern
+  CsKind fill_cs = CsKind::Rgb;
+  CsKind stroke_cs = CsKind::Rgb;
   double line_width = 1.0;
   Rect clip{-1e30, -1e30, 1e30, 1e30};
   // text state
@@ -465,6 +470,84 @@ struct GState {
   double rise = 0;
   int render_mode = 0;
 };
+
+// Classify a colorspace object so sc/scn operands are interpreted with
+// the right semantics (PDF 8.6). Separation/DeviceN matter most in
+// practice: print-grade books set spot colors where tint 1.0 means FULL
+// colorant — interpreting the tint as DeviceGray painted them white.
+static CsKind classify_cs(Document* doc, const ObjPtr& resources, ObjPtr cs,
+                          int depth = 0) {
+  if (depth > 4) return CsKind::Other;
+  cs = doc->resolve(cs);
+  if (cs->is(ObjType::Name)) {
+    const std::string& n = cs->s;
+    if (n == "DeviceGray" || n == "CalGray" || n == "G") return CsKind::Gray;
+    if (n == "DeviceRGB" || n == "CalRGB" || n == "RGB") return CsKind::Rgb;
+    if (n == "DeviceCMYK" || n == "CMYK") return CsKind::Cmyk;
+    if (n == "Pattern") return CsKind::Pattern;
+    ObjPtr csd = doc->dict_get(resources, "ColorSpace");
+    if (csd->is(ObjType::Dict)) {
+      ObjPtr ref = doc->dict_get(csd, n);
+      if (!ref->is(ObjType::Null))
+        return classify_cs(doc, make_null(), ref, depth + 1);
+    }
+    return CsKind::Other;
+  }
+  if (cs->is(ObjType::Array) && !cs->arr.empty()) {
+    ObjPtr f = doc->resolve(cs->arr[0]);
+    if (!f->is(ObjType::Name)) return CsKind::Other;
+    const std::string& n = f->s;
+    if (n == "ICCBased" && cs->arr.size() >= 2) {
+      int nc = (int)doc->dict_get(doc->resolve(cs->arr[1]), "N")->num();
+      return nc == 1 ? CsKind::Gray : nc == 4 ? CsKind::Cmyk : CsKind::Rgb;
+    }
+    if (n == "Separation" || n == "DeviceN") return CsKind::Sep;
+    if (n == "Pattern") return CsKind::Pattern;
+    if (n == "CalRGB") return CsKind::Rgb;
+    if (n == "CalGray") return CsKind::Gray;
+  }
+  return CsKind::Other;  // Indexed/Lab/unknown: arity heuristic below
+}
+
+// Convert sc/scn numeric operands to RGB per the active colorspace.
+// num(k) reads the k-th operand from the stack top (num(1) = last).
+template <typename NumFn>
+static void operands_to_rgb(CsKind k, size_t nops, const NumFn& num,
+                            float* rgb) {
+  if (k == CsKind::Other) {  // arity heuristic for unclassified spaces
+    k = nops >= 4 ? CsKind::Cmyk : nops >= 3 ? CsKind::Rgb : CsKind::Gray;
+  }
+  switch (k) {
+    case CsKind::Gray:
+      if (nops >= 1) rgb[0] = rgb[1] = rgb[2] = (float)num(1);
+      break;
+    case CsKind::Rgb:
+      if (nops >= 3) {
+        rgb[0] = (float)num(3);
+        rgb[1] = (float)num(2);
+        rgb[2] = (float)num(1);
+      }
+      break;
+    case CsKind::Cmyk:
+      if (nops >= 4) {
+        double kk = num(1);
+        rgb[0] = (float)((1 - num(4)) * (1 - kk));
+        rgb[1] = (float)((1 - num(3)) * (1 - kk));
+        rgb[2] = (float)((1 - num(2)) * (1 - kk));
+      }
+      break;
+    case CsKind::Sep: {
+      // tint 1.0 = full colorant (dark); approximate the colorant as
+      // neutral ink at the max tint across DeviceN components
+      double t = 0;
+      for (size_t i = 1; i <= nops && i <= 8; i++) t = std::max(t, num((int)i));
+      rgb[0] = rgb[1] = rgb[2] = (float)(1.0 - t);
+      break;
+    }
+    default:
+      break;
+  }
+}
 
 struct Interp {
   Document* doc;
@@ -832,23 +915,37 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
       // ignored state ops
     }
     // --- color
+    // g/rg/k implicitly select DeviceGray/RGB/CMYK (PDF 8.6.8), which
+    // also ends any active pattern fill — real streams switch back from
+    // `/Pattern cs /P scn` with a plain `rg` and expect the flat color
     else if (op == "rg" && st.size() >= 3) {
       gs.fill_rgb[0] = (float)num(3);
       gs.fill_rgb[1] = (float)num(2);
       gs.fill_rgb[2] = (float)num(1);
+      gs.fill_cs = CsKind::Rgb;
+      gs.fill_cs_pattern = false;
+      gs.fill_pattern_shading = nullptr;
     } else if (op == "RG" && st.size() >= 3) {
       gs.stroke_rgb[0] = (float)num(3);
       gs.stroke_rgb[1] = (float)num(2);
       gs.stroke_rgb[2] = (float)num(1);
+      gs.stroke_cs = CsKind::Rgb;
     } else if (op == "g") {
       gs.fill_rgb[0] = gs.fill_rgb[1] = gs.fill_rgb[2] = (float)num(1);
+      gs.fill_cs = CsKind::Gray;
+      gs.fill_cs_pattern = false;
+      gs.fill_pattern_shading = nullptr;
     } else if (op == "G") {
       gs.stroke_rgb[0] = gs.stroke_rgb[1] = gs.stroke_rgb[2] = (float)num(1);
+      gs.stroke_cs = CsKind::Gray;
     } else if (op == "k" && st.size() >= 4) {
       double kk = num(1);
       gs.fill_rgb[0] = (float)((1 - num(4)) * (1 - kk));
       gs.fill_rgb[1] = (float)((1 - num(3)) * (1 - kk));
       gs.fill_rgb[2] = (float)((1 - num(2)) * (1 - kk));
+      gs.fill_cs = CsKind::Cmyk;
+      gs.fill_cs_pattern = false;
+      gs.fill_pattern_shading = nullptr;
     } else if (op == "K" && st.size() >= 4) {
       double kk = num(1);
       gs.stroke_rgb[0] = (float)((1 - num(4)) * (1 - kk));
@@ -884,34 +981,39 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
             gs.fill_rgb[0] = gs.fill_rgb[1] = gs.fill_rgb[2] = 0.5f;
           }
         }
-      } else if (st.size() >= 3 && st[st.size() - 1]->is(ObjType::Real) +
-                                st[st.size() - 1]->is(ObjType::Int)) {
-        gs.fill_pattern_shading = nullptr;
-        gs.fill_rgb[0] = (float)num(3);
-        gs.fill_rgb[1] = (float)num(2);
-        gs.fill_rgb[2] = (float)num(1);
-      } else if (st.size() >= 1) {
-        gs.fill_pattern_shading = nullptr;
-        gs.fill_rgb[0] = gs.fill_rgb[1] = gs.fill_rgb[2] = (float)num(1);
+      } else {
+        // numeric operands interpreted per the ACTIVE colorspace: count
+        // the trailing numeric run (scn may carry a /Name after tints)
+        size_t nops = 0;
+        while (nops < st.size() &&
+               (st[st.size() - 1 - nops]->is(ObjType::Real) ||
+                st[st.size() - 1 - nops]->is(ObjType::Int)))
+          nops++;
+        if (nops >= 1) {
+          gs.fill_pattern_shading = nullptr;
+          operands_to_rgb(gs.fill_cs, nops, num, gs.fill_rgb);
+        }
       }
     } else if (op == "SC" || op == "SCN") {
-      if (st.size() >= 3) {
-        gs.stroke_rgb[0] = (float)num(3);
-        gs.stroke_rgb[1] = (float)num(2);
-        gs.stroke_rgb[2] = (float)num(1);
-      }
+      size_t nops = 0;
+      while (nops < st.size() &&
+             (st[st.size() - 1 - nops]->is(ObjType::Real) ||
+              st[st.size() - 1 - nops]->is(ObjType::Int)))
+        nops++;
+      if (nops >= 1) operands_to_rgb(gs.stroke_cs, nops, num, gs.stroke_rgb);
     } else if (op == "cs" || op == "CS") {
-      // colorspace select: RGB/gray handled by sc/scn arity; track
+      // colorspace select: classify the family so sc/scn operands are
+      // interpreted correctly (Separation tints, CMYK, ICC N); track
       // /Pattern (incl. [/Pattern base]) so scn name operands resolve
-      if (op == "cs" && !st.empty()) {
-        ObjPtr csop = st.back();
-        bool pat = csop->is(ObjType::Name) && csop->s == "Pattern";
-        if (!pat && csop->is(ObjType::Array) && !csop->arr.empty()) {
-          ObjPtr first = doc->resolve(csop->arr[0]);
-          pat = first->is(ObjType::Name) && first->s == "Pattern";
+      if (!st.empty()) {
+        CsKind kind = classify_cs(doc, resources, st.back());
+        if (op == "cs") {
+          gs.fill_cs = kind;
+          gs.fill_cs_pattern = kind == CsKind::Pattern;
+          if (!gs.fill_cs_pattern) gs.fill_pattern_shading = nullptr;
+        } else {
+          gs.stroke_cs = kind;
         }
-        gs.fill_cs_pattern = pat;
-        if (!pat) gs.fill_pattern_shading = nullptr;
       }
     } else if (op == "sh") {
       // paint the current clip with a shading (axial/radial supported)

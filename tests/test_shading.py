@@ -137,3 +137,45 @@ def test_tiling_pattern_degrades_to_gray(tmp_path):
     arr = doc.render(0, dpi=72)
     mid = arr[150, 150]
     assert 100 < mid[0] < 160 and 100 < mid[1] < 160
+
+
+def test_rg_after_pattern_fill_resets_to_flat_color(tmp_path):
+    """g/rg/k implicitly select a device colorspace (PDF 8.6.8), ending
+    any active pattern fill — real streams switch back from
+    `/Pattern cs /P0 scn` with a plain `rg` and expect the flat color,
+    not the pattern repeated."""
+    content = (b"/Pattern cs /P0 scn 50 50 80 200 re f\n"
+               b"1 0 0 rg 180 50 80 200 re f\n")
+    pat = (b"<< /PatternType 2 /Shading << /ShadingType 2 "
+           b"/ColorSpace /DeviceRGB /Coords [0 50 0 250] "
+           b"/Extend [true true] /Function "
+           b"<< /FunctionType 2 /Domain [0 1] /C0 [1 1 1] /C1 [0 0 0] "
+           b"/N 1 >> >> >>")
+    objs = _page_objs(content, b"/Pattern << /P0 " + pat + b" >>")
+    p = tmp_path / "patrg.pdf"
+    p.write_bytes(_pdf(objs))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    flat = arr[150, 220]
+    assert flat[0] > 220 and flat[1] < 40 and flat[2] < 40, flat.tolist()
+
+
+def test_separation_and_cmyk_scn_colors(tmp_path):
+    """Separation tints are colorant coverage (1.0 = full ink = dark) —
+    interpreting them as DeviceGray painted spot-color fills white.
+    4-operand sc in DeviceCMYK uses the CMYK formula."""
+    content = (b"/CS0 cs 1.0 scn 20 200 60 50 re f "
+               b"0.2 scn 120 200 60 50 re f "
+               b"/DeviceCMYK cs 0 1 1 0 sc 220 200 60 50 re f")
+    objs = _page_objs(
+        content,
+        b"/ColorSpace << /CS0 [/Separation /Spot1 /DeviceCMYK "
+        b"<< /FunctionType 2 /Domain [0 1] /C0 [0 0 0 0] "
+        b"/C1 [0 1 1 0] /N 1 >>] >>",
+    )
+    p = tmp_path / "sep.pdf"
+    p.write_bytes(_pdf(objs))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    full, light, red = arr[75, 50], arr[75, 150], arr[75, 250]
+    assert full.max() < 40, full.tolist()              # full tint: dark
+    assert all(190 < v < 215 for v in light), light.tolist()
+    assert red[0] > 220 and red[1] < 50 and red[2] < 50, red.tolist()
