@@ -1275,8 +1275,8 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
 bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
   ObjPtr pg = doc_->page(page_index);
   if (!pg->is(ObjType::Dict)) return false;
-  double pw, ph;  // unrotated normalized extent
-  doc_->page_extent(page_index, &pw, &ph);
+  double bx0, by0, pw, ph;  // unrotated effective box (CropBox ∩ MediaBox)
+  doc_->page_box(page_index, &bx0, &by0, &pw, &ph);
   int rot = doc_->page_rotation(page_index);
   double w, h;    // display size (rotated)
   doc_->page_size(page_index, &w, &h);
@@ -1297,20 +1297,11 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
     case 270: in.gs.ctm = Matrix{0, -1, -1, 0, ph, pw}; break;
     default:  in.gs.ctm = Matrix{1, 0, 0, -1, 0, ph}; break;
   }
-  // account for MediaBox origin offset
-  ObjPtr mb = doc_->page_inherited(pg, "MediaBox");
-  if (mb->is(ObjType::Array) && mb->arr.size() == 4) {
-    // normalized origin = min corner (corners may come in any order;
-    // page_size normalizes the extent the same way)
-    double xa = doc_->resolve(mb->arr[0])->num();
-    double ya = doc_->resolve(mb->arr[1])->num();
-    double xb = doc_->resolve(mb->arr[2])->num();
-    double yb = doc_->resolve(mb->arr[3])->num();
-    double x0 = std::min(xa, xb), y0 = std::min(ya, yb);
-    if (std::isfinite(x0) && std::isfinite(y0)) {
-      Matrix shift{1, 0, 0, 1, -x0, -y0};
-      in.gs.ctm = shift.mul(in.gs.ctm);
-    }
+  // shift by the effective box origin (CropBox ∩ MediaBox min corner),
+  // same normalization page_box applies to the extent
+  if (bx0 != 0 || by0 != 0) {
+    Matrix shift{1, 0, 0, 1, -bx0, -by0};
+    in.gs.ctm = shift.mul(in.gs.ctm);
   }
   in.gs.clip = Rect{0, 0, w, h};
   in.base_ctm = in.gs.ctm;  // pattern matrices map into page default space

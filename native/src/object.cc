@@ -1081,23 +1081,62 @@ int Document::page_rotation(int index) {
   return (r == 90 || r == 180 || r == 270) ? (int)r : 0;
 }
 
-void Document::page_extent(int index, double* w, double* h) {
-  // UNROTATED normalized MediaBox extent
+// normalized [x0, y0, x1, y1] of an inheritable box entry, or false
+static bool read_box(Document* doc, const ObjPtr& pg, const char* key,
+                     double out[4]) {
+  ObjPtr b = doc->page_inherited(pg, key);
+  if (!b->is(ObjType::Array) || b->arr.size() != 4) return false;
+  double xa = doc->resolve(b->arr[0])->num(), ya = doc->resolve(b->arr[1])->num();
+  double xb = doc->resolve(b->arr[2])->num(), yb = doc->resolve(b->arr[3])->num();
+  // the spec allows corners in any order (real generators do emit
+  // inverted boxes); readers normalize — so does fitz (ref :2731)
+  out[0] = std::min(xa, xb);
+  out[1] = std::min(ya, yb);
+  out[2] = std::max(xa, xb);
+  out[3] = std::max(ya, yb);
+  for (int i = 0; i < 4; i++)
+    if (!std::isfinite(out[i])) return false;
+  return out[2] > out[0] && out[3] > out[1];
+}
+
+void Document::page_box(int index, double* x0, double* y0,
+                        double* w, double* h) {
+  // effective UNROTATED page box: CropBox intersected with MediaBox
+  // (fitz displays the CropBox — print-grade books put crop marks in
+  // the MediaBox margin outside it), US Letter when both are absent
+  *x0 = 0;
+  *y0 = 0;
   *w = 612;
   *h = 792;
   ObjPtr pg = page(index);
-  ObjPtr mb = page_inherited(pg, "MediaBox");
-  if (mb->is(ObjType::Array) && mb->arr.size() == 4) {
-    double x0 = resolve(mb->arr[0])->num(), y0 = resolve(mb->arr[1])->num();
-    double x1 = resolve(mb->arr[2])->num(), y1 = resolve(mb->arr[3])->num();
-    // the spec allows corners in any order (real generators do emit
-    // inverted boxes); readers normalize — so does fitz (ref :2731)
-    double nw = std::fabs(x1 - x0), nh = std::fabs(y1 - y0);
-    if (nw > 0 && nh > 0 && std::isfinite(nw) && std::isfinite(nh)) {
-      *w = nw;
-      *h = nh;
+  double mb[4];
+  bool have_mb = read_box(this, pg, "MediaBox", mb);
+  if (have_mb) {
+    *x0 = mb[0];
+    *y0 = mb[1];
+    *w = mb[2] - mb[0];
+    *h = mb[3] - mb[1];
+  }
+  double cb[4];
+  if (read_box(this, pg, "CropBox", cb)) {
+    if (have_mb) {  // intersect with the media box
+      cb[0] = std::max(cb[0], mb[0]);
+      cb[1] = std::max(cb[1], mb[1]);
+      cb[2] = std::min(cb[2], mb[2]);
+      cb[3] = std::min(cb[3], mb[3]);
+    }
+    if (cb[2] > cb[0] && cb[3] > cb[1]) {
+      *x0 = cb[0];
+      *y0 = cb[1];
+      *w = cb[2] - cb[0];
+      *h = cb[3] - cb[1];
     }
   }
+}
+
+void Document::page_extent(int index, double* w, double* h) {
+  double x0, y0;
+  page_box(index, &x0, &y0, w, h);
 }
 
 void Document::page_size(int index, double* w, double* h) {

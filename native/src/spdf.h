@@ -111,6 +111,8 @@ class Document {
   ObjPtr page(int index);                      // page dict
   void page_size(int index, double* w, double* h);   // display (rotated)
   void page_extent(int index, double* w, double* h);  // unrotated extent
+  // effective unrotated page box (CropBox ∩ MediaBox): origin + extent
+  void page_box(int index, double* x0, double* y0, double* w, double* h);
   int page_rotation(int index);  // inheritable /Rotate in {0,90,180,270}
   ObjPtr page_inherited(const ObjPtr& page, const std::string& key);
 

@@ -320,3 +320,30 @@ def test_page_rotate_transforms_text_metadata(tmp_path):
     got9 = {(round(b["bbox"][0], 1), round(b["bbox"][1], 1))
             for b in d9.page_text_blocks(0)}
     assert got9 & expect9, (expect9, got9)
+
+
+def test_cropbox_defines_display_page(tmp_path):
+    """fitz displays the CropBox (∩ MediaBox); print-grade books keep
+    crop marks in the MediaBox margin outside it. Page size, rendering,
+    and clipping must all use the effective box."""
+    from tests.fontfixtures import _pdf
+
+    content = (b"0 0 0 rg 0 0 20 20 re f "        # mark outside the crop
+               b"1 0 0 rg 100 100 100 100 re f")  # content inside
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 700 900] "
+        b"/CropBox [50 50 650 850] /Contents 4 0 R /Resources << >> >>",
+        b"<< /Length " + str(len(content)).encode() +
+        b" >>\nstream\n" + content + b"\nendstream",
+    ])
+    p = tmp_path / "crop.pdf"
+    p.write_bytes(pdf)
+    d = open_pdf(str(p))
+    assert d.page_size(0) == (600.0, 800.0)
+    arr = np.asarray(d.render(0, dpi=72))
+    assert arr.shape == (800, 600, 3)
+    red = arr[700, 100]
+    assert red[0] > 220 and red[1] < 50, red.tolist()
+    assert arr[795, 5].min() > 240  # crop mark clipped away
