@@ -854,6 +854,11 @@ void Interp::do_xobject(const std::string& name, const ObjPtr& resources) {
     ri.obj_num = obj_num;
     ri.img_to_page = gs.ctm;
     ri.clip = gs.clip;
+    ObjPtr imask = doc->dict_get(xo, "ImageMask");
+    if (imask->is(ObjType::Bool) && imask->b) {
+      ri.stencil = true;
+      for (int k = 0; k < 3; k++) ri.stencil_rgb[k] = gs.fill_rgb[k];
+    }
     dl->order_kind.push_back(2);
     dl->order_index.push_back((int)dl->images.size());
     dl->images.push_back(std::move(ri));
@@ -1331,7 +1336,56 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
 
 std::vector<uint8_t> decode_image_rgb(Document* doc, int obj_num, int* w,
                                       int* h) {
-  ObjPtr xo = doc->get_object(obj_num);
+  return decode_image_rgb_obj(doc, doc->get_object(obj_num), w, h);
+}
+
+std::vector<uint8_t> decode_image_alpha(Document* doc, const ObjPtr& xo,
+                                        int* aw, int* ah) {
+  *aw = *ah = 0;
+  if (!xo->is(ObjType::Stream)) return {};
+  ObjPtr im = doc->dict_get(xo, "ImageMask");
+  if (im->is(ObjType::Bool) && im->b) {
+    // stencil: 1-bit samples; Decode [0 1] (default) paints sample 0
+    int w = (int)doc->dict_get(xo, "Width")->num();
+    int h = (int)doc->dict_get(xo, "Height")->num();
+    if (w <= 0 || h <= 0 || (int64_t)w * h > (int64_t)64 << 20) return {};
+    bool invert = false;  // Decode [1 0]: paint sample 1
+    ObjPtr dec = doc->dict_get(xo, "Decode");
+    if (dec->is(ObjType::Array) && dec->arr.size() >= 1 &&
+        doc->resolve(dec->arr[0])->num() == 1)
+      invert = true;
+    std::string data = doc->decode_stream(xo);
+    size_t rowbytes = ((size_t)w + 7) / 8;
+    std::vector<uint8_t> alpha((size_t)w * h, 0);
+    for (int y = 0; y < h; y++) {
+      for (int x = 0; x < w; x++) {
+        size_t idx = (size_t)y * rowbytes + (size_t)x / 8;
+        int bit = idx < data.size()
+                      ? (((uint8_t)data[idx] >> (7 - x % 8)) & 1)
+                      : 1;
+        alpha[(size_t)y * w + x] = (bit == (invert ? 1 : 0)) ? 255 : 0;
+      }
+    }
+    *aw = w;
+    *ah = h;
+    return alpha;
+  }
+  ObjPtr sm = doc->dict_get(xo, "SMask");
+  if (sm->is(ObjType::Stream)) {
+    std::vector<uint8_t> rgb = decode_image_rgb_obj(doc, sm, aw, ah);
+    if (rgb.empty()) {
+      *aw = *ah = 0;
+      return {};
+    }
+    std::vector<uint8_t> alpha((size_t)(*aw) * (*ah));
+    for (size_t i = 0; i < alpha.size(); i++) alpha[i] = rgb[i * 3];
+    return alpha;
+  }
+  return {};
+}
+
+std::vector<uint8_t> decode_image_rgb_obj(Document* doc, const ObjPtr& xo,
+                                          int* w, int* h) {
   if (!xo->is(ObjType::Stream)) return {};
   *w = (int)doc->dict_get(xo, "Width")->num();
   *h = (int)doc->dict_get(xo, "Height")->num();

@@ -640,12 +640,18 @@ void stroke_subpath(Canvas* cv, const std::vector<std::pair<float, float>>& sp,
   }
 }
 
+struct CachedImg {
+  std::vector<uint8_t> rgb;  // empty for stencils (color comes per placement)
+  int w = 0, h = 0;
+  std::vector<uint8_t> alpha;  // empty = opaque; own dims (SMask may differ)
+  int aw = 0, ah = 0;
+};
+
 void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
-                std::unordered_map<int, std::tuple<std::vector<uint8_t>, int, int>>*
-                    img_cache) {
+                std::unordered_map<int, CachedImg>* img_cache) {
   const std::vector<uint8_t>* pix = nullptr;
-  int iw = 0, ih = 0;
-  std::tuple<std::vector<uint8_t>, int, int> local;
+  const std::vector<uint8_t>* alpha = nullptr;
+  int iw = 0, ih = 0, aw = 0, ah = 0;
   if (ri.inline_image) {
     pix = &ri.inline_rgb;
     iw = ri.inline_w;
@@ -653,16 +659,33 @@ void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
   } else {
     auto it = img_cache->find(ri.obj_num);
     if (it == img_cache->end()) {
-      int w = 0, h = 0;
-      std::vector<uint8_t> rgb = decode_image_rgb(doc, ri.obj_num, &w, &h);
-      (*img_cache)[ri.obj_num] = {std::move(rgb), w, h};
-      it = img_cache->find(ri.obj_num);
+      CachedImg ci;
+      ObjPtr xo = doc->get_object(ri.obj_num);
+      ci.alpha = decode_image_alpha(doc, xo, &ci.aw, &ci.ah);
+      if (!ri.stencil) {
+        ci.rgb = decode_image_rgb_obj(doc, xo, &ci.w, &ci.h);
+      } else {
+        // stencil geometry = mask dims; pixels come from stencil_rgb
+        ci.w = ci.aw;
+        ci.h = ci.ah;
+      }
+      it = img_cache->emplace(ri.obj_num, std::move(ci)).first;
     }
-    pix = &std::get<0>(it->second);
-    iw = std::get<1>(it->second);
-    ih = std::get<2>(it->second);
+    pix = &it->second.rgb;
+    iw = it->second.w;
+    ih = it->second.h;
+    if (!it->second.alpha.empty()) {
+      alpha = &it->second.alpha;
+      aw = it->second.aw;
+      ah = it->second.ah;
+    }
   }
-  if (!pix || pix->empty() || iw <= 0 || ih <= 0) return;
+  if (ri.stencil) {
+    if (!alpha) return;  // a stencil without coverage paints nothing
+  } else if (!pix || pix->empty()) {
+    return;
+  }
+  if (iw <= 0 || ih <= 0) return;
   // invert img_to_page: page pt -> unit square
   const Matrix& m = ri.img_to_page;
   double det = m.a * m.d - m.b * m.c;
@@ -703,12 +726,33 @@ void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
         xx = std::min(std::max(xx, 0), iw - 1);
         return (*pix)[((size_t)yy * iw + xx) * 3 + k];
       };
+      double a = 1.0;
+      if (alpha) {
+        // the alpha plane has its own dims (SMask resolution may differ)
+        double gx = ux * aw - 0.5, gy = (1.0 - uy) * ah - 0.5;
+        int tx = (int)std::floor(gx), ty = (int)std::floor(gy);
+        double bx = gx - tx, by = gy - ty;
+        auto aat = [&](int yy, int xx) -> double {
+          yy = std::min(std::max(yy, 0), ah - 1);
+          xx = std::min(std::max(xx, 0), aw - 1);
+          return (*alpha)[(size_t)yy * aw + xx];
+        };
+        a = (aat(ty, tx) * (1 - bx) * (1 - by) +
+             aat(ty, tx + 1) * bx * (1 - by) +
+             aat(ty + 1, tx) * (1 - bx) * by +
+             aat(ty + 1, tx + 1) * bx * by) /
+            255.0;
+        if (a <= 1.0 / 255.0) continue;
+      }
       uint8_t* out = cv->px.data() + ((size_t)y * cv->w + x) * 3;
       for (int k = 0; k < 3; k++) {
-        double v = at(sy, sx, k) * (1 - ax) * (1 - ay) +
-                   at(sy, sx + 1, k) * ax * (1 - ay) +
-                   at(sy + 1, sx, k) * (1 - ax) * ay +
-                   at(sy + 1, sx + 1, k) * ax * ay;
+        double v = ri.stencil
+                       ? ri.stencil_rgb[k] * 255.0
+                       : at(sy, sx, k) * (1 - ax) * (1 - ay) +
+                             at(sy, sx + 1, k) * ax * (1 - ay) +
+                             at(sy + 1, sx, k) * (1 - ax) * ay +
+                             at(sy + 1, sx + 1, k) * ax * ay;
+        v = v * a + out[k] * (1 - a);
         out[k] = (uint8_t)std::min(255.0, std::max(0.0, v));
       }
     }
@@ -739,7 +783,7 @@ std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
   }
   cv.px.assign((size_t)cv.w * cv.h * 3, 255);  // white page
 
-  std::unordered_map<int, std::tuple<std::vector<uint8_t>, int, int>> img_cache;
+  std::unordered_map<int, CachedImg> img_cache;
   static thread_local GlyphCache glyph_cache;
   for (size_t i = 0; i < dl.order_kind.size(); i++) {
     int kind = dl.order_kind[i], idx = dl.order_index[i];

@@ -442,6 +442,10 @@ struct RenderImage {
   bool inline_image = false;
   std::vector<uint8_t> inline_rgb;  // decoded inline image pixels
   int inline_w = 0, inline_h = 0;
+  // /ImageMask stencils paint the fill color through the mask instead
+  // of carrying their own pixels; color is captured at placement time
+  bool stencil = false;
+  float stencil_rgb[3] = {0, 0, 0};
 };
 
 // Axial/radial shading paint (ShadingType 2/3): the `sh` operator and
@@ -484,9 +488,18 @@ class ContentEngine {
 };
 
 // Decode an image XObject (by object number) to RGB8.
-// Returns empty on failure. smask applied as white-matte if present=false.
+// Returns empty on failure.
 std::vector<uint8_t> decode_image_rgb(Document* doc, int obj_num,
                                       int* w, int* h);
+// Same, from an already-resolved stream object (used for /SMask, whose
+// dict entry is a reference the caller resolves).
+std::vector<uint8_t> decode_image_rgb_obj(Document* doc, const ObjPtr& xo,
+                                          int* w, int* h);
+// 8-bit alpha plane for an image XObject: the /SMask gray channel, or
+// the stencil coverage for /ImageMask images (sample painted -> 255).
+// Empty when the image is fully opaque.
+std::vector<uint8_t> decode_image_alpha(Document* doc, const ObjPtr& xo,
+                                        int* aw, int* ah);
 
 // ---------------------------------------------------------------------------
 // Rasterizer

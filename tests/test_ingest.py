@@ -347,3 +347,52 @@ def test_cropbox_defines_display_page(tmp_path):
     red = arr[700, 100]
     assert red[0] > 220 and red[1] < 50, red.tolist()
     assert arr[795, 5].min() > 240  # crop mark clipped away
+
+
+def test_smask_alpha_and_imagemask_stencil(tmp_path):
+    """Image /SMask soft masks composite over existing content (logos
+    with alpha), and /ImageMask stencils paint the CURRENT fill color
+    through the mask — both rendered opaque before round 3."""
+    import zlib
+
+    from tests.fontfixtures import _pdf
+
+    red = bytes([255, 0, 0] * 64)
+    ramp = bytes([min(255, x * 36) for _ in range(8) for x in range(8)])
+    stencil = bytes([0b10101010] * 8)  # sample 0 painted (Decode default)
+
+    def obj_stream(dct: bytes, payload: bytes) -> bytes:
+        z = zlib.compress(payload)
+        return (dct + b" /Filter /FlateDecode /Length " +
+                str(len(z)).encode() + b" >>\nstream\n" + z + b"\nendstream")
+
+    content = (b"0 0 1 rg 50 492 200 200 re f "
+               b"q 100 0 0 100 100 542 cm /Im1 Do Q "
+               b"0 1 0 rg q 80 0 0 80 400 542 cm /Im2 Do Q")
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /XObject "
+        b"<< /Im1 5 0 R /Im2 7 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() +
+        b" >>\nstream\n" + content + b"\nendstream",
+        obj_stream(b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+                   b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                   b"/SMask 6 0 R", red),
+        obj_stream(b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+                   b"/ColorSpace /DeviceGray /BitsPerComponent 8", ramp),
+        obj_stream(b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8 "
+                   b"/ImageMask true /BitsPerComponent 1", stencil),
+    ])
+    p = tmp_path / "smask.pdf"
+    p.write_bytes(pdf)
+    arr = np.asarray(open_pdf(str(p)).render(0, dpi=72))
+    # SMask ramp: left edge transparent (blue bg shows), right opaque red
+    left, right = arr[200, 105], arr[200, 195]
+    assert left[2] > 150 and left[0] < 120, left.tolist()
+    assert right[0] > 200 and right[2] < 80, right.tolist()
+    # stencil stripes: texel centers alternate white / fill-green
+    assert arr[200, 405].min() > 230, arr[200, 405].tolist()
+    g = arr[200, 415]
+    assert g[1] > 200 and g[0] < 60, g.tolist()
