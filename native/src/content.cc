@@ -1265,6 +1265,49 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
       ip.width = (int)getk("Width", "W")->num();
       ip.height = (int)getk("Height", "H")->num();
       out->images.push_back(ip);
+      // rasterize: normalize abbreviated keys into a pseudo stream
+      // object so the XObject decode machinery applies unchanged
+      // (decode_stream already accepts abbreviated filter names, and
+      // obj_num 0 correctly skips decryption — inline data arrives
+      // already decrypted inside the content stream)
+      if (p < q && ip.width > 0 && ip.height > 0) {
+        auto norm = std::make_shared<Object>();
+        norm->type = ObjType::Stream;
+        norm->stream_raw.assign(content.data() + p, q - p);
+        static const std::pair<const char*, const char*> kAbbrev[] = {
+            {"W", "Width"},       {"H", "Height"},
+            {"BPC", "BitsPerComponent"}, {"CS", "ColorSpace"},
+            {"F", "Filter"},      {"DP", "DecodeParms"},
+            {"IM", "ImageMask"},  {"D", "Decode"},
+        };
+        for (auto& kv : d->dict) {
+          std::string key = kv.first;
+          for (auto& ab : kAbbrev)
+            if (key == ab.first) { key = ab.second; break; }
+          norm->dict[key] = kv.second;
+        }
+        RenderImage ri;
+        ri.inline_image = true;
+        ri.img_to_page = gs.ctm;
+        ri.clip = gs.clip;
+        ObjPtr imask = doc->dict_get(norm, "ImageMask");
+        if (imask->is(ObjType::Bool) && imask->b) {
+          ri.stencil = true;
+          for (int k = 0; k < 3; k++) ri.stencil_rgb[k] = gs.fill_rgb[k];
+          ri.inline_alpha = decode_image_alpha(doc, norm, &ri.inline_aw,
+                                               &ri.inline_ah);
+          ri.inline_w = ri.inline_aw;
+          ri.inline_h = ri.inline_ah;
+        } else {
+          ri.inline_rgb = decode_image_rgb_obj(doc, norm, &ri.inline_w,
+                                               &ri.inline_h);
+        }
+        if (!ri.inline_rgb.empty() || !ri.inline_alpha.empty()) {
+          dl->order_kind.push_back(2);
+          dl->order_index.push_back((int)dl->images.size());
+          dl->images.push_back(std::move(ri));
+        }
+      }
       st.clear();
       continue;
     } else if (op == "BX" || op == "EX" || op == "MP" || op == "DP" ||
@@ -1407,7 +1450,7 @@ std::vector<uint8_t> decode_image_rgb_obj(Document* doc, const ObjPtr& xo,
     // encoder exists in this environment to cross-validate against.
     return std::vector<uint8_t>((size_t)(*w) * (*h) * 3, 200);
   }
-  if (fname == "DCTDecode") {
+  if (fname == "DCTDecode" || fname == "DCT") {
     // run non-DCT pre-filters via decode_stream (it skips DCT), then jpeg
     std::string data = doc->decode_stream(xo);
     std::vector<uint8_t> rgb =
@@ -1423,13 +1466,17 @@ std::vector<uint8_t> decode_image_rgb_obj(Document* doc, const ObjPtr& xo,
   if (cs->is(ObjType::Array) && !cs->arr.empty()) {
     ObjPtr c0 = doc->resolve(cs->arr[0]);
     csname = c0->s;
+    if (csname == "I") csname = "Indexed";
     if (csname == "Indexed" && cs->arr.size() >= 4) {
       ObjPtr basecs = doc->resolve(cs->arr[1]);
       std::string basename = basecs->s;
       if (basecs->is(ObjType::Array) && !basecs->arr.empty())
         basename = doc->resolve(basecs->arr[0])->s;
-      pal_ncomp = (basename == "DeviceCMYK") ? 4
-                  : (basename == "DeviceGray" || basename == "CalGray") ? 1 : 3;
+      pal_ncomp = (basename == "DeviceCMYK" || basename == "CMYK") ? 4
+                  : (basename == "DeviceGray" || basename == "CalGray" ||
+                     basename == "G")
+                      ? 1
+                      : 3;
       ObjPtr lookup = doc->resolve(cs->arr[3]);
       if (lookup->is(ObjType::Stream)) {
         std::string lu = doc->decode_stream(lookup);
@@ -1443,10 +1490,16 @@ std::vector<uint8_t> decode_image_rgb_obj(Document* doc, const ObjPtr& xo,
       csname = ncomp == 1 ? "DeviceGray" : (ncomp == 4 ? "DeviceCMYK" : "DeviceRGB");
     }
   }
-  if (csname == "DeviceRGB" || csname == "CalRGB") ncomp = 3;
-  else if (csname == "DeviceCMYK") ncomp = 4;
-  else if (csname == "DeviceGray" || csname == "CalGray") ncomp = 1;
-  else if (csname == "Indexed") ncomp = 1;
+  // abbreviated names appear in inline images (PDF 8.9.7)
+  if (csname == "DeviceRGB" || csname == "CalRGB" || csname == "RGB")
+    ncomp = 3;
+  else if (csname == "DeviceCMYK" || csname == "CMYK") ncomp = 4;
+  else if (csname == "DeviceGray" || csname == "CalGray" || csname == "G")
+    ncomp = 1;
+  else if (csname == "Indexed" || csname == "I") {
+    csname = "Indexed";
+    ncomp = 1;
+  }
 
   std::vector<uint8_t> out((size_t)(*w) * (*h) * 3, 255);
   size_t rowbytes = ((size_t)(*w) * ncomp * bpc + 7) / 8;

@@ -656,6 +656,11 @@ void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
     pix = &ri.inline_rgb;
     iw = ri.inline_w;
     ih = ri.inline_h;
+    if (!ri.inline_alpha.empty()) {
+      alpha = &ri.inline_alpha;
+      aw = ri.inline_aw;
+      ah = ri.inline_ah;
+    }
   } else {
     auto it = img_cache->find(ri.obj_num);
     if (it == img_cache->end()) {

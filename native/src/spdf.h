@@ -446,6 +446,9 @@ struct RenderImage {
   // of carrying their own pixels; color is captured at placement time
   bool stencil = false;
   float stencil_rgb[3] = {0, 0, 0};
+  // inline stencil coverage (XObject alpha lives in the raster's cache)
+  std::vector<uint8_t> inline_alpha;
+  int inline_aw = 0, inline_ah = 0;
 };
 
 // Axial/radial shading paint (ShadingType 2/3): the `sh` operator and

@@ -396,3 +396,38 @@ def test_smask_alpha_and_imagemask_stencil(tmp_path):
     assert arr[200, 405].min() > 230, arr[200, 405].tolist()
     g = arr[200, 415]
     assert g[1] > 200 and g[0] < 60, g.tolist()
+
+
+def test_inline_images_rasterize(tmp_path):
+    """BI/ID/EI inline images (abbreviated keys, PDF 8.9.7) must
+    actually draw — previously they were recorded as metadata only and
+    vanished from renders. Covers inline RGB pixels and an inline
+    /IM stencil painted in the current fill color."""
+    import zlib
+
+    from tests.fontfixtures import _pdf
+
+    rgbpx = zlib.compress(bytes([0, 200, 0] * 16))  # 4x4 green
+    stenc = zlib.compress(bytes([0b00110011] * 4))
+    content = (
+        b"q 100 0 0 100 50 600 cm BI /W 4 /H 4 /CS /RGB /BPC 8 /F /Fl "
+        b"/L " + str(len(rgbpx)).encode() + b" ID " + rgbpx + b" EI Q "
+        b"1 0 0 rg q 100 0 0 100 250 600 cm BI /W 4 /H 4 /IM true "
+        b"/BPC 1 /F /Fl /L " + str(len(stenc)).encode() +
+        b" ID " + stenc + b" EI Q")
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << >> >>",
+        b"<< /Length " + str(len(content)).encode() +
+        b" >>\nstream\n" + content + b"\nendstream",
+    ])
+    p = tmp_path / "inline.pdf"
+    p.write_bytes(pdf)
+    arr = np.asarray(open_pdf(str(p)).render(0, dpi=72))
+    g = arr[140, 100]
+    assert g[1] > 150 and g[0] < 80, g.tolist()      # inline RGB drew
+    r, wpx = arr[140, 262], arr[140, 337]
+    assert r[0] > 200 and r[1] < 80, r.tolist()      # stencil fill color
+    assert wpx.min() > 230, wpx.tolist()             # stencil hole
