@@ -454,6 +454,9 @@ struct GState {
   Matrix ctm;
   float stroke_rgb[3] = {0, 0, 0};
   float fill_rgb[3] = {0, 0, 0};
+  // dash pattern (user-space units) + phase; empty = solid
+  std::vector<double> dash;
+  double dash_phase = 0;
   // PatternType-2 (shading) fill state: set by `/Pattern cs ... /P scn`,
   // consumed by paint_path. Null when the fill color is a plain color.
   ObjPtr fill_pattern_shading;
@@ -739,6 +742,73 @@ void Interp::op_show_text(const std::string& s, const ObjPtr& resources) {
   }
 }
 
+// Split flattened subpaths (page space) into dashed "on" polylines.
+// Pattern/phase are pre-scaled to page units by the caller. Dashed
+// gridlines are everywhere in charts; rendering them solid skewed the
+// morphological line/grid detection signals vs the reference renderer.
+static std::vector<std::vector<std::pair<float, float>>> dash_polylines(
+    const std::vector<std::vector<std::pair<float, float>>>& sps,
+    const std::vector<double>& pattern, double phase) {
+  double total = 0;
+  for (double v : pattern) total += std::max(v, 0.0);
+  // degenerate or abusive patterns (tiny dashes over long paths explode
+  // the segment count): render solid
+  if (total < 0.05) return sps;
+  std::vector<std::vector<std::pair<float, float>>> out;
+  for (auto& sp : sps) {
+    if (sp.size() < 2) continue;
+    // advance the pattern cursor by the phase (cycle = 2*total for
+    // odd-length patterns, whose on/off parity flips each pass)
+    double cycle = (pattern.size() % 2) ? 2 * total : total;
+    double left = std::fmod(std::max(phase, 0.0), cycle);
+    size_t pi = 0;
+    bool on = true;
+    double rem = std::max(pattern[0], 0.0);
+    while (left > 1e-9) {
+      if (left >= rem) {
+        left -= rem;
+        pi = (pi + 1) % pattern.size();
+        on = !on;
+        rem = std::max(pattern[pi], 0.0);
+      } else {
+        rem -= left;
+        left = 0;
+      }
+    }
+    std::vector<std::pair<float, float>> cur;
+    for (size_t i = 0; i + 1 < sp.size(); i++) {
+      double x0 = sp[i].first, y0 = sp[i].second;
+      double dx = sp[i + 1].first - x0, dy = sp[i + 1].second - y0;
+      double len = std::sqrt(dx * dx + dy * dy);
+      if (len < 1e-12) continue;
+      double t = 0;
+      while (t < len) {
+        if (out.size() > 50000) return sps;  // runaway guard: solid
+        double step = std::min(rem, len - t);
+        double t2 = t + step;
+        if (on) {
+          if (cur.empty())
+            cur.push_back({(float)(x0 + dx * (t / len)),
+                           (float)(y0 + dy * (t / len))});
+          cur.push_back({(float)(x0 + dx * (t2 / len)),
+                         (float)(y0 + dy * (t2 / len))});
+        }
+        rem -= step;
+        t = t2;
+        if (rem <= 1e-9) {
+          if (on && cur.size() >= 2) out.push_back(std::move(cur));
+          cur.clear();
+          pi = (pi + 1) % pattern.size();
+          on = !on;
+          rem = std::max(pattern[pi], 0.0);
+        }
+      }
+    }
+    if (on && cur.size() >= 2) out.push_back(std::move(cur));
+  }
+  return out;
+}
+
 void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
   if (subpaths.empty() || (!fill && !stroke && !pending_clip)) {
     if (pending_clip) {
@@ -805,6 +875,25 @@ void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
     double sc = std::sqrt(std::fabs(gs.ctm.a * gs.ctm.d - gs.ctm.b * gs.ctm.c));
     rp.line_width = (float)(gs.line_width * sc);
     rp.clip = gs.clip;
+    if (stroke && !gs.dash.empty()) {
+      // dash lengths are user-space: scale by the same ctm factor the
+      // line width uses, then split the polylines into "on" runs
+      std::vector<double> pat(gs.dash);
+      for (double& v : pat) v *= sc;
+      auto dashed = dash_polylines(subpaths, pat, gs.dash_phase * sc);
+      if (fill) {
+        // fill keeps the full outline; the stroke gets its own item
+        RenderPath srp = rp;
+        srp.fill = false;
+        srp.subpaths = std::move(dashed);
+        rp.stroke = false;
+        dl->order_kind.push_back(0);
+        dl->order_index.push_back((int)dl->paths.size());
+        dl->paths.push_back(std::move(srp));
+      } else {
+        rp.subpaths = std::move(dashed);
+      }
+    }
     if (rp.fill || rp.stroke) {  // may be shading-only (fill cleared above)
       dl->order_kind.push_back(0);
       dl->order_index.push_back((int)dl->paths.size());
@@ -915,8 +1004,20 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
       gs.ctm = m.mul(gs.ctm);
     } else if (op == "w") {
       gs.line_width = num(1);
+    } else if (op == "d") {
+      // dash pattern: [array] phase d
+      gs.dash.clear();
+      gs.dash_phase = 0;
+      if (st.size() >= 2 && st[st.size() - 2]->is(ObjType::Array)) {
+        for (auto& el : st[st.size() - 2]->arr)
+          gs.dash.push_back(doc->resolve(el)->num());
+        gs.dash_phase = num(1);
+        bool any_on = false;
+        for (double v : gs.dash) any_on |= v > 0;
+        if (!any_on) gs.dash.clear();  // empty/zero array = solid
+      }
     } else if (op == "gs" || op == "ri" || op == "i" || op == "j" ||
-               op == "J" || op == "M" || op == "d") {
+               op == "J" || op == "M") {
       // ignored state ops
     }
     // --- color

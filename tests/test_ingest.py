@@ -431,3 +431,36 @@ def test_inline_images_rasterize(tmp_path):
     r, wpx = arr[140, 262], arr[140, 337]
     assert r[0] > 200 and r[1] < 80, r.tolist()      # stencil fill color
     assert wpx.min() > 230, wpx.tolist()             # stencil hole
+
+
+def test_dash_patterns_render(tmp_path):
+    """`d` dash patterns render as on/off runs (dashed gridlines are
+    ubiquitous in charts; solid rendering skews line/grid morphology vs
+    the reference renderer). `[] 0 d` restores solid strokes."""
+    from tests.fontfixtures import _pdf
+
+    content = (b"2 w 0 0 0 RG [12 8] 0 d 50 700 m 550 700 l S "
+               b"[] 0 d 50 650 m 550 650 l S "
+               b"[6 6] 3 d 1 0 0 RG 50 600 m 550 600 l S")
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << >> >>",
+        b"<< /Length " + str(len(content)).encode() +
+        b" >>\nstream\n" + content + b"\nendstream",
+    ])
+    p = tmp_path / "dash.pdf"
+    p.write_bytes(pdf)
+    arr = np.asarray(open_pdf(str(p)).render(0, dpi=72))
+
+    def runs(row, ch):
+        dark = arr[row, 50:550, ch] < 128
+        return int(dark.sum()), int(np.abs(np.diff(dark.astype(int))).sum())
+
+    on, trans = runs(92, 0)          # black dashed: many transitions
+    assert trans > 20 and 200 < on < 450, (on, trans)
+    on, trans = runs(142, 0)         # solid restored by [] 0 d
+    assert trans <= 2 and on > 480, (on, trans)
+    on, trans = runs(192, 1)         # red dash: probe green channel
+    assert trans > 20 and 150 < on < 400, (on, trans)
