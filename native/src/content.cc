@@ -461,6 +461,11 @@ struct GState {
   // consumed by paint_path. Null when the fill color is a plain color.
   ObjPtr fill_pattern_shading;
   Matrix fill_pattern_mtx;
+  // PatternType-1 (tiling) fill state: pre-interpreted cell display
+  // list + tiling geometry (pattern space)
+  std::shared_ptr<DisplayList> fill_tile_dl;
+  float tile_x0 = 0, tile_y0 = 0, tile_w = 0, tile_h = 0;
+  float tile_xstep = 0, tile_ystep = 0;
   bool fill_cs_pattern = false;  // current fill colorspace is /Pattern
   CsKind fill_cs = CsKind::Rgb;
   CsKind stroke_cs = CsKind::Rgb;
@@ -593,6 +598,15 @@ struct Interp {
   void op_show_text(const std::string& s, const ObjPtr& resources);
   void paint_path(bool fill, bool stroke, bool even_odd);
   void do_xobject(const std::string& name, const ObjPtr& resources);
+  bool build_tile_pattern(const ObjPtr& pat, const Matrix& pm);
+
+  // per-page tile-cell cache: a pattern reused across many fills
+  // (hatched bar charts) interprets its cell stream once
+  struct TileCell {
+    std::shared_ptr<DisplayList> dl;
+    float x0, y0, w, h, xstep, ystep;
+  };
+  std::map<const Object*, TileCell> tile_cache;
 };
 
 static void utf8_append(std::string* s, uint32_t cp) {
@@ -809,6 +823,92 @@ static std::vector<std::vector<std::pair<float, float>>> dash_polylines(
   return out;
 }
 
+// Interpret a PatternType-1 cell content stream into its own display
+// list (cell-local y-down space) and arm the tiling fill state. Returns
+// false on malformed geometry so the caller degrades to mid-gray.
+bool Interp::build_tile_pattern(const ObjPtr& pat, const Matrix& pm) {
+  if (depth >= 8) return false;
+  // PaintType-2 (uncolored) cells bake the caller's fill color into the
+  // interpreted display list, so they must not be shared via the cache
+  bool uncolored = (int)doc->dict_get(pat, "PaintType")->num() == 2;
+  TileCell cell;
+  auto cached = uncolored ? tile_cache.end() : tile_cache.find(pat.get());
+  if (cached != tile_cache.end()) {
+    cell = cached->second;
+  } else {
+    ObjPtr bbox = doc->dict_get(pat, "BBox");
+    if (!bbox->is(ObjType::Array) || bbox->arr.size() != 4) return false;
+    double xa = doc->resolve(bbox->arr[0])->num();
+    double ya = doc->resolve(bbox->arr[1])->num();
+    double xb = doc->resolve(bbox->arr[2])->num();
+    double yb = doc->resolve(bbox->arr[3])->num();
+    double bx0 = std::min(xa, xb), by0 = std::min(ya, yb);
+    double bw = std::fabs(xb - xa), bh = std::fabs(yb - ya);
+    if (!(bw > 1e-6) || !(bh > 1e-6) || !std::isfinite(bw + bh))
+      return false;
+    double xstep = doc->dict_get(pat, "XStep")->num();
+    double ystep = doc->dict_get(pat, "YStep")->num();
+    xstep = std::fabs(xstep) > 1e-6 ? std::fabs(xstep) : bw;
+    ystep = std::fabs(ystep) > 1e-6 ? std::fabs(ystep) : bh;
+    // interpret the cell into a fresh display list, reusing this
+    // interpreter with swapped targets (same pattern as Type3 replay)
+    auto tdl = std::make_shared<DisplayList>();
+    tdl->page_w = bw;
+    tdl->page_h = bh;
+    PageContent scratch;
+    GState saved_gs = gs;
+    DisplayList* saved_dl = dl;
+    PageContent* saved_out = out;
+    Matrix saved_tm = tm, saved_tlm = tlm;
+    bool saved_in_text = in_text;
+    auto saved_paths = std::move(subpaths);
+    subpaths.clear();
+    size_t saved_stack = gstack.size();
+    bool saved_pc = pending_clip, saved_pce = pending_clip_eo;
+    gs = GState();
+    // cell-local device space: y-down, origin at the bbox top-left.
+    // PaintType 2 (uncolored) cells paint in the CURRENT fill color —
+    // GState() starts black; carry the caller's color over instead.
+    if (uncolored)
+      for (int k = 0; k < 3; k++) {
+        gs.fill_rgb[k] = saved_gs.fill_rgb[k];
+        gs.stroke_rgb[k] = saved_gs.stroke_rgb[k];
+      }
+    gs.ctm = Matrix{1, 0, 0, -1, -bx0, by0 + bh};
+    gs.clip = Rect{0, 0, bw, bh};
+    dl = tdl.get();
+    out = &scratch;
+    in_text = false;
+    ObjPtr res = doc->dict_get(pat, "Resources");
+    depth++;
+    run_stream(doc->decode_stream(pat), res);
+    depth--;
+    if (gstack.size() > saved_stack) gstack.resize(saved_stack);
+    gs = saved_gs;
+    dl = saved_dl;
+    out = saved_out;
+    tm = saved_tm;
+    tlm = saved_tlm;
+    in_text = saved_in_text;
+    subpaths = std::move(saved_paths);
+    pending_clip = saved_pc;
+    pending_clip_eo = saved_pce;
+    cell = TileCell{tdl, (float)bx0, (float)by0, (float)bw, (float)bh,
+                    (float)xstep, (float)ystep};
+    if (!uncolored) tile_cache[pat.get()] = cell;
+  }
+  if (!cell.dl) return false;
+  gs.fill_tile_dl = cell.dl;
+  gs.tile_x0 = cell.x0;
+  gs.tile_y0 = cell.y0;
+  gs.tile_w = cell.w;
+  gs.tile_h = cell.h;
+  gs.tile_xstep = cell.xstep;
+  gs.tile_ystep = cell.ystep;
+  gs.fill_pattern_mtx = pm.mul(base_ctm);
+  return true;
+}
+
 void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
   if (subpaths.empty() || (!fill && !stroke && !pending_clip)) {
     if (pending_clip) {
@@ -866,6 +966,16 @@ void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
     rp.fill = fill;
     rp.stroke = stroke;
     rp.even_odd = even_odd;
+    if (fill && gs.fill_tile_dl) {
+      rp.tile_dl = gs.fill_tile_dl;
+      rp.tile_x0 = gs.tile_x0;
+      rp.tile_y0 = gs.tile_y0;
+      rp.tile_w = gs.tile_w;
+      rp.tile_h = gs.tile_h;
+      rp.tile_xstep = gs.tile_xstep;
+      rp.tile_ystep = gs.tile_ystep;
+      rp.tile_to_page = gs.fill_pattern_mtx;
+    }
     rp.rgb_fill[0] = gs.fill_rgb[0];
     rp.rgb_fill[1] = gs.fill_rgb[1];
     rp.rgb_fill[2] = gs.fill_rgb[2];
@@ -1031,6 +1141,7 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
       gs.fill_cs = CsKind::Rgb;
       gs.fill_cs_pattern = false;
       gs.fill_pattern_shading = nullptr;
+      gs.fill_tile_dl = nullptr;
     } else if (op == "RG" && st.size() >= 3) {
       gs.stroke_rgb[0] = (float)num(3);
       gs.stroke_rgb[1] = (float)num(2);
@@ -1041,6 +1152,7 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
       gs.fill_cs = CsKind::Gray;
       gs.fill_cs_pattern = false;
       gs.fill_pattern_shading = nullptr;
+      gs.fill_tile_dl = nullptr;
     } else if (op == "G") {
       gs.stroke_rgb[0] = gs.stroke_rgb[1] = gs.stroke_rgb[2] = (float)num(1);
       gs.stroke_cs = CsKind::Gray;
@@ -1052,6 +1164,7 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
       gs.fill_cs = CsKind::Cmyk;
       gs.fill_cs_pattern = false;
       gs.fill_pattern_shading = nullptr;
+      gs.fill_tile_dl = nullptr;
     } else if (op == "K" && st.size() >= 4) {
       double kk = num(1);
       gs.stroke_rgb[0] = (float)((1 - num(4)) * (1 - kk));
@@ -1062,6 +1175,7 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
           gs.fill_cs_pattern) {
         // pattern fill: /P0 scn — resolve from the Pattern resources
         gs.fill_pattern_shading = nullptr;
+      gs.fill_tile_dl = nullptr;
         ObjPtr pats = doc->dict_get(resources, "Pattern");
         ObjPtr pat = pats->is(ObjType::Dict)
                          ? doc->dict_get(pats, st.back()->s)
@@ -1080,10 +1194,13 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
           if (ptype == 2) {
             gs.fill_pattern_shading = doc->dict_get(pat, "Shading");
             gs.fill_pattern_mtx = pm.mul(base_ctm);
+          } else if (ptype == 1 && pat->is(ObjType::Stream) &&
+                     build_tile_pattern(pat, pm)) {
+            // tiling pattern (hatched chart fills): cell interpreted
+            // into its own display list inside build_tile_pattern
           } else {
-            // tiling pattern: documented graceful degrade — fill the
-            // path mid-gray so the region keeps ink for detection
-            // (variance/edge signals) instead of rendering blank
+            // unknown pattern type / malformed cell: graceful degrade —
+            // fill mid-gray so the region keeps ink for detection
             gs.fill_rgb[0] = gs.fill_rgb[1] = gs.fill_rgb[2] = 0.5f;
           }
         }
@@ -1097,6 +1214,7 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
           nops++;
         if (nops >= 1) {
           gs.fill_pattern_shading = nullptr;
+      gs.fill_tile_dl = nullptr;
           operands_to_rgb(gs.fill_cs, nops, num, gs.fill_rgb);
         }
       }
@@ -1116,7 +1234,10 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
         if (op == "cs") {
           gs.fill_cs = kind;
           gs.fill_cs_pattern = kind == CsKind::Pattern;
-          if (!gs.fill_cs_pattern) gs.fill_pattern_shading = nullptr;
+          if (!gs.fill_cs_pattern) {
+            gs.fill_pattern_shading = nullptr;
+            gs.fill_tile_dl = nullptr;
+          }
         } else {
           gs.stroke_cs = kind;
         }

@@ -766,9 +766,99 @@ void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
 
 }  // namespace
 
+// Tiling-pattern fill: rasterize the cell display list once per
+// (pattern, device scale) with white AND black backgrounds to recover
+// per-pixel alpha (rendered = src*a + bg*(1-a) solves for a and src),
+// then fill the path with a color_at that samples the tiled cell.
+struct TileBitmap {
+  std::vector<uint8_t> rgb;    // premultiplied-src recovered colors
+  std::vector<uint8_t> alpha;  // 0..255 coverage
+  int w = 0, h = 0;
+};
+
+static void draw_tiled_fill(
+    Canvas* cv, Document* doc, const RenderPath& rp,
+    std::unordered_map<const DisplayList*, TileBitmap>* tile_cache) {
+  auto it = tile_cache->find(rp.tile_dl.get());
+  if (it == tile_cache->end()) {
+    TileBitmap tb;
+    const Matrix& m = rp.tile_to_page;
+    double s = cv->scale * std::sqrt(std::fabs(m.a * m.d - m.b * m.c));
+    if (!(s > 1e-9) || !std::isfinite(s)) s = cv->scale;
+    double tw = rp.tile_dl->page_w * s, th = rp.tile_dl->page_h * s;
+    if (tw >= 1 && th >= 1 && tw <= 2048 && th <= 2048) {
+      double cellscale = s;
+      int w1, h1, w2, h2;
+      std::vector<uint8_t> on_white =
+          rasterize(doc, *rp.tile_dl, cellscale, nullptr, &w1, &h1, 255);
+      std::vector<uint8_t> on_black =
+          rasterize(doc, *rp.tile_dl, cellscale, nullptr, &w2, &h2, 0);
+      if (!on_white.empty() && w1 == w2 && h1 == h2) {
+        tb.w = w1;
+        tb.h = h1;
+        tb.rgb.resize(on_white.size());
+        tb.alpha.resize((size_t)w1 * h1);
+        for (size_t i = 0; i < tb.alpha.size(); i++) {
+          int amax = 0;
+          for (int k = 0; k < 3; k++) {
+            int a = 255 - (on_white[i * 3 + k] - on_black[i * 3 + k]);
+            if (a > amax) amax = a;
+          }
+          amax = std::min(std::max(amax, 0), 255);
+          tb.alpha[i] = (uint8_t)amax;
+          for (int k = 0; k < 3; k++) {
+            int src = amax ? on_black[i * 3 + k] * 255 / amax : 0;
+            tb.rgb[i * 3 + k] = (uint8_t)std::min(src, 255);
+          }
+        }
+      }
+    }
+    it = tile_cache->emplace(rp.tile_dl.get(), std::move(tb)).first;
+  }
+  const TileBitmap& tb = it->second;
+  if (tb.w <= 0 || tb.h <= 0) {
+    // degenerate cell: mid-gray degrade, keep ink for detection
+    const float gray[3] = {0.5f, 0.5f, 0.5f};
+    fill_polygon(cv, rp.subpaths, gray, rp.even_odd, rp.clip);
+    return;
+  }
+  // invert pattern->page for per-pixel lookup
+  const Matrix& m = rp.tile_to_page;
+  double det = m.a * m.d - m.b * m.c;
+  if (std::fabs(det) < 1e-12) return;
+  double ia = m.d / det, ib = -m.b / det, ic = -m.c / det, id = m.a / det;
+  double ie = -(m.e * ia + m.f * ic), iff = -(m.e * ib + m.f * id);
+  fill_polygon_t(
+      cv, rp.subpaths, rp.even_odd, rp.clip, [&](int x, int y, float* o) {
+        double px = cv->off_x + (x + 0.5) / cv->scale;
+        double py = cv->off_y + (y + 0.5) / cv->scale;
+        double ux = ia * px + ic * py + ie;
+        double uy = ib * px + id * py + iff;
+        double fx = std::fmod(ux - rp.tile_x0, (double)rp.tile_xstep);
+        if (fx < 0) fx += rp.tile_xstep;
+        double fy = std::fmod(uy - rp.tile_y0, (double)rp.tile_ystep);
+        if (fy < 0) fy += rp.tile_ystep;
+        // steps larger than the cell leave gaps between tiles
+        if (fx >= rp.tile_w || fy >= rp.tile_h) return false;
+        int tx = std::min(tb.w - 1, (int)(fx / rp.tile_w * tb.w));
+        // cell bitmap is y-down from the bbox top
+        int ty = std::min(tb.h - 1, (int)((1.0 - fy / rp.tile_h) * tb.h));
+        ty = std::max(ty, 0);
+        size_t ti = (size_t)ty * tb.w + tx;
+        float a = tb.alpha[ti] / 255.0f;
+        if (a <= 0.004f) return false;
+        const uint8_t* cur =
+            cv->px.data() + ((size_t)y * cv->w + x) * 3;
+        for (int k = 0; k < 3; k++)
+          o[k] = (tb.rgb[ti * 3 + k] / 255.0f) * a +
+                 (cur[k] / 255.0f) * (1 - a);
+        return true;
+      });
+}
+
 std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
                                double scale, const double* clip_pts,
-                               int* out_w, int* out_h) {
+                               int* out_w, int* out_h, uint8_t bg) {
   Canvas cv;
   double cx0 = 0, cy0 = 0, cx1 = dl.page_w, cy1 = dl.page_h;
   if (clip_pts) {
@@ -786,15 +876,21 @@ std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
     *out_w = *out_h = 0;
     return {};
   }
-  cv.px.assign((size_t)cv.w * cv.h * 3, 255);  // white page
+  cv.px.assign((size_t)cv.w * cv.h * 3, bg);  // page background
 
   std::unordered_map<int, CachedImg> img_cache;
+  std::unordered_map<const DisplayList*, TileBitmap> tile_cache;
   static thread_local GlyphCache glyph_cache;
   for (size_t i = 0; i < dl.order_kind.size(); i++) {
     int kind = dl.order_kind[i], idx = dl.order_index[i];
     if (kind == 0) {
       const RenderPath& rp = dl.paths[idx];
-      if (rp.fill) fill_polygon(&cv, rp.subpaths, rp.rgb_fill, rp.even_odd, rp.clip);
+      if (rp.fill) {
+        if (rp.tile_dl)
+          draw_tiled_fill(&cv, doc, rp, &tile_cache);
+        else
+          fill_polygon(&cv, rp.subpaths, rp.rgb_fill, rp.even_odd, rp.clip);
+      }
       if (rp.stroke) {
         for (auto& sp : rp.subpaths)
           stroke_subpath(&cv, sp, rp.line_width, rp.rgb_stroke, rp.clip);

@@ -410,6 +410,8 @@ struct PageContent {
 
 // Render-ops: a resolution-independent display list captured alongside
 // extraction, replayed by the rasterizer at any scale/clip.
+struct DisplayList;  // fwd (tiling-pattern cells carry their own list)
+
 struct RenderPath {
   std::vector<std::vector<std::pair<float, float>>> subpaths;  // page space
   bool fill = false, stroke = false, even_odd = false;
@@ -417,6 +419,13 @@ struct RenderPath {
   float rgb_stroke[3] = {0, 0, 0};
   float line_width = 1.0f;
   Rect clip;             // device-space clip at time of paint
+  // PatternType-1 (tiling) fill: the cell's own display list, tiled
+  // through this path's coverage by the raster. Null = plain fill.
+  std::shared_ptr<DisplayList> tile_dl;
+  float tile_x0 = 0, tile_y0 = 0;        // pattern-space bbox min corner
+  float tile_w = 0, tile_h = 0;          // cell extent (bbox size)
+  float tile_xstep = 0, tile_ystep = 0;  // pattern-space tiling steps
+  Matrix tile_to_page;                   // pattern space -> page pts
 };
 
 struct RenderGlyphRun {
@@ -511,8 +520,10 @@ std::vector<uint8_t> decode_image_alpha(Document* doc, const ObjPtr& xo,
 // Render display list to RGB8. scale = dpi/72. clip in page points
 // (top-left origin); pass null for full page. Output size set to
 // round(clip_w*scale) x round(clip_h*scale).
+// bg: canvas background level (255 = white page). Tiling-pattern cells
+// render twice (white + black bg) to recover per-pixel alpha.
 std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
                                double scale, const double* clip_pts,
-                               int* out_w, int* out_h);
+                               int* out_w, int* out_h, uint8_t bg = 255);
 
 }  // namespace spdf

@@ -122,9 +122,10 @@ def test_sh_radial(tmp_path):
     assert (np.diff(ray) <= 10).all()
 
 
-def test_tiling_pattern_degrades_to_gray(tmp_path):
-    """PatternType-1 (tiling) fills degrade to mid-gray ink — documented
-    deviation (region keeps pixels for detection instead of blankness)."""
+def test_tiling_pattern_checker_cells(tmp_path):
+    """PatternType-1 cells tile truly (round-3 upgrade from the former
+    mid-gray degrade): a black quarter-cell produces an alternating
+    checker of black and background inside the fill."""
     content = b"/Pattern cs /P0 scn 100 100 100 100 re f\n"
     cell = _stream(
         b"/PatternType 1 /PaintType 1 /TilingType 1 /BBox [0 0 10 10] "
@@ -135,8 +136,14 @@ def test_tiling_pattern_degrades_to_gray(tmp_path):
     p.write_bytes(_pdf(objs))
     doc = open_pdf(str(p))
     arr = doc.render(0, dpi=72)
-    mid = arr[150, 150]
-    assert 100 < mid[0] < 160 and 100 < mid[1] < 160
+    # fill spans display y 100..200, x 100..200; cell paints pattern-space
+    # lower-left quarter. Probe one painted and one background sample.
+    region = arr[100:200, 100:200, 0].astype(int)
+    dark = int((region < 80).sum())
+    light = int((region > 200).sum())
+    # quarter coverage: ~25% dark, ~75% background
+    assert 1500 < dark < 3800, dark
+    assert 5500 < light < 8500, light
 
 
 def test_rg_after_pattern_fill_resets_to_flat_color(tmp_path):
@@ -179,3 +186,37 @@ def test_separation_and_cmyk_scn_colors(tmp_path):
     assert full.max() < 40, full.tolist()              # full tint: dark
     assert all(190 < v < 215 for v in light), light.tolist()
     assert red[0] > 220 and red[1] < 50 and red[2] < 50, red.tolist()
+
+
+def test_tiling_pattern_fill(tmp_path):
+    """PatternType-1 tiling fills (hatched chart bars) render the real
+    cell tiled through the path — previously a mid-gray degrade. Covers
+    colored (PaintType 1) and uncolored (PaintType 2, painted in the
+    caller's fill color) cells."""
+    cell1 = b"1 0 0 rg 0 0 4 10 re f"         # red vertical bar
+    cell2 = b"0 0 10 4 re f"                  # uncolored horizontal bar
+    def pat(ptype, cell):
+        return (b"<< /Type /Pattern /PatternType 1 /PaintType " +
+                str(ptype).encode() +
+                b" /TilingType 1 /BBox [0 0 10 10] /XStep 10 /YStep 10 "
+                b"/Resources << >> /Length " + str(len(cell)).encode() +
+                b" >>\nstream\n" + cell + b"\nendstream")
+    content = (b"/Pattern cs /P0 scn 20 150 200 100 re f "
+               b"0 0.6 0 rg /Pattern cs /P1 scn 20 20 200 100 re f")
+    objs = _page_objs(content,
+                      b"/Pattern << /P0 5 0 R /P1 6 0 R >>",
+                      (pat(1, cell1), pat(2, cell2)))
+    p = tmp_path / "tile.pdf"
+    p.write_bytes(_pdf(objs))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    # colored: vertical red bars across the upper rect (display y 50..150)
+    row = arr[100, 20:220]
+    red = int(((row[:, 0] > 180) & (row[:, 1] < 90)).sum())
+    trans = int(np.abs(np.diff((row[:, 1] < 90).astype(int))).sum())
+    assert 50 < red < 130 and trans > 20, (red, trans)
+    # uncolored: horizontal GREEN bars (caller fill color) in the lower
+    # rect (display y 180..280) — probe a column for on/off runs
+    col = arr[180:280, 120]
+    green = int(((col[:, 1] > 120) & (col[:, 0] < 90)).sum())
+    vtrans = int(np.abs(np.diff((col[:, 0] < 90).astype(int))).sum())
+    assert 20 < green < 70 and vtrans > 10, (green, vtrans)
