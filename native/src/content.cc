@@ -4,6 +4,7 @@
 // rasterizer replays at any scale.
 #include "spdf.h"
 
+#include <algorithm>
 #include <cmath>
 #include <cstring>
 
@@ -283,6 +284,172 @@ namespace {
 // plus arrays of per-component functions.
 // ---------------------------------------------------------------------------
 
+// --- Type 4 (PostScript calculator) functions: a tiny tokenizer +
+// stack evaluator covering the PDF subset (arithmetic, comparison,
+// stack ops, if/ifelse). Programs are sampled 256x into the LUT like
+// every other function type.
+struct PsTok {
+  enum Kind { Num, Op, Proc } kind = Num;
+  double num = 0;
+  std::string op;
+  std::vector<PsTok> proc;
+};
+
+static bool ps_parse(const std::string& s, size_t* p, std::vector<PsTok>* out,
+                     int depth) {
+  if (depth > 16) return false;
+  while (*p < s.size()) {
+    char c = s[*p];
+    if (isspace((unsigned char)c)) {
+      (*p)++;
+    } else if (c == '{') {
+      (*p)++;
+      PsTok t;
+      t.kind = PsTok::Proc;
+      if (!ps_parse(s, p, &t.proc, depth + 1)) return false;
+      out->push_back(std::move(t));
+    } else if (c == '}') {
+      (*p)++;
+      return true;
+    } else if (c == '-' || c == '.' || isdigit((unsigned char)c)) {
+      size_t q = *p + 1;
+      while (q < s.size() && (isdigit((unsigned char)s[q]) || s[q] == '.' ||
+                              s[q] == 'e' || s[q] == 'E' || s[q] == '-'))
+        q++;
+      PsTok t;
+      t.kind = PsTok::Num;
+      t.num = atof(s.substr(*p, q - *p).c_str());
+      out->push_back(std::move(t));
+      *p = q;
+    } else if (isalpha((unsigned char)c)) {
+      size_t q = *p;
+      while (q < s.size() && isalpha((unsigned char)s[q])) q++;
+      PsTok t;
+      t.kind = PsTok::Op;
+      t.op = s.substr(*p, q - *p);
+      out->push_back(std::move(t));
+      *p = q;
+    } else {
+      (*p)++;  // unknown byte: skip
+    }
+  }
+  return depth == 0;
+}
+
+static bool ps_exec(const std::vector<PsTok>& prog, std::vector<double>* st,
+                    int* steps) {
+  for (const auto& t : prog) {
+    if (++(*steps) > 20000 || st->size() > 256) return false;
+    if (t.kind == PsTok::Num) {
+      st->push_back(t.num);
+      continue;
+    }
+    if (t.kind == PsTok::Proc) {
+      // procedures are consumed by a following if/ifelse; represent the
+      // block by its index pushed lazily — handled below via lookahead
+      continue;  // placeholder; if/ifelse handled with explicit scan
+    }
+    const std::string& o = t.op;
+    auto pop = [&]() {
+      double v = st->empty() ? 0.0 : st->back();
+      if (!st->empty()) st->pop_back();
+      return v;
+    };
+    if (o == "add") { double b = pop(), a = pop(); st->push_back(a + b); }
+    else if (o == "sub") { double b = pop(), a = pop(); st->push_back(a - b); }
+    else if (o == "mul") { double b = pop(), a = pop(); st->push_back(a * b); }
+    else if (o == "div") { double b = pop(), a = pop(); st->push_back(b != 0 ? a / b : 0); }
+    else if (o == "idiv") { double b = pop(), a = pop(); st->push_back(b != 0 ? (double)((long)a / (long)b) : 0); }
+    else if (o == "mod") { double b = pop(), a = pop(); st->push_back(b != 0 ? (double)((long)a % (long)b) : 0); }
+    else if (o == "neg") { st->push_back(-pop()); }
+    else if (o == "abs") { st->push_back(std::fabs(pop())); }
+    else if (o == "ceiling") { st->push_back(std::ceil(pop())); }
+    else if (o == "floor") { st->push_back(std::floor(pop())); }
+    else if (o == "round") { st->push_back(std::round(pop())); }
+    else if (o == "truncate") { st->push_back(std::trunc(pop())); }
+    else if (o == "sqrt") { st->push_back(std::sqrt(std::max(0.0, pop()))); }
+    else if (o == "sin") { st->push_back(std::sin(pop() * M_PI / 180.0)); }
+    else if (o == "cos") { st->push_back(std::cos(pop() * M_PI / 180.0)); }
+    else if (o == "atan") { double b = pop(), a = pop(); double d = std::atan2(a, b) * 180.0 / M_PI; if (d < 0) d += 360; st->push_back(d); }
+    else if (o == "exp") { double b = pop(), a = pop(); st->push_back(std::pow(a, b)); }
+    else if (o == "ln") { st->push_back(std::log(std::max(1e-300, pop()))); }
+    else if (o == "log") { st->push_back(std::log10(std::max(1e-300, pop()))); }
+    else if (o == "cvi" || o == "truncate") { st->push_back(std::trunc(pop())); }
+    else if (o == "cvr") { /* no-op: all values are reals */ }
+    else if (o == "dup") { double a = pop(); st->push_back(a); st->push_back(a); }
+    else if (o == "pop") { pop(); }
+    else if (o == "exch") { double b = pop(), a = pop(); st->push_back(b); st->push_back(a); }
+    else if (o == "copy") {
+      int n = (int)pop();
+      if (n < 0 || (size_t)n > st->size() || st->size() + n > 256) return false;
+      size_t base = st->size() - n;
+      for (int i = 0; i < n; i++) st->push_back((*st)[base + i]);
+    } else if (o == "index") {
+      int n = (int)pop();
+      if (n < 0 || (size_t)n >= st->size()) return false;
+      st->push_back((*st)[st->size() - 1 - n]);
+    } else if (o == "roll") {
+      int j = (int)pop(), n = (int)pop();
+      if (n < 0 || (size_t)n > st->size()) return false;
+      if (n > 0 && j != 0) {
+        size_t base = st->size() - n;
+        int k = ((j % n) + n) % n;
+        std::rotate(st->begin() + base, st->begin() + base + (n - k),
+                    st->end());
+      }
+    }
+    else if (o == "eq") { double b = pop(), a = pop(); st->push_back(a == b); }
+    else if (o == "ne") { double b = pop(), a = pop(); st->push_back(a != b); }
+    else if (o == "gt") { double b = pop(), a = pop(); st->push_back(a > b); }
+    else if (o == "ge") { double b = pop(), a = pop(); st->push_back(a >= b); }
+    else if (o == "lt") { double b = pop(), a = pop(); st->push_back(a < b); }
+    else if (o == "le") { double b = pop(), a = pop(); st->push_back(a <= b); }
+    else if (o == "and") { long b = (long)pop(), a = (long)pop(); st->push_back((double)(a & b)); }
+    else if (o == "or") { long b = (long)pop(), a = (long)pop(); st->push_back((double)(a | b)); }
+    else if (o == "xor") { long b = (long)pop(), a = (long)pop(); st->push_back((double)(a ^ b)); }
+    else if (o == "not") { double a = pop(); st->push_back(a == 0 ? 1 : 0); }
+    else if (o == "bitshift") { long b = (long)pop(), a = (long)pop(); st->push_back((double)(b >= 0 ? a << (b & 63) : a >> ((-b) & 63))); }
+    else if (o == "true") { st->push_back(1); }
+    else if (o == "false") { st->push_back(0); }
+    else return false;  // unknown operator
+  }
+  return true;
+}
+
+// execute with if/ifelse support: procedures bind to the next
+// conditional operator, so run a pre-pass pairing them
+static bool ps_run(const std::vector<PsTok>& prog, std::vector<double>* st,
+                   int* steps, int depth = 0) {
+  if (depth > 32) return false;
+  for (size_t i = 0; i < prog.size(); i++) {
+    const PsTok& t = prog[i];
+    if (t.kind == PsTok::Proc) {
+      // look ahead: {p} if   |   {p1} {p2} ifelse
+      if (i + 1 < prog.size() && prog[i + 1].kind == PsTok::Op &&
+          prog[i + 1].op == "if") {
+        double c = st->empty() ? 0 : st->back();
+        if (!st->empty()) st->pop_back();
+        if (c != 0 && !ps_run(t.proc, st, steps, depth + 1)) return false;
+        i++;
+        continue;
+      }
+      if (i + 2 < prog.size() && prog[i + 1].kind == PsTok::Proc &&
+          prog[i + 2].kind == PsTok::Op && prog[i + 2].op == "ifelse") {
+        double c = st->empty() ? 0 : st->back();
+        if (!st->empty()) st->pop_back();
+        const PsTok& br = c != 0 ? t : prog[i + 1];
+        if (!ps_run(br.proc, st, steps, depth + 1)) return false;
+        i += 2;
+        continue;
+      }
+      return false;  // stray procedure
+    }
+    std::vector<PsTok> one{t};
+    if (!ps_exec(one, st, steps)) return false;
+  }
+  return true;
+}
+
 static bool eval_pdf_function(Document* doc, const ObjPtr& fnin, double x,
                               std::vector<double>* out, int depth = 0) {
   if (depth > 8) return false;
@@ -383,7 +550,29 @@ static bool eval_pdf_function(Document* doc, const ObjPtr& fnin, double x,
     }
     return true;
   }
-  return false;  // type 4 (PostScript calculator): unsupported
+  if (ft == 4 && fn->is(ObjType::Stream)) {  // PostScript calculator
+    ObjPtr range = doc->dict_get(fn, "Range");
+    if (!range->is(ObjType::Array) || range->arr.size() < 2) return false;
+    size_t n = range->arr.size() / 2;
+    std::string prog = doc->decode_stream(fn);
+    size_t p = 0;
+    std::vector<PsTok> toks;
+    if (!ps_parse(prog, &p, &toks, 0)) return false;
+    // the program text is one outer { ... } block
+    const std::vector<PsTok>* body = &toks;
+    if (toks.size() == 1 && toks[0].kind == PsTok::Proc) body = &toks[0].proc;
+    std::vector<double> st{x};
+    int steps = 0;
+    if (!ps_run(*body, &st, &steps)) return false;
+    if (st.size() < n) return false;
+    for (size_t j = 0; j < n; j++) {
+      double v = st[st.size() - n + j];
+      double r0 = arr_at(range, 2 * j, 0.0), r1 = arr_at(range, 2 * j + 1, 1.0);
+      out->push_back(std::min(std::max(v, r0), r1));
+    }
+    return true;
+  }
+  return false;  // unknown function type
 }
 
 static void comps_to_rgb(const std::vector<double>& c, float rgb[3]) {

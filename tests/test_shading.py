@@ -220,3 +220,36 @@ def test_tiling_pattern_fill(tmp_path):
     green = int(((col[:, 1] > 120) & (col[:, 0] < 90)).sum())
     vtrans = int(np.abs(np.diff((col[:, 0] < 90).astype(int))).sum())
     assert 20 < green < 70 and vtrans > 10, (green, vtrans)
+
+
+def test_type4_calculator_shading(tmp_path):
+    """FunctionType-4 (PostScript calculator) shading functions evaluate
+    through the PS mini-interpreter instead of degrading to mid-gray.
+    Covers arithmetic/stack ops and ifelse branching."""
+    def fnobj(prog: bytes) -> bytes:
+        return (b"<< /FunctionType 4 /Domain [0 1] /Range [0 1 0 1 0 1] "
+                b"/Length " + str(len(prog)).encode() +
+                b" >>\nstream\n" + prog + b"\nendstream")
+
+    shading = (b"<< /ShadingType 2 /ColorSpace /DeviceRGB "
+               b"/Coords [20 150 280 150] /Extend [true true] "
+               b"/Function 5 0 R >>")
+
+    # red -> blue via { dup 1 exch sub exch 0 exch } = (1-x, 0, x)
+    objs = _page_objs(b"/S0 sh", b"/Shading << /S0 " + shading + b" >>",
+                      (fnobj(b"{ dup 1 exch sub exch 0 exch }"),))
+    p = tmp_path / "ps4.pdf"
+    p.write_bytes(_pdf(objs))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    left, mid, right = arr[150, 25], arr[150, 150], arr[150, 275]
+    assert left[0] > 220 and left[2] < 40, left.tolist()
+    assert right[2] > 220 and right[0] < 40, right.tolist()
+    assert 90 < mid[0] < 165 and 90 < mid[2] < 165, mid.tolist()
+
+    # banded via conditional: { 0.5 lt { 1 0 0 } { 0 0 1 } ifelse }
+    objs = _page_objs(b"/S0 sh", b"/Shading << /S0 " + shading + b" >>",
+                      (fnobj(b"{ 0.5 lt { 1 0 0 } { 0 0 1 } ifelse }"),))
+    p2 = tmp_path / "ps4b.pdf"
+    p2.write_bytes(_pdf(objs))
+    arr = open_pdf(str(p2)).render(0, dpi=72)
+    assert arr[150, 60][0] > 220 and arr[150, 240][2] > 220
