@@ -55,6 +55,61 @@ print("FUZZDONE")
 """
 
 
+def _rich_base() -> bytes:
+    """One page exercising every round-3 renderer feature: tiling
+    pattern, Type-4 calculator shading, dash, inline image + stencil,
+    SMask'd image, Separation scn, /Rotate — corrupting THIS base fuzzes
+    the newest code paths."""
+    import zlib
+
+    from tests.fontfixtures import _pdf
+
+    rgbpx = zlib.compress(bytes([0, 200, 0] * 16))
+    red = bytes([255, 0, 0] * 64)
+    ramp = bytes([min(255, x * 36) for _ in range(8) for x in range(8)])
+
+    def obj_stream(dct: bytes, payload: bytes) -> bytes:
+        z = zlib.compress(payload)
+        return (dct + b" /Filter /FlateDecode /Length " +
+                str(len(z)).encode() + b" >>\nstream\n" + z +
+                b"\nendstream")
+
+    prog = b"{ dup 1 exch sub exch 0 exch }"
+    cell = b"1 0 0 rg 0 0 4 10 re f"
+    content = (
+        b"/Pattern cs /P0 scn 50 500 200 100 re f /S0 sh "
+        b"2 w [6 4] 1 d 0 0 0 RG 50 450 m 550 450 l S "
+        b"q 100 0 0 100 50 600 cm BI /W 4 /H 4 /CS /RGB /BPC 8 /F /Fl "
+        b"/L " + str(len(rgbpx)).encode() + b" ID " + rgbpx + b" EI Q "
+        b"q 100 0 0 100 300 600 cm /Im1 Do Q "
+        b"/CS1 cs 0.8 scn 400 450 100 50 re f")
+    return _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Rotate 90 /Contents 4 0 R /Resources << "
+        b"/Pattern << /P0 5 0 R >> /Shading << /S0 6 0 R >> "
+        b"/XObject << /Im1 8 0 R >> "
+        b"/ColorSpace << /CS1 [/Separation /Sp /DeviceRGB 7 0 R] >> >> >>",
+        b"<< /Length " + str(len(content)).encode() +
+        b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Pattern /PatternType 1 /PaintType 1 /TilingType 1 "
+        b"/BBox [0 0 10 10] /XStep 10 /YStep 10 /Resources << >> "
+        b"/Length " + str(len(cell)).encode() + b" >>\nstream\n" +
+        cell + b"\nendstream",
+        b"<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 612 0] "
+        b"/Function 7 0 R >>",
+        b"<< /FunctionType 4 /Domain [0 1] /Range [0 1 0 1 0 1] "
+        b"/Length " + str(len(prog)).encode() + b" >>\nstream\n" +
+        prog + b"\nendstream",
+        obj_stream(b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8"
+                   b" /ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                   b"/SMask 9 0 R", red),
+        obj_stream(b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8"
+                   b" /ColorSpace /DeviceGray /BitsPerComponent 8", ramp),
+    ])
+
+
 def _mutants(data: bytes, rng: random.Random, out_dir: str, tag: str,
              n_flips: int = 14, n_struct: int = 10) -> list:
     """Seeded mutation classes over one base document."""
@@ -98,7 +153,8 @@ def _mutants(data: bytes, rng: random.Random, out_dir: str, tag: str,
 
 
 @pytest.mark.parametrize(
-    "base", ["ttf_book", "cff", "type1", "enc", "pil_images", "ccitt"]
+    "base",
+    ["ttf_book", "cff", "type1", "enc", "pil_images", "ccitt", "rich"],
 )
 def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
     rng = random.Random(20260818)
@@ -126,13 +182,15 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
         src = str(tmp_path / "pil.pdf")
         make_pil_book(src, pages=2)
         data = open(src, "rb").read()
-    else:  # ccitt
+    elif base == "ccitt":
         import numpy as np  # noqa: F401
 
         from tests.test_ccitt import _ccitt_pdf, _g4_strip, _textlike
 
         bm = _textlike(96, 160, 4)
         data = _ccitt_pdf(bm, _g4_strip(bm))
+    else:  # rich: tiling + type4 shading + dash + inline + SMask + rotate
+        data = _rich_base()
 
     out = tmp_path / "cases"
     out.mkdir()
