@@ -646,6 +646,8 @@ struct GState {
   // dash pattern (user-space units) + phase; empty = solid
   std::vector<double> dash;
   double dash_phase = 0;
+  // ExtGState constant alpha (/ca fill, /CA stroke)
+  float fill_alpha = 1.0f, stroke_alpha = 1.0f;
   // PatternType-2 (shading) fill state: set by `/Pattern cs ... /P scn`,
   // consumed by paint_path. Null when the fill color is a plain color.
   ObjPtr fill_pattern_shading;
@@ -1174,6 +1176,8 @@ void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
     double sc = std::sqrt(std::fabs(gs.ctm.a * gs.ctm.d - gs.ctm.b * gs.ctm.c));
     rp.line_width = (float)(gs.line_width * sc);
     rp.clip = gs.clip;
+    rp.fill_alpha = gs.fill_alpha;
+    rp.stroke_alpha = gs.stroke_alpha;
     if (stroke && !gs.dash.empty()) {
       // dash lengths are user-space: scale by the same ctm factor the
       // line width uses, then split the polylines into "on" runs
@@ -1242,6 +1246,7 @@ void Interp::do_xobject(const std::string& name, const ObjPtr& resources) {
     ri.obj_num = obj_num;
     ri.img_to_page = gs.ctm;
     ri.clip = gs.clip;
+    ri.const_alpha = gs.fill_alpha;
     ObjPtr imask = doc->dict_get(xo, "ImageMask");
     if (imask->is(ObjType::Bool) && imask->b) {
       ri.stencil = true;
@@ -1315,7 +1320,41 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
         for (double v : gs.dash) any_on |= v > 0;
         if (!any_on) gs.dash.clear();  // empty/zero array = solid
       }
-    } else if (op == "gs" || op == "ri" || op == "i" || op == "j" ||
+    } else if (op == "gs") {
+      // ExtGState: honor the entries that change pixels we care about —
+      // /ca //CA constant alpha (matplotlib's alpha= fills emit these;
+      // rendering them opaque hid gridlines/series underneath), /LW,
+      // and /D dash. Blend modes / soft masks are out of scope.
+      if (!st.empty() && st.back()->is(ObjType::Name)) {
+        ObjPtr egs_dict = doc->dict_get(resources, "ExtGState");
+        ObjPtr egs = egs_dict->is(ObjType::Dict)
+                         ? doc->dict_get(egs_dict, st.back()->s)
+                         : make_null();
+        if (egs->is(ObjType::Dict)) {
+          ObjPtr ca = doc->dict_get(egs, "ca");
+          if (ca->is(ObjType::Int) || ca->is(ObjType::Real))
+            gs.fill_alpha = (float)std::min(std::max(ca->num(), 0.0), 1.0);
+          ObjPtr CA = doc->dict_get(egs, "CA");
+          if (CA->is(ObjType::Int) || CA->is(ObjType::Real))
+            gs.stroke_alpha = (float)std::min(std::max(CA->num(), 0.0), 1.0);
+          ObjPtr lw = doc->dict_get(egs, "LW");
+          if (lw->is(ObjType::Int) || lw->is(ObjType::Real))
+            gs.line_width = lw->num();
+          ObjPtr dd = doc->dict_get(egs, "D");
+          if (dd->is(ObjType::Array) && dd->arr.size() >= 2) {
+            ObjPtr pat = doc->resolve(dd->arr[0]);
+            gs.dash.clear();
+            if (pat->is(ObjType::Array))
+              for (auto& el : pat->arr)
+                gs.dash.push_back(doc->resolve(el)->num());
+            gs.dash_phase = doc->resolve(dd->arr[1])->num();
+            bool any_on = false;
+            for (double v : gs.dash) any_on |= v > 0;
+            if (!any_on) gs.dash.clear();
+          }
+        }
+      }
+    } else if (op == "ri" || op == "i" || op == "j" ||
                op == "J" || op == "M") {
       // ignored state ops
     }

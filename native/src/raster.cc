@@ -69,7 +69,7 @@ template <class ColorAt>
 void scanline_fill_edges(Canvas* cv, const std::vector<Edge>& edges,
                          float ymin, float ymax, float xmin, float xmax,
                          bool even_odd, const Rect& clip_pts,
-                         ColorAt&& color_at) {
+                         ColorAt&& color_at, float const_alpha = 1.0f) {
   // device clip
   float cx0, cy0, cx1, cy1;
   cv->to_dev((float)clip_pts.x0, (float)clip_pts.y0, &cx0, &cy0);
@@ -144,6 +144,8 @@ void scanline_fill_edges(Canvas* cv, const std::vector<Edge>& edges,
       float a = cov[x - x_lo];
       if (a <= 0.002f) continue;
       if (a > 1.0f) a = 1.0f;
+      a *= const_alpha;  // ExtGState /ca constant alpha
+      if (a <= 0.002f) continue;
       float rgb[3];
       if (!color_at(x, y, rgb)) continue;
       row[0] = (uint8_t)(row[0] + (rgb[0] * 255.0f - row[0]) * a);
@@ -157,7 +159,8 @@ void scanline_fill_edges(Canvas* cv, const std::vector<Edge>& edges,
 template <class ColorAt>
 void fill_polygon_t(
     Canvas* cv, const std::vector<std::vector<std::pair<float, float>>>& sps,
-    bool even_odd, const Rect& clip_pts, ColorAt&& color_at) {
+    bool even_odd, const Rect& clip_pts, ColorAt&& color_at,
+    float const_alpha = 1.0f) {
   // thread_local scratch: a text page fills 2000+ glyph polygons; fresh
   // vector allocations per glyph dominated small-glyph cost
   static thread_local std::vector<Edge> edges;
@@ -166,19 +169,21 @@ void fill_polygon_t(
   gather_edges(sps, *cv, &edges, &ymin, &ymax, &xmin, &xmax);
   if (edges.empty()) return;
   scanline_fill_edges(cv, edges, ymin, ymax, xmin, xmax, even_odd, clip_pts,
-                      std::forward<ColorAt>(color_at));
+                      std::forward<ColorAt>(color_at), const_alpha);
 }
 
 void fill_polygon(Canvas* cv,
                   const std::vector<std::vector<std::pair<float, float>>>& sps,
-                  const float rgb[3], bool even_odd, const Rect& clip_pts) {
+                  const float rgb[3], bool even_odd, const Rect& clip_pts,
+                  float const_alpha = 1.0f) {
   fill_polygon_t(cv, sps, even_odd, clip_pts,
                  [&](int, int, float* o) {
                    o[0] = rgb[0];
                    o[1] = rgb[1];
                    o[2] = rgb[2];
                    return true;
-                 });
+                 },
+                 const_alpha);
 }
 
 // Glyph-instance fill without the per-glyph nested-vector copy: the
@@ -546,7 +551,8 @@ void draw_glyph_run(Canvas* cv, const RenderGlyphRun& gr, GlyphCache* cache,
 // Coverage/blend math matches fill_polygon_t exactly (4x vertical
 // supersample + fractional horizontal), so output is pixel-identical.
 void fill_quad(Canvas* cv, const float qx[4], const float qy[4],
-               const float rgb[3], const Rect& clip_pts) {
+               const float rgb[3], const Rect& clip_pts,
+               float const_alpha = 1.0f) {
   // device-space edges (implicit close), downward-oriented like
   // gather_edges
   float dx[4], dy[4];
@@ -611,6 +617,8 @@ void fill_quad(Canvas* cv, const float qx[4], const float qy[4],
       float a = cov[x - x_lo];
       if (a <= 0.002f) continue;
       if (a > 1.0f) a = 1.0f;
+      a *= const_alpha;  // ExtGState /CA constant alpha
+      if (a <= 0.002f) continue;
       row[0] = (uint8_t)(row[0] + (rgb[0] * 255.0f - row[0]) * a);
       row[1] = (uint8_t)(row[1] + (rgb[1] * 255.0f - row[1]) * a);
       row[2] = (uint8_t)(row[2] + (rgb[2] * 255.0f - row[2]) * a);
@@ -619,7 +627,8 @@ void fill_quad(Canvas* cv, const float qx[4], const float qy[4],
 }
 
 void stroke_subpath(Canvas* cv, const std::vector<std::pair<float, float>>& sp,
-                    float width_pts, const float rgb[3], const Rect& clip) {
+                    float width_pts, const float rgb[3], const Rect& clip,
+                    float const_alpha = 1.0f) {
   if (sp.size() < 2) return;
   float hw = std::max((float)(width_pts * cv->scale), 0.9f) * 0.5f /
              (float)cv->scale;  // half width in page pts
@@ -636,7 +645,7 @@ void stroke_subpath(Canvas* cv, const std::vector<std::pair<float, float>>& sp,
                          x0 - ex - px};
     const float qy[4] = {y0 - ey + py, y1 + ey + py, y1 + ey - py,
                          y0 - ey - py};
-    fill_quad(cv, qx, qy, rgb, clip);
+    fill_quad(cv, qx, qy, rgb, clip, const_alpha);
   }
 }
 
@@ -731,7 +740,7 @@ void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
         xx = std::min(std::max(xx, 0), iw - 1);
         return (*pix)[((size_t)yy * iw + xx) * 3 + k];
       };
-      double a = 1.0;
+      double a = ri.const_alpha;  // ExtGState /ca at placement
       if (alpha) {
         // the alpha plane has its own dims (SMask resolution may differ)
         double gx = ux * aw - 0.5, gy = (1.0 - uy) * ah - 0.5;
@@ -742,13 +751,13 @@ void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
           xx = std::min(std::max(xx, 0), aw - 1);
           return (*alpha)[(size_t)yy * aw + xx];
         };
-        a = (aat(ty, tx) * (1 - bx) * (1 - by) +
-             aat(ty, tx + 1) * bx * (1 - by) +
-             aat(ty + 1, tx) * (1 - bx) * by +
-             aat(ty + 1, tx + 1) * bx * by) /
-            255.0;
-        if (a <= 1.0 / 255.0) continue;
+        a *= (aat(ty, tx) * (1 - bx) * (1 - by) +
+              aat(ty, tx + 1) * bx * (1 - by) +
+              aat(ty + 1, tx) * (1 - bx) * by +
+              aat(ty + 1, tx + 1) * bx * by) /
+             255.0;
       }
+      if (a <= 1.0 / 255.0) continue;
       uint8_t* out = cv->px.data() + ((size_t)y * cv->w + x) * 3;
       for (int k = 0; k < 3; k++) {
         double v = ri.stencil
@@ -889,11 +898,13 @@ std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
         if (rp.tile_dl)
           draw_tiled_fill(&cv, doc, rp, &tile_cache);
         else
-          fill_polygon(&cv, rp.subpaths, rp.rgb_fill, rp.even_odd, rp.clip);
+          fill_polygon(&cv, rp.subpaths, rp.rgb_fill, rp.even_odd, rp.clip,
+                       rp.fill_alpha);
       }
       if (rp.stroke) {
         for (auto& sp : rp.subpaths)
-          stroke_subpath(&cv, sp, rp.line_width, rp.rgb_stroke, rp.clip);
+          stroke_subpath(&cv, sp, rp.line_width, rp.rgb_stroke, rp.clip,
+                         rp.stroke_alpha);
       }
     } else if (kind == 1) {
       draw_glyph_run(&cv, dl.glyphs[idx], &glyph_cache,

@@ -419,6 +419,8 @@ struct RenderPath {
   float rgb_stroke[3] = {0, 0, 0};
   float line_width = 1.0f;
   Rect clip;             // device-space clip at time of paint
+  // ExtGState constant alpha (/ca fill, /CA stroke)
+  float fill_alpha = 1.0f, stroke_alpha = 1.0f;
   // PatternType-1 (tiling) fill: the cell's own display list, tiled
   // through this path's coverage by the raster. Null = plain fill.
   std::shared_ptr<DisplayList> tile_dl;
@@ -458,6 +460,7 @@ struct RenderImage {
   // inline stencil coverage (XObject alpha lives in the raster's cache)
   std::vector<uint8_t> inline_alpha;
   int inline_aw = 0, inline_ah = 0;
+  float const_alpha = 1.0f;  // ExtGState /ca at placement time
 };
 
 // Axial/radial shading paint (ShadingType 2/3): the `sh` operator and

@@ -253,3 +253,25 @@ def test_type4_calculator_shading(tmp_path):
     p2.write_bytes(_pdf(objs))
     arr = open_pdf(str(p2)).render(0, dpi=72)
     assert arr[150, 60][0] > 220 and arr[150, 240][2] > 220
+
+
+def test_extgstate_constant_alpha_and_dash(tmp_path):
+    """ExtGState /ca //CA constant alpha (matplotlib's alpha= fills emit
+    these — rendering them opaque hid content beneath), plus /LW and /D
+    dash through the gs operator."""
+    content = (b"0 0 1 rg 20 100 200 100 re f "
+               b"/GS0 gs 1 0 0 rg 20 100 100 100 re f "
+               b"/GS1 gs 0 0 0 RG 4 w 20 50 m 280 50 l S")
+    egs = (b"/ExtGState << /GS0 << /ca 0.5 >> "
+           b"/GS1 << /CA 0.25 /LW 4 /D [[10 10] 0] >> >>")
+    p = tmp_path / "alpha.pdf"
+    p.write_bytes(_pdf(_page_objs(content, egs)))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    pure, blend = arr[150, 180], arr[150, 60]
+    assert pure[2] > 220 and pure[0] < 40, pure.tolist()   # unblended blue
+    assert 100 < blend[0] < 160 and 100 < blend[2] < 160, blend.tolist()
+    row = arr[250, 20:280, 0].astype(int)
+    vals = row[row < 210]
+    trans = int(np.abs(np.diff((row < 210).astype(int))).sum())
+    assert trans > 10, trans                    # ExtGState /D dashes
+    assert 160 < vals.mean() < 210, vals.mean()  # 25% stroke alpha
