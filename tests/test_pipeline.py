@@ -199,3 +199,53 @@ def test_fake_llm_flow(book):
     assert any(c[0] == "calculations" for c in fake.calls)
     img_segs = [s for s in segs if s.image_data]
     assert img_segs and img_segs[0].image_data.input_variables
+
+
+def test_rotated_scanned_page_end_to_end(tmp_path):
+    """A realistic rotated scan: content stored landscape with the image
+    drawn sideways, /Rotate 90 displaying it portrait. The pipeline must
+    operate entirely in display space — detection bbox, page dims, and
+    crop all upright."""
+    import zlib
+
+    import numpy as np
+
+    from tests.fontfixtures import _pdf
+
+    H, W = 140, 100
+    img = np.full((H, W, 3), 235, np.uint8)
+    img[10:60, 10:90] = [40, 80, 160]
+    rng = np.random.RandomState(7)
+    img[10:60, 10:90] += rng.randint(0, 60, (50, 80, 3)).astype(np.uint8)
+    img[80:130, 20:80] = 30
+    raw = zlib.compress(img.tobytes())
+    content = b"q 0 -300 400 0 196 456 cm /Im1 Do Q"
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 792 612] "
+        b"/Rotate 90 /Contents 4 0 R /Resources "
+        b"<< /XObject << /Im1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() +
+        b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /XObject /Subtype /Image /Width " + str(W).encode() +
+        b" /Height " + str(H).encode() +
+        b" /ColorSpace /DeviceRGB /BitsPerComponent 8 "
+        b"/Filter /FlateDecode /Length " + str(len(raw)).encode() +
+        b" >>\nstream\n" + raw + b"\nendstream",
+    ])
+    p = tmp_path / "rotscan.pdf"
+    p.write_bytes(pdf)
+    pipe = VisualSegmentationPipeline(
+        book_id="rotscan", pdf_path=str(p),
+        output_dir=str(tmp_path / "out"), use_mermaid=False,
+        config=PipelineConfig(use_vision_llm=False), resume=False)
+    segs = pipe.process()
+    assert pipe.stats.errors == 0
+    assert len(segs) == 1
+    b = segs[0].bbox
+    # display space: portrait page, the sideways-drawn 400x300 image
+    # appears as an upright 300x400 region
+    assert (b.page_width, b.page_height) == (612.0, 792.0)
+    assert (round(b.x0), round(b.y0), round(b.x1), round(b.y1)) == (
+        156, 196, 456, 596)
