@@ -66,6 +66,17 @@ def test_matplotlib_book(tmp_path, fonttype):
     # captions found on most pages (suptitles are caption-pattern text)
     with_caption = [s for s in segs if s.figure_number]
     assert len(with_caption) >= 3
+    # OCR accuracy on a genuinely external producer: matplotlib typeset
+    # this text (its own layout, its own font subset); the known labels
+    # must come back readable. Tolerant bar: >= 4 of 6 keywords across
+    # the book (Type3 bitmap glyphs read slightly worse than TrueType).
+    all_text = " ".join(
+        (s.ocr_result.raw_text or "").lower() for s in segs
+    )
+    keywords = ["revenue", "cost", "portfolio weights", "stocks",
+                "bonds", "figure"]
+    found = [k for k in keywords if k in all_text]
+    assert len(found) >= 4, (found, all_text[:400])
 
 
 def test_pil_image_book(tmp_path):
