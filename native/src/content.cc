@@ -660,6 +660,8 @@ struct GState {
   bool fill_cs_pattern = false;  // current fill colorspace is /Pattern
   CsKind fill_cs = CsKind::Rgb;
   CsKind stroke_cs = CsKind::Rgb;
+  // resolved colorspace objects (Separation tint transforms live here)
+  ObjPtr fill_cs_obj, stroke_cs_obj;
   double line_width = 1.0;
   Rect clip{-1e30, -1e30, 1e30, 1e30};
   // text state
@@ -706,6 +708,22 @@ static CsKind classify_cs(Document* doc, const ObjPtr& resources, ObjPtr cs,
     if (n == "CalGray") return CsKind::Gray;
   }
   return CsKind::Other;  // Indexed/Lab/unknown: arity heuristic below
+}
+
+// Exact Separation (and 1-component DeviceN) color: run the colorspace's
+// tint transform into the alternate space. Without this a spot color
+// approximates as neutral ink — a PANTONE red painted BLACK.
+static bool sep_exact_rgb(Document* doc, const ObjPtr& cs, double tint,
+                          float rgb[3]) {
+  if (!cs || !cs->is(ObjType::Array) || cs->arr.size() < 4) return false;
+  ObjPtr names = doc->resolve(cs->arr[1]);
+  // DeviceN with >1 colorant needs a multi-input evaluator; skip
+  if (names->is(ObjType::Array) && names->arr.size() != 1) return false;
+  std::vector<double> comps;
+  if (!eval_pdf_function(doc, cs->arr[3], tint, &comps) || comps.empty())
+    return false;
+  comps_to_rgb(comps, rgb);
+  return true;
 }
 
 // Convert sc/scn numeric operands to RGB per the active colorspace.
@@ -1442,8 +1460,10 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
           nops++;
         if (nops >= 1) {
           gs.fill_pattern_shading = nullptr;
-      gs.fill_tile_dl = nullptr;
-          operands_to_rgb(gs.fill_cs, nops, num, gs.fill_rgb);
+          gs.fill_tile_dl = nullptr;
+          if (!(gs.fill_cs == CsKind::Sep &&
+                sep_exact_rgb(doc, gs.fill_cs_obj, num(1), gs.fill_rgb)))
+            operands_to_rgb(gs.fill_cs, nops, num, gs.fill_rgb);
         }
       }
     } else if (op == "SC" || op == "SCN") {
@@ -1452,15 +1472,29 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
              (st[st.size() - 1 - nops]->is(ObjType::Real) ||
               st[st.size() - 1 - nops]->is(ObjType::Int)))
         nops++;
-      if (nops >= 1) operands_to_rgb(gs.stroke_cs, nops, num, gs.stroke_rgb);
+      if (nops >= 1 &&
+          !(gs.stroke_cs == CsKind::Sep &&
+            sep_exact_rgb(doc, gs.stroke_cs_obj, num(1), gs.stroke_rgb)))
+        operands_to_rgb(gs.stroke_cs, nops, num, gs.stroke_rgb);
     } else if (op == "cs" || op == "CS") {
       // colorspace select: classify the family so sc/scn operands are
       // interpreted correctly (Separation tints, CMYK, ICC N); track
       // /Pattern (incl. [/Pattern base]) so scn name operands resolve
       if (!st.empty()) {
-        CsKind kind = classify_cs(doc, resources, st.back());
+        // resolve named spaces once so Separation handling below can
+        // reach the tint transform
+        ObjPtr cs_obj = doc->resolve(st.back());
+        if (cs_obj->is(ObjType::Name)) {
+          ObjPtr csd = doc->dict_get(resources, "ColorSpace");
+          if (csd->is(ObjType::Dict)) {
+            ObjPtr ref = doc->dict_get(csd, cs_obj->s);
+            if (!ref->is(ObjType::Null)) cs_obj = ref;
+          }
+        }
+        CsKind kind = classify_cs(doc, resources, cs_obj);
         if (op == "cs") {
           gs.fill_cs = kind;
+          gs.fill_cs_obj = cs_obj;
           gs.fill_cs_pattern = kind == CsKind::Pattern;
           if (!gs.fill_cs_pattern) {
             gs.fill_pattern_shading = nullptr;
@@ -1468,6 +1502,7 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
           }
         } else {
           gs.stroke_cs = kind;
+          gs.stroke_cs_obj = cs_obj;
         }
       }
     } else if (op == "sh") {

@@ -167,9 +167,11 @@ def test_rg_after_pattern_fill_resets_to_flat_color(tmp_path):
 
 
 def test_separation_and_cmyk_scn_colors(tmp_path):
-    """Separation tints are colorant coverage (1.0 = full ink = dark) —
-    interpreting them as DeviceGray painted spot-color fills white.
-    4-operand sc in DeviceCMYK uses the CMYK formula."""
+    """Separation tints run through their tint transform into the
+    alternate space — this spot color maps tint t to CMYK (0,t,t,0), so
+    full tint paints RED, not gray (and certainly not the white the old
+    DeviceGray misread produced). 4-operand sc in DeviceCMYK uses the
+    CMYK formula."""
     content = (b"/CS0 cs 1.0 scn 20 200 60 50 re f "
                b"0.2 scn 120 200 60 50 re f "
                b"/DeviceCMYK cs 0 1 1 0 sc 220 200 60 50 re f")
@@ -183,8 +185,10 @@ def test_separation_and_cmyk_scn_colors(tmp_path):
     p.write_bytes(_pdf(objs))
     arr = open_pdf(str(p)).render(0, dpi=72)
     full, light, red = arr[75, 50], arr[75, 150], arr[75, 250]
-    assert full.max() < 40, full.tolist()              # full tint: dark
-    assert all(190 < v < 215 for v in light), light.tolist()
+    # tint 1.0 -> CMYK (0,1,1,0) = pure red via the tint transform
+    assert full[0] > 220 and full[1] < 40 and full[2] < 40, full.tolist()
+    # tint 0.2 -> CMYK (0,.2,.2,0) = pale pink (255, ~204, ~204)
+    assert light[0] > 230 and 180 < light[1] < 225, light.tolist()
     assert red[0] > 220 and red[1] < 50 and red[2] < 50, red.tolist()
 
 
