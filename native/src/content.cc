@@ -1986,6 +1986,26 @@ std::vector<uint8_t> decode_image_rgb_obj(Document* doc, const ObjPtr& xo,
     ncomp = 1;
   }
 
+  // /Decode array: per-component linear remap of samples (e.g. the
+  // common [1 0] inversion on fax-scanned grayscale images)
+  double dec_lo[4] = {0, 0, 0, 0}, dec_hi[4] = {1, 1, 1, 1};
+  bool have_decode = false;
+  {
+    ObjPtr dec = doc->dict_get(xo, "Decode");
+    if (dec->is(ObjType::Array) && (int)dec->arr.size() >= 2 * ncomp &&
+        csname != "Indexed") {
+      have_decode = true;
+      for (int k = 0; k < ncomp && k < 4; k++) {
+        dec_lo[k] = doc->resolve(dec->arr[2 * k])->num();
+        dec_hi[k] = doc->resolve(dec->arr[2 * k + 1])->num();
+      }
+    }
+  }
+  auto remap = [&](int v, int comp) -> int {
+    if (!have_decode) return v;
+    double t = dec_lo[comp] + (v / 255.0) * (dec_hi[comp] - dec_lo[comp]);
+    return (int)std::min(255.0, std::max(0.0, t * 255.0));
+  };
   std::vector<uint8_t> out((size_t)(*w) * (*h) * 3, 255);
   size_t rowbytes = ((size_t)(*w) * ncomp * bpc + 7) / 8;
   auto sample = [&](size_t row, int x, int comp) -> int {
@@ -2024,15 +2044,15 @@ std::vector<uint8_t> decode_image_rgb_obj(Document* doc, const ObjPtr& xo,
           px[k] = pi < palette.size() ? palette[pi] : 0;
         }
       } else if (ncomp == 1) {
-        int v = sample(y, x, 0);
+        int v = remap(sample(y, x, 0), 0);
         px[0] = px[1] = px[2] = (uint8_t)v;
       } else if (ncomp == 3) {
-        px[0] = (uint8_t)sample(y, x, 0);
-        px[1] = (uint8_t)sample(y, x, 1);
-        px[2] = (uint8_t)sample(y, x, 2);
+        px[0] = (uint8_t)remap(sample(y, x, 0), 0);
+        px[1] = (uint8_t)remap(sample(y, x, 1), 1);
+        px[2] = (uint8_t)remap(sample(y, x, 2), 2);
       } else if (ncomp == 4) {
-        int cc = sample(y, x, 0), m = sample(y, x, 1), yy = sample(y, x, 2),
-            k = sample(y, x, 3);
+        int cc = remap(sample(y, x, 0), 0), m = remap(sample(y, x, 1), 1),
+            yy = remap(sample(y, x, 2), 2), k = remap(sample(y, x, 3), 3);
         px[0] = (uint8_t)((255 - cc) * (255 - k) / 255);
         px[1] = (uint8_t)((255 - m) * (255 - k) / 255);
         px[2] = (uint8_t)((255 - yy) * (255 - k) / 255);

@@ -464,3 +464,29 @@ def test_dash_patterns_render(tmp_path):
     assert trans <= 2 and on > 480, (on, trans)
     on, trans = runs(192, 1)         # red dash: probe green channel
     assert trans > 20 and 150 < on < 400, (on, trans)
+
+
+def test_image_decode_array_inversion(tmp_path):
+    """Image /Decode arrays remap samples — [1 0] inversion is routine
+    on fax-scanned grayscale; ignoring it rendered such scans inverted."""
+    import zlib
+
+    from tests.fontfixtures import _pdf
+
+    raw = zlib.compress(bytes([40] * 16))
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 200] "
+        b"/Contents 4 0 R /Resources << /XObject << /Im 5 0 R >> >> >>",
+        b"<< /Length 34 >>\nstream\nq 100 0 0 100 50 50 cm /Im Do Q"
+        b"\nendstream",
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Decode [1 0] "
+        b"/Filter /FlateDecode /Length " + str(len(raw)).encode() +
+        b" >>\nstream\n" + raw + b"\nendstream",
+    ])
+    p = tmp_path / "dec.pdf"
+    p.write_bytes(pdf)
+    arr = np.asarray(open_pdf(str(p)).render(0, dpi=72))
+    assert 205 < arr[100, 100, 0] < 225, arr[100, 100].tolist()
