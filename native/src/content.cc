@@ -1926,12 +1926,39 @@ std::vector<uint8_t> decode_image_rgb_obj(Document* doc, const ObjPtr& xo,
   std::string fname = filter->is(ObjType::Array) && !filter->arr.empty()
                           ? doc->resolve(filter->arr.back())->s
                           : filter->s;
-  if (fname == "JPXDecode" || fname == "JBIG2Decode") {
-    // Documented graceful degrade (PARITY.md §native-gaps): JPEG2000 and
-    // JBIG2 payloads decode to a correctly-sized neutral-gray plate
-    // rather than silently vanishing — downstream detection keeps the
-    // image's geometry/caption signals and the crop stays visibly
-    // present in outputs. Full decoders are out of scope: no independent
+  if (fname == "JBIG2Decode") {
+    // MMR-coded generic regions decode for real (jbig2.cc — the MMR
+    // payload is CCITT G4, cross-validated against PIL's encoder);
+    // arithmetic/symbol-dict content falls back to the neutral plate.
+    std::string globals;
+    ObjPtr parms = doc->dict_get(xo, "DecodeParms");
+    if (parms->is(ObjType::Array) && !parms->arr.empty())
+      parms = doc->resolve(parms->arr.back());
+    if (parms->is(ObjType::Dict)) {
+      ObjPtr g = doc->dict_get(parms, "JBIG2Globals");
+      if (g->is(ObjType::Stream)) globals = doc->decode_stream(g);
+    }
+    int jw = 0, jh = 0;
+    // decode_stream applies decryption + any pre-filters and leaves the
+    // JBIG2 payload itself untouched (unknown filters stay raw)
+    std::vector<uint8_t> gray =
+        jbig2_decode_gray(doc->decode_stream(xo), globals, &jw, &jh);
+    if (!gray.empty() && jw > 0 && jh > 0) {
+      *w = jw;
+      *h = jh;
+      std::vector<uint8_t> rgb((size_t)jw * jh * 3);
+      for (size_t i = 0; i < gray.size(); i++)
+        rgb[i * 3] = rgb[i * 3 + 1] = rgb[i * 3 + 2] = gray[i];
+      return rgb;
+    }
+    return std::vector<uint8_t>((size_t)(*w) * (*h) * 3, 200);
+  }
+  if (fname == "JPXDecode") {
+    // Documented graceful degrade (PARITY.md §native-gaps): JPEG2000
+    // payloads decode to a correctly-sized neutral-gray plate rather
+    // than silently vanishing — downstream detection keeps the image's
+    // geometry/caption signals and the crop stays visibly present in
+    // outputs. A full wavelet codec is out of scope: no independent
     // encoder exists in this environment to cross-validate against.
     return std::vector<uint8_t>((size_t)(*w) * (*h) * 3, 200);
   }

@@ -182,6 +182,12 @@ std::string ccitt_decode(const std::string& in, int k, int columns, int rows,
 std::vector<uint8_t> dct_decode_rgb(const uint8_t* data, size_t size,
                                     int* w, int* h);
 
+// JBIG2 (PDF-embedded, MMR generic-region subset) -> 8-bit gray.
+// Empty on unsupported content (arithmetic coding, symbol dicts).
+std::vector<uint8_t> jbig2_decode_gray(const std::string& data,
+                                       const std::string& globals,
+                                       int* w, int* h);
+
 // ---------------------------------------------------------------------------
 // Geometry
 // ---------------------------------------------------------------------------

@@ -166,3 +166,71 @@ def test_g4_page_renders(tmp_path):
     doc = open_pdf(str(p))
     arr = doc.render(0, dpi=72)
     assert int((arr < 128).any(axis=-1).sum()) > 100
+
+
+def _jbig2_pdf(bm, mmr: bool = True) -> bytes:
+    """PDF embedding a JBIG2 stream: page-info + one immediate generic
+    region. mmr=False flips the region to arithmetic coding (which the
+    decoder does not support) to exercise the neutral-plate fallback."""
+    import struct
+
+    from tests.fontfixtures import _pdf
+
+    H, W = bm.shape
+    payload = _g4_strip(bm)  # MMR == G4 (PIL-encoded, independent)
+
+    def seg(num, stype, page, data):
+        return (struct.pack(">IB", num, stype) + bytes([0]) +
+                bytes([page]) + struct.pack(">I", len(data)) + data)
+
+    pinfo = struct.pack(">IIII", W, H, 0, 0) + bytes([0]) + b"\x00\x00"
+    rinfo = struct.pack(">IIII", W, H, 0, 0) + bytes([0])
+    greg = rinfo + bytes([1 if mmr else 0]) + payload
+    stream = seg(0, 48, 1, pinfo) + seg(1, 38, 1, greg)
+    return _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 320 192] "
+        b"/Contents 4 0 R /Resources << /XObject << /Im 5 0 R >> >> >>",
+        b"<< /Length 36 >>\nstream\nq 320 0 0 192 0 0 cm /Im Do Q"
+        b"\nendstream",
+        b"<< /Type /XObject /Subtype /Image /Width " + str(W).encode() +
+        b" /Height " + str(H).encode() +
+        b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /JBIG2Decode /Length " + str(len(stream)).encode() +
+        b" >>\nstream\n" + stream + b"\nendstream",
+    ])
+
+
+def test_jbig2_mmr_generic_region_pixel_exact(tmp_path):
+    """JBIG2 MMR-coded generic regions decode to real pixels: the MMR
+    payload is CCITT G4 produced by PIL (independent encoder), so the
+    entropy layer is cross-validated; only the segment framing is
+    first-party. Upgrades the former whole-format neutral-plate
+    degrade for scanner output that uses MMR mode."""
+    from synapta_tpu.io.ingest import open_pdf
+
+    bm = _textlike(96, 160, 11)
+    p = tmp_path / "jbig2.pdf"
+    p.write_bytes(_jbig2_pdf(bm, mmr=True))
+    d = open_pdf(str(p))
+    rgb = d.decode_image(5)
+    assert rgb is not None and rgb.shape == (96, 160, 3)
+    got = (rgb[:, :, 0] < 128).astype(np.uint8)
+    assert (got == bm).all()
+    arr = d.render(0, dpi=72)
+    assert (np.asarray(arr) < 128).sum() > 100  # ink reaches the page
+
+
+def test_jbig2_arithmetic_falls_back_to_plate(tmp_path):
+    """Arithmetic-coded JBIG2 (unsupported subset) keeps the documented
+    neutral-plate degrade instead of failing or garbling."""
+    from synapta_tpu.io.ingest import open_pdf
+
+    bm = _textlike(96, 160, 11)
+    p = tmp_path / "jbig2a.pdf"
+    p.write_bytes(_jbig2_pdf(bm, mmr=False))
+    d = open_pdf(str(p))
+    rgb = d.decode_image(5)
+    assert rgb is not None and rgb.shape == (96, 160, 3)
+    assert (rgb == 200).all()  # neutral plate
