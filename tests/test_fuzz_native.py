@@ -154,7 +154,8 @@ def _mutants(data: bytes, rng: random.Random, out_dir: str, tag: str,
 
 @pytest.mark.parametrize(
     "base",
-    ["ttf_book", "cff", "type1", "enc", "pil_images", "ccitt", "rich"],
+    ["ttf_book", "cff", "type1", "enc", "pil_images", "ccitt", "rich",
+     "jbig2"],
 )
 def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
     rng = random.Random(20260818)
@@ -189,8 +190,12 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
 
         bm = _textlike(96, 160, 4)
         data = _ccitt_pdf(bm, _g4_strip(bm))
-    else:  # rich: tiling + type4 shading + dash + inline + SMask + rotate
+    elif base == "rich":
         data = _rich_base()
+    else:  # jbig2: MMR generic-region segment stream
+        from tests.test_ccitt import _jbig2_pdf, _textlike
+
+        data = _jbig2_pdf(_textlike(96, 160, 11), mmr=True)
 
     out = tmp_path / "cases"
     out.mkdir()
