@@ -450,15 +450,28 @@ static bool ps_run(const std::vector<PsTok>& prog, std::vector<double>* st,
   return true;
 }
 
+static bool eval_pdf_function_n(Document* doc, const ObjPtr& fnin,
+                                const std::vector<double>& xs,
+                                std::vector<double>* out, int depth = 0);
+
+// 1-input convenience wrapper (axial/radial shadings, Separation tints)
 static bool eval_pdf_function(Document* doc, const ObjPtr& fnin, double x,
                               std::vector<double>* out, int depth = 0) {
-  if (depth > 8) return false;
+  return eval_pdf_function_n(doc, fnin, {x}, out, depth);
+}
+
+static bool eval_pdf_function_n(Document* doc, const ObjPtr& fnin,
+                                const std::vector<double>& xs_in,
+                                std::vector<double>* out, int depth) {
+  if (depth > 8 || xs_in.empty() || xs_in.size() > 4) return false;
   ObjPtr fn = doc->resolve(fnin);
   if (fn->is(ObjType::Array)) {  // one single-output function per component
     for (auto& el : fn->arr)
-      if (!eval_pdf_function(doc, el, x, out, depth + 1)) return false;
+      if (!eval_pdf_function_n(doc, el, xs_in, out, depth + 1)) return false;
     return true;
   }
+  std::vector<double> xs = xs_in;
+  double x = xs[0];
   if (!fn->is(ObjType::Dict) && !fn->is(ObjType::Stream)) return false;
   int ft = (int)doc->dict_get(fn, "FunctionType")->num();
   double d0 = 0, d1 = 1;
@@ -466,9 +479,16 @@ static bool eval_pdf_function(Document* doc, const ObjPtr& fnin, double x,
   if (dom->is(ObjType::Array) && dom->arr.size() >= 2) {
     d0 = doc->resolve(dom->arr[0])->num();
     d1 = doc->resolve(dom->arr[1])->num();
+    for (size_t k = 0; k < xs.size(); k++) {
+      if (2 * k + 1 < dom->arr.size()) {
+        double lo = doc->resolve(dom->arr[2 * k])->num();
+        double hi = doc->resolve(dom->arr[2 * k + 1])->num();
+        xs[k] = std::min(std::max(xs[k], std::min(lo, hi)),
+                         std::max(lo, hi));
+      }
+    }
   }
-  if (x < d0) x = d0;
-  if (x > d1) x = d1;
+  x = std::min(std::max(x, std::min(d0, d1)), std::max(d0, d1));
 
   auto arr_at = [&](const ObjPtr& a, size_t i, double def) {
     if (a->is(ObjType::Array) && i < a->arr.size())
@@ -506,31 +526,40 @@ static bool eval_pdf_function(Document* doc, const ObjPtr& fnin, double x,
     double xm = hi > lo ? e0 + (x - lo) / (hi - lo) * (e1 - e0) : e0;
     return eval_pdf_function(doc, fns->arr[k], xm, out, depth + 1);
   }
-  if (ft == 0) {  // sampled (1 input dimension)
+  if (ft == 0) {  // sampled, m input dimensions (multilinear interp)
     ObjPtr size = doc->dict_get(fn, "Size");
     ObjPtr range = doc->dict_get(fn, "Range");
     int bps = (int)doc->dict_get(fn, "BitsPerSample")->num();
-    if (!size->is(ObjType::Array) || size->arr.empty() ||
+    size_t m = xs.size();
+    if (!size->is(ObjType::Array) || size->arr.size() < m ||
         !range->is(ObjType::Array) || range->arr.empty())
       return false;
-    int sz = (int)doc->resolve(size->arr[0])->num();
     size_t n = range->arr.size() / 2;
-    if (sz < 1 || n < 1 || (bps != 1 && bps != 2 && bps != 4 && bps != 8 &&
-                            bps != 16))
+    if (n < 1 || (bps != 1 && bps != 2 && bps != 4 && bps != 8 &&
+                  bps != 16))
       return false;
+    int szs[4];
+    for (size_t k = 0; k < m; k++) {
+      szs[k] = (int)doc->resolve(size->arr[k])->num();
+      if (szs[k] < 1) return false;
+    }
     std::string data = doc->decode_stream(fn);
     ObjPtr enc = doc->dict_get(fn, "Encode");
     ObjPtr dec = doc->dict_get(fn, "Decode");
-    double e0 = arr_at(enc, 0, 0.0), e1 = arr_at(enc, 1, (double)(sz - 1));
-    double e = d1 > d0 ? e0 + (x - d0) / (d1 - d0) * (e1 - e0) : e0;
-    if (e < 0) e = 0;
-    if (e > sz - 1) e = sz - 1;
-    int i0 = (int)e;
-    int i1 = i0 + 1 < sz ? i0 + 1 : i0;
-    double frac = e - i0;
+    int i0s[4];
+    double fracs[4];
+    for (size_t k = 0; k < m; k++) {
+      double lo = arr_at(dom, 2 * k, 0.0), hi = arr_at(dom, 2 * k + 1, 1.0);
+      double e0 = arr_at(enc, 2 * k, 0.0);
+      double e1 = arr_at(enc, 2 * k + 1, (double)(szs[k] - 1));
+      double e = hi > lo ? e0 + (xs[k] - lo) / (hi - lo) * (e1 - e0) : e0;
+      e = std::min(std::max(e, 0.0), (double)(szs[k] - 1));
+      i0s[k] = (int)e;
+      fracs[k] = e - i0s[k];
+    }
     double maxv = (double)((1u << (bps == 16 ? 16 : bps)) - 1);
-    auto sample = [&](int si, size_t j) -> double {
-      size_t bit = ((size_t)si * n + j) * bps;
+    auto sample = [&](size_t flat, size_t j) -> double {
+      size_t bit = (flat * n + j) * bps;
       size_t byte = bit / 8;
       if (byte >= data.size()) return 0.0;
       if (bps == 16) {
@@ -543,10 +572,22 @@ static bool eval_pdf_function(Document* doc, const ObjPtr& fnin, double x,
       return ((uint8_t)data[byte] >> shift) & ((1 << bps) - 1);
     };
     for (size_t j = 0; j < n; j++) {
-      double s = sample(i0, j) * (1 - frac) + sample(i1, j) * frac;
+      double acc = 0;
+      for (unsigned corner = 0; corner < (1u << m); corner++) {
+        double wgt = 1;
+        size_t flat = 0, stride = 1;
+        for (size_t k = 0; k < m; k++) {
+          int ik = i0s[k] + ((corner >> k) & 1);
+          if (ik > szs[k] - 1) ik = szs[k] - 1;
+          wgt *= ((corner >> k) & 1) ? fracs[k] : 1 - fracs[k];
+          flat += (size_t)ik * stride;
+          stride *= szs[k];
+        }
+        if (wgt > 0) acc += wgt * sample(flat, j);
+      }
       double r0 = arr_at(dec->is(ObjType::Null) ? range : dec, 2 * j, 0.0);
       double r1 = arr_at(dec->is(ObjType::Null) ? range : dec, 2 * j + 1, 1.0);
-      out->push_back(r0 + s / maxv * (r1 - r0));
+      out->push_back(r0 + acc / maxv * (r1 - r0));
     }
     return true;
   }
@@ -561,7 +602,7 @@ static bool eval_pdf_function(Document* doc, const ObjPtr& fnin, double x,
     // the program text is one outer { ... } block
     const std::vector<PsTok>* body = &toks;
     if (toks.size() == 1 && toks[0].kind == PsTok::Proc) body = &toks[0].proc;
-    std::vector<double> st{x};
+    std::vector<double> st(xs.begin(), xs.end());
     int steps = 0;
     if (!ps_run(*body, &st, &steps)) return false;
     if (st.size() < n) return false;
@@ -603,8 +644,44 @@ static bool build_shading(Document* doc, const ObjPtr& shin,
   ObjPtr sh = doc->resolve(shin);
   if (!sh->is(ObjType::Dict) && !sh->is(ObjType::Stream)) return false;
   int stype = (int)doc->dict_get(sh, "ShadingType")->num();
-  if (stype != 2 && stype != 3) return false;
+  if (stype != 1 && stype != 2 && stype != 3) return false;
   rs->shading_type = stype;
+  if (stype == 1) {
+    // function-based: sample f(x, y) over the Domain rectangle into a
+    // 2D LUT; the optional /Matrix maps domain space into shading space
+    double dd[4] = {0, 1, 0, 1};
+    ObjPtr dm1 = doc->dict_get(sh, "Domain");
+    if (dm1->is(ObjType::Array) && dm1->arr.size() >= 4)
+      for (int i = 0; i < 4; i++) dd[i] = doc->resolve(dm1->arr[i])->num();
+    ObjPtr fn1 = doc->dict_get(sh, "Function");
+    if (fn1->is(ObjType::Null)) return false;
+    Matrix fmtx;
+    ObjPtr fm = doc->dict_get(sh, "Matrix");
+    if (fm->is(ObjType::Array) && fm->arr.size() == 6)
+      fmtx = Matrix{doc->resolve(fm->arr[0])->num(),
+                    doc->resolve(fm->arr[1])->num(),
+                    doc->resolve(fm->arr[2])->num(),
+                    doc->resolve(fm->arr[3])->num(),
+                    doc->resolve(fm->arr[4])->num(),
+                    doc->resolve(fm->arr[5])->num()};
+    const int L = RenderShading::kLut2d;
+    rs->lut2d.resize((size_t)L * L * 3);
+    for (int yi = 0; yi < L; yi++) {
+      double y = dd[2] + (dd[3] - dd[2]) * yi / (L - 1.0);
+      for (int xi = 0; xi < L; xi++) {
+        double x = dd[0] + (dd[1] - dd[0]) * xi / (L - 1.0);
+        std::vector<double> c;
+        float rgb[3] = {0.5f, 0.5f, 0.5f};
+        if (eval_pdf_function_n(doc, fn1, {x, y}, &c)) comps_to_rgb(c, rgb);
+        uint8_t* px = rs->lut2d.data() + ((size_t)yi * L + xi) * 3;
+        for (int k = 0; k < 3; k++)
+          px[k] = (uint8_t)(rgb[k] * 255.0f + 0.5f);
+      }
+    }
+    for (int i = 0; i < 4; i++) rs->dom2d[i] = (float)dd[i];
+    rs->shade_to_page = fmtx.mul(to_page);
+    return true;
+  }
   ObjPtr co = doc->dict_get(sh, "Coords");
   int need = stype == 2 ? 4 : 6;
   if (!co->is(ObjType::Array) || (int)co->arr.size() < need) return false;
@@ -713,14 +790,15 @@ static CsKind classify_cs(Document* doc, const ObjPtr& resources, ObjPtr cs,
 // Exact Separation (and 1-component DeviceN) color: run the colorspace's
 // tint transform into the alternate space. Without this a spot color
 // approximates as neutral ink — a PANTONE red painted BLACK.
-static bool sep_exact_rgb(Document* doc, const ObjPtr& cs, double tint,
-                          float rgb[3]) {
+static bool sep_exact_rgb(Document* doc, const ObjPtr& cs,
+                          const std::vector<double>& tints, float rgb[3]) {
   if (!cs || !cs->is(ObjType::Array) || cs->arr.size() < 4) return false;
   ObjPtr names = doc->resolve(cs->arr[1]);
-  // DeviceN with >1 colorant needs a multi-input evaluator; skip
-  if (names->is(ObjType::Array) && names->arr.size() != 1) return false;
+  size_t ncolorants =
+      names->is(ObjType::Array) ? names->arr.size() : 1;
+  if (tints.size() != ncolorants || ncolorants > 4) return false;
   std::vector<double> comps;
-  if (!eval_pdf_function(doc, cs->arr[3], tint, &comps) || comps.empty())
+  if (!eval_pdf_function_n(doc, cs->arr[3], tints, &comps) || comps.empty())
     return false;
   comps_to_rgb(comps, rgb);
   return true;
@@ -1461,8 +1539,10 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
         if (nops >= 1) {
           gs.fill_pattern_shading = nullptr;
           gs.fill_tile_dl = nullptr;
+          std::vector<double> tints;
+          for (size_t k = nops; k >= 1; k--) tints.push_back(num((int)k));
           if (!(gs.fill_cs == CsKind::Sep &&
-                sep_exact_rgb(doc, gs.fill_cs_obj, num(1), gs.fill_rgb)))
+                sep_exact_rgb(doc, gs.fill_cs_obj, tints, gs.fill_rgb)))
             operands_to_rgb(gs.fill_cs, nops, num, gs.fill_rgb);
         }
       }
@@ -1472,10 +1552,13 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
              (st[st.size() - 1 - nops]->is(ObjType::Real) ||
               st[st.size() - 1 - nops]->is(ObjType::Int)))
         nops++;
-      if (nops >= 1 &&
-          !(gs.stroke_cs == CsKind::Sep &&
-            sep_exact_rgb(doc, gs.stroke_cs_obj, num(1), gs.stroke_rgb)))
-        operands_to_rgb(gs.stroke_cs, nops, num, gs.stroke_rgb);
+      if (nops >= 1) {
+        std::vector<double> tints;
+        for (size_t k = nops; k >= 1; k--) tints.push_back(num((int)k));
+        if (!(gs.stroke_cs == CsKind::Sep &&
+              sep_exact_rgb(doc, gs.stroke_cs_obj, tints, gs.stroke_rgb)))
+          operands_to_rgb(gs.stroke_cs, nops, num, gs.stroke_rgb);
+      }
     } else if (op == "cs" || op == "CS") {
       // colorspace select: classify the family so sc/scn operands are
       // interpreted correctly (Separation tints, CMYK, ICC N); track

@@ -269,6 +269,21 @@ void draw_shading(Canvas* cv, const RenderShading& sh) {
     double sx, sy;
     page_to_shade.apply(px, py, &sx, &sy);
     double s;
+    if (sh.shading_type == 1) {
+      // function-based: (sx, sy) are domain coords; outside = unpainted
+      const int L = RenderShading::kLut2d;
+      if (sh.lut2d.empty()) return false;
+      double u = (sx - sh.dom2d[0]) / (sh.dom2d[1] - sh.dom2d[0] + 1e-30);
+      double v = (sy - sh.dom2d[2]) / (sh.dom2d[3] - sh.dom2d[2] + 1e-30);
+      if (u < 0 || u > 1 || v < 0 || v > 1) return false;
+      int xi = std::min(L - 1, (int)(u * (L - 1) + 0.5));
+      int yi = std::min(L - 1, (int)(v * (L - 1) + 0.5));
+      const uint8_t* px = sh.lut2d.data() + ((size_t)yi * L + xi) * 3;
+      rgb[0] = px[0] / 255.0f;
+      rgb[1] = px[1] / 255.0f;
+      rgb[2] = px[2] / 255.0f;
+      return true;
+    }
     if (sh.shading_type == 2) {
       double dx = sh.coords[2] - c0x, dy = sh.coords[3] - c0y;
       double dd = dx * dx + dy * dy;

@@ -476,11 +476,15 @@ struct RenderImage {
 // in finance textbooks; dropping these fills silently degraded detection
 // variance scores (round-2 judge finding).
 struct RenderShading {
-  int shading_type = 2;   // 2 = axial, 3 = radial
+  int shading_type = 2;   // 1 = function-based, 2 = axial, 3 = radial
   // axial: x0,y0,x1,y1 (coords[4..5] unused); radial: x0,y0,r0,x1,y1,r1
   float coords[6] = {0, 0, 0, 0, 0, 0};
   bool extend0 = false, extend1 = false;
   uint8_t lut[256][3];    // Function sampled uniformly over /Domain
+  // type 1 (function-based): 2D LUT sampled over the x/y Domain
+  static constexpr int kLut2d = 64;
+  std::vector<uint8_t> lut2d;  // kLut2d * kLut2d * 3
+  float dom2d[4] = {0, 1, 0, 1};
   Matrix shade_to_page;   // shading space -> page pts (top-left origin)
   Rect clip;
   // pattern fills paint only inside the filled path; empty = clip rect

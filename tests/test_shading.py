@@ -279,3 +279,46 @@ def test_extgstate_constant_alpha_and_dash(tmp_path):
     trans = int(np.abs(np.diff((row < 210).astype(int))).sum())
     assert trans > 10, trans                    # ExtGState /D dashes
     assert 160 < vals.mean() < 210, vals.mean()  # 25% stroke alpha
+
+
+def test_function_based_shading_type1(tmp_path):
+    """ShadingType 1 (function-based): a 2-input Type-4 calculator maps
+    (x, y) to color over the Domain; the /Matrix places the domain
+    square on the page. Exercises the N-input function evaluator."""
+    prog = b"{ exch 0 exch }"  # (x, y) -> rgb (y, 0, x)
+    fn = (b"<< /FunctionType 4 /Domain [0 1 0 1] /Range [0 1 0 1 0 1] "
+          b"/Length " + str(len(prog)).encode() + b" >>\nstream\n" +
+          prog + b"\nendstream")
+    shading = (b"<< /ShadingType 1 /ColorSpace /DeviceRGB "
+               b"/Domain [0 1 0 1] /Matrix [280 0 0 280 10 10] "
+               b"/Function 5 0 R >>")
+    p = tmp_path / "sh1.pdf"
+    p.write_bytes(_pdf(_page_objs(
+        b"/S0 sh", b"/Shading << /S0 " + shading + b" >>", (fn,))))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    a, b, m = arr[270, 30], arr[30, 270], arr[150, 150]
+    assert a.max() < 50, a.tolist()                     # domain (0,0): dark
+    assert b[0] > 200 and b[2] > 200 and b[1] < 40, b.tolist()
+    assert 100 < m[0] < 160 and 100 < m[2] < 160, m.tolist()
+
+
+def test_devicen_exact_tints(tmp_path):
+    """Multi-colorant DeviceN scn runs its tint transform exactly via
+    the N-input evaluator: two tints map to CMYK (0, t0, t1, 0)."""
+    prog = b"{ 0 3 1 roll 0 }"  # (t0, t1) -> (0, t0, t1, 0)
+    fn = (b"<< /FunctionType 4 /Domain [0 1 0 1] "
+          b"/Range [0 1 0 1 0 1 0 1] /Length " +
+          str(len(prog)).encode() + b" >>\nstream\n" + prog +
+          b"\nendstream")
+    content = b"/CS0 cs 1.0 0 scn 20 200 60 50 re f 0 1.0 scn 120 200 60 50 re f"
+    objs = _page_objs(
+        content,
+        b"/ColorSpace << /CS0 [/DeviceN [/SpotA /SpotB] /DeviceCMYK "
+        b"5 0 R] >>", (fn,))
+    p = tmp_path / "dn.pdf"
+    p.write_bytes(_pdf(objs))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    a, b = arr[75, 50], arr[75, 150]
+    # t=(1,0): CMYK (0,1,0,0) magenta; t=(0,1): CMYK (0,0,1,0) yellow
+    assert a[0] > 220 and a[1] < 40 and a[2] > 220, a.tolist()
+    assert b[0] > 220 and b[1] > 220 and b[2] < 40, b.tolist()
