@@ -644,8 +644,199 @@ static bool build_shading(Document* doc, const ObjPtr& shin,
   ObjPtr sh = doc->resolve(shin);
   if (!sh->is(ObjType::Dict) && !sh->is(ObjType::Stream)) return false;
   int stype = (int)doc->dict_get(sh, "ShadingType")->num();
-  if (stype != 1 && stype != 2 && stype != 3) return false;
+  if (stype < 1 || stype > 7) return false;
   rs->shading_type = stype;
+  if (stype >= 4) {
+    // mesh shadings: decode the vertex stream into Gouraud triangles.
+    // Types 4 (free-form) and 5 (lattice) decode exactly; Coons/tensor
+    // patches (6/7) approximate each patch by its four corner points as
+    // two Gouraud triangles (interior control points ignored).
+    if (!sh->is(ObjType::Stream)) return false;
+    int bpc_ = (int)doc->dict_get(sh, "BitsPerCoordinate")->num();
+    int bpcomp = (int)doc->dict_get(sh, "BitsPerComponent")->num();
+    int bpflag = (int)doc->dict_get(sh, "BitsPerFlag")->num();
+    if (bpflag == 0) bpflag = 8;
+    ObjPtr decode = doc->dict_get(sh, "Decode");
+    if (!decode->is(ObjType::Array) || decode->arr.size() < 6) return false;
+    // component count from the Decode array (pairs: x, y, then comps)
+    int ncomp = (int)decode->arr.size() / 2 - 2;
+    if (ncomp < 1 || ncomp > 4) return false;
+    if ((bpc_ != 8 && bpc_ != 16 && bpc_ != 24 && bpc_ != 32) ||
+        (bpcomp != 8 && bpcomp != 16))
+      return false;
+    ObjPtr meshfn = doc->dict_get(sh, "Function");
+    bool has_fn = !meshfn->is(ObjType::Null);
+    std::string data = doc->decode_stream(sh);
+    size_t bitpos = 0, nbits = data.size() * 8;
+    auto bits = [&](int n) -> uint64_t {
+      uint64_t v = 0;
+      for (int i = 0; i < n; i++) {
+        if (bitpos >= nbits) return v << (n - i);
+        v = (v << 1) |
+            (((uint8_t)data[bitpos / 8] >> (7 - bitpos % 8)) & 1);
+        bitpos++;
+      }
+      return v;
+    };
+    auto dec_at = [&](size_t i) {
+      return doc->resolve(decode->arr[i])->num();
+    };
+    struct MV { float x, y; uint8_t rgb[3]; };
+    auto read_vertex = [&](MV* v) -> bool {
+      if (bitpos + (size_t)2 * bpc_ + (size_t)ncomp * bpcomp > nbits)
+        return false;
+      double cmax = (double)((1ull << bpc_) - 1);
+      double vmax = (double)((1ull << bpcomp) - 1);
+      double x = dec_at(0) + bits(bpc_) / cmax * (dec_at(1) - dec_at(0));
+      double y = dec_at(2) + bits(bpc_) / cmax * (dec_at(3) - dec_at(2));
+      std::vector<double> comps;
+      for (int k = 0; k < ncomp; k++)
+        comps.push_back(dec_at(4 + 2 * k) +
+                        bits(bpcomp) / vmax *
+                            (dec_at(5 + 2 * k) - dec_at(4 + 2 * k)));
+      if (has_fn) {
+        std::vector<double> outc;
+        if (eval_pdf_function_n(doc, meshfn, comps, &outc) && !outc.empty())
+          comps = outc;
+      }
+      float rgb[3] = {0.5f, 0.5f, 0.5f};
+      comps_to_rgb(comps, rgb);
+      v->x = (float)x;
+      v->y = (float)y;
+      for (int k = 0; k < 3; k++)
+        v->rgb[k] = (uint8_t)(rgb[k] * 255.0f + 0.5f);
+      return true;
+    };
+    auto push_tri = [&](const MV& a, const MV& b, const MV& c) {
+      if (rs->tri_xy.size() > 6u * 200000) return;  // runaway guard
+      for (const MV* v : {&a, &b, &c}) {
+        rs->tri_xy.push_back(v->x);
+        rs->tri_xy.push_back(v->y);
+        rs->tri_rgb.push_back(v->rgb[0]);
+        rs->tri_rgb.push_back(v->rgb[1]);
+        rs->tri_rgb.push_back(v->rgb[2]);
+      }
+    };
+    if (stype == 4) {
+      MV va, vb, vc;
+      int have = 0;
+      while (true) {
+        if (bitpos + bpflag > nbits) break;
+        int flag = (int)bits(bpflag);
+        MV v;
+        if (!read_vertex(&v)) break;
+        if (flag == 0) {
+          if (have == 0) { va = v; have = 1; }
+          else if (have == 1) { vb = v; have = 2; }
+          else { vc = v; have = 3; push_tri(va, vb, vc); have = 3; }
+          if (have == 3) have = 0;
+        } else if (flag == 1) {  // share vb, vc
+          va = vb; vb = vc; vc = v;
+          push_tri(va, vb, vc);
+        } else {  // flag 2: share va, vc
+          vb = vc; vc = v;
+          push_tri(va, vb, vc);
+        }
+      }
+    } else if (stype == 5) {
+      int per_row = (int)doc->dict_get(sh, "VerticesPerRow")->num();
+      if (per_row < 2 || per_row > 65536) return false;
+      std::vector<MV> prev, cur;
+      while (true) {
+        cur.clear();
+        bool ok = true;
+        for (int i = 0; i < per_row; i++) {
+          MV v;
+          if (!read_vertex(&v)) { ok = false; break; }
+          cur.push_back(v);
+        }
+        if (!ok) break;
+        if (!prev.empty())
+          for (int i = 0; i + 1 < per_row; i++) {
+            push_tri(prev[i], prev[i + 1], cur[i]);
+            push_tri(prev[i + 1], cur[i + 1], cur[i]);
+          }
+        prev = cur;
+      }
+    } else {  // 6/7: per patch, read flag + control points + colors
+      int npts_new = stype == 6 ? 12 : 16;
+      MV corners[4];
+      MV prev_corners[4];
+      bool have_prev = false;
+      while (true) {
+        if (bitpos + bpflag > nbits) break;
+        int flag = (int)bits(bpflag);
+        int npts = flag == 0 ? npts_new : npts_new - 4;
+        int ncol = flag == 0 ? 4 : 2;
+        // control points: corners are points 0, 3, 6, 9 (type 6 edge
+        // ordering); approximate using every 3rd point
+        std::vector<std::pair<double, double>> pts;
+        bool ok = true;
+        double cmax = (double)((1ull << bpc_) - 1);
+        for (int i = 0; i < npts; i++) {
+          if (bitpos + (size_t)2 * bpc_ > nbits) { ok = false; break; }
+          double x = dec_at(0) + bits(bpc_) / cmax * (dec_at(1) - dec_at(0));
+          double y = dec_at(2) + bits(bpc_) / cmax * (dec_at(3) - dec_at(2));
+          pts.push_back({x, y});
+        }
+        if (!ok) break;
+        double vmax = (double)((1ull << bpcomp) - 1);
+        MV cols[4];
+        for (int i = 0; i < ncol; i++) {
+          std::vector<double> comps;
+          for (int k = 0; k < ncomp; k++) {
+            if (bitpos + bpcomp > nbits) { ok = false; break; }
+            comps.push_back(dec_at(4 + 2 * k) +
+                            bits(bpcomp) / vmax *
+                                (dec_at(5 + 2 * k) - dec_at(4 + 2 * k)));
+          }
+          if (!ok) break;
+          if (has_fn) {
+            std::vector<double> outc;
+            if (eval_pdf_function_n(doc, meshfn, comps, &outc) &&
+                !outc.empty())
+              comps = outc;
+          }
+          float rgb[3] = {0.5f, 0.5f, 0.5f};
+          comps_to_rgb(comps, rgb);
+          for (int k = 0; k < 3; k++)
+            cols[i].rgb[k] = (uint8_t)(rgb[k] * 255.0f + 0.5f);
+        }
+        if (!ok) break;
+        // corners for a NEW patch: control points 0, 3, 6, 9
+        MV c4[4];
+        if (flag == 0) {
+          for (int i = 0; i < 4; i++) {
+            c4[i].x = (float)pts[i * 3].first;
+            c4[i].y = (float)pts[i * 3].second;
+            for (int k = 0; k < 3; k++) c4[i].rgb[k] = cols[i].rgb[k];
+          }
+        } else {
+          if (!have_prev) break;
+          // shared edge: previous patch contributes two corners; which
+          // two depends on the flag — approximate with the previous
+          // patch's last edge (corners 1, 2)
+          c4[0] = prev_corners[1];
+          c4[1] = prev_corners[2];
+          c4[2].x = (float)pts[2 * 3 >= npts ? npts - 1 : 5].first;
+          c4[2].y = (float)pts[2 * 3 >= npts ? npts - 1 : 5].second;
+          c4[3].x = (float)pts[npts - 1].first;
+          c4[3].y = (float)pts[npts - 1].second;
+          for (int k = 0; k < 3; k++) {
+            c4[2].rgb[k] = cols[0].rgb[k];
+            c4[3].rgb[k] = cols[1].rgb[k];
+          }
+        }
+        push_tri(c4[0], c4[1], c4[2]);
+        push_tri(c4[0], c4[2], c4[3]);
+        memcpy(prev_corners, c4, sizeof(c4));
+        have_prev = true;
+      }
+    }
+    if (rs->tri_xy.empty()) return false;
+    rs->shade_to_page = to_page;
+    return true;
+  }
   if (stype == 1) {
     // function-based: sample f(x, y) over the Domain rectangle into a
     // 2D LUT; the optional /Matrix maps domain space into shading space

@@ -244,7 +244,53 @@ void fill_glyph_direct(Canvas* cv, const Glyph& g, double a, double b,
 
 // Axial/radial shading paint: per covered pixel, invert to shading space,
 // solve for the gradient parameter s, and look up the pre-sampled LUT.
+// Gouraud mesh replay: each triangle fills through the AA machinery
+// with barycentric per-pixel color interpolation.
+void draw_mesh_shading(Canvas* cv, const RenderShading& sh) {
+  size_t ntri = sh.tri_xy.size() / 6;
+  const Matrix& m = sh.shade_to_page;
+  for (size_t t = 0; t < ntri; t++) {
+    const float* xy = sh.tri_xy.data() + t * 6;
+    const uint8_t* cols = sh.tri_rgb.data() + t * 9;
+    double px[3], py[3];
+    for (int i = 0; i < 3; i++)
+      m.apply(xy[i * 2], xy[i * 2 + 1], &px[i], &py[i]);
+    double det = (py[1] - py[2]) * (px[0] - px[2]) +
+                 (px[2] - px[1]) * (py[0] - py[2]);
+    if (std::fabs(det) < 1e-12) continue;
+    std::vector<std::vector<std::pair<float, float>>> tri{
+        {{(float)px[0], (float)py[0]},
+         {(float)px[1], (float)py[1]},
+         {(float)px[2], (float)py[2]}}};
+    double inv_scale = 1.0 / cv->scale;
+    fill_polygon_t(
+        cv, tri, false, sh.clip, [&](int xd, int yd, float* rgb) {
+          double qx = (xd + 0.5) * inv_scale + cv->off_x;
+          double qy = (yd + 0.5) * inv_scale + cv->off_y;
+          double l0 = ((py[1] - py[2]) * (qx - px[2]) +
+                       (px[2] - px[1]) * (qy - py[2])) /
+                      det;
+          double l1 = ((py[2] - py[0]) * (qx - px[2]) +
+                       (px[0] - px[2]) * (qy - py[2])) /
+                      det;
+          double l2 = 1 - l0 - l1;
+          l0 = std::min(std::max(l0, 0.0), 1.0);
+          l1 = std::min(std::max(l1, 0.0), 1.0);
+          l2 = std::min(std::max(l2, 0.0), 1.0);
+          for (int k = 0; k < 3; k++)
+            rgb[k] = (float)((cols[k] * l0 + cols[3 + k] * l1 +
+                              cols[6 + k] * l2) /
+                             255.0);
+          return true;
+        });
+  }
+}
+
 void draw_shading(Canvas* cv, const RenderShading& sh) {
+  if (sh.shading_type >= 4) {
+    draw_mesh_shading(cv, sh);
+    return;
+  }
   const std::vector<std::vector<std::pair<float, float>>>* path =
       &sh.clip_path;
   std::vector<std::vector<std::pair<float, float>>> rectpath;

@@ -485,6 +485,10 @@ struct RenderShading {
   static constexpr int kLut2d = 64;
   std::vector<uint8_t> lut2d;  // kLut2d * kLut2d * 3
   float dom2d[4] = {0, 1, 0, 1};
+  // types 4-7 (meshes): Gouraud triangle list in SHADING space
+  // (3 vertices per triangle; xy pairs + rgb per vertex)
+  std::vector<float> tri_xy;   // 6 floats / triangle
+  std::vector<uint8_t> tri_rgb;  // 9 bytes / triangle
   Matrix shade_to_page;   // shading space -> page pts (top-left origin)
   Rect clip;
   // pattern fills paint only inside the filled path; empty = clip rect

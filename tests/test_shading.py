@@ -322,3 +322,33 @@ def test_devicen_exact_tints(tmp_path):
     # t=(1,0): CMYK (0,1,0,0) magenta; t=(0,1): CMYK (0,0,1,0) yellow
     assert a[0] > 220 and a[1] < 40 and a[2] > 220, a.tolist()
     assert b[0] > 220 and b[1] > 220 and b[2] < 40, b.tolist()
+
+
+def test_mesh_shading_type4_gouraud(tmp_path):
+    """ShadingType 4 (free-form Gouraud triangles): vertex stream
+    decodes and each triangle interpolates barycentrically — corners
+    come out pure, the centroid is the even mix."""
+    import struct
+
+    def vert(flag, x, y, r, g, b):
+        return (bytes([flag]) +
+                struct.pack(">HH", int(x / 300 * 65535),
+                            int(y / 300 * 65535)) + bytes([r, g, b]))
+
+    stream = (vert(0, 20, 20, 255, 0, 0) + vert(0, 280, 20, 0, 255, 0) +
+              vert(0, 150, 280, 0, 0, 255))
+    sh = (b"<< /ShadingType 4 /ColorSpace /DeviceRGB "
+          b"/BitsPerCoordinate 16 /BitsPerComponent 8 /BitsPerFlag 8 "
+          b"/Decode [0 300 0 300 0 1 0 1 0 1] /Length " +
+          str(len(stream)).encode() + b" >>\nstream\n" + stream +
+          b"\nendstream")
+    p = tmp_path / "mesh.pdf"
+    p.write_bytes(_pdf(_page_objs(b"/S0 sh",
+                                  b"/Shading << /S0 5 0 R >>", (sh,))))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    r, g, b = arr[270, 30], arr[270, 270], arr[40, 150]
+    c = arr[190, 150]
+    assert r[0] > 180 and r[1] < 90, r.tolist()
+    assert g[1] > 180 and g[0] < 90, g.tolist()
+    assert b[2] > 180 and b[0] < 90, b.tolist()
+    assert all(40 < v < 180 for v in c), c.tolist()
