@@ -74,10 +74,20 @@ def _rich_base() -> bytes:
                 str(len(z)).encode() + b" >>\nstream\n" + z +
                 b"\nendstream")
 
+    import struct
+
     prog = b"{ dup 1 exch sub exch 0 exch }"
     cell = b"1 0 0 rg 0 0 4 10 re f"
+
+    def vert(flag, x, y, r, g, b):
+        return (bytes([flag]) +
+                struct.pack(">HH", int(x / 612 * 65535),
+                            int(y / 792 * 65535)) + bytes([r, g, b]))
+
+    mesh = (vert(0, 60, 60, 255, 0, 0) + vert(0, 200, 60, 0, 255, 0) +
+            vert(0, 130, 200, 0, 0, 255))
     content = (
-        b"/Pattern cs /P0 scn 50 500 200 100 re f /S0 sh "
+        b"/Pattern cs /P0 scn 50 500 200 100 re f /S0 sh /S1 sh "
         b"2 w [6 4] 1 d 0 0 0 RG 50 450 m 550 450 l S "
         b"q 100 0 0 100 50 600 cm BI /W 4 /H 4 /CS /RGB /BPC 8 /F /Fl "
         b"/L " + str(len(rgbpx)).encode() + b" ID " + rgbpx + b" EI Q "
@@ -88,7 +98,8 @@ def _rich_base() -> bytes:
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Rotate 90 /Contents 4 0 R /Resources << "
-        b"/Pattern << /P0 5 0 R >> /Shading << /S0 6 0 R >> "
+        b"/Pattern << /P0 5 0 R >> "
+        b"/Shading << /S0 6 0 R /S1 10 0 R >> "
         b"/XObject << /Im1 8 0 R >> "
         b"/ColorSpace << /CS1 [/Separation /Sp /DeviceRGB 7 0 R] >> >> >>",
         b"<< /Length " + str(len(content)).encode() +
@@ -107,6 +118,11 @@ def _rich_base() -> bytes:
                    b"/SMask 9 0 R", red),
         obj_stream(b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8"
                    b" /ColorSpace /DeviceGray /BitsPerComponent 8", ramp),
+        b"<< /ShadingType 4 /ColorSpace /DeviceRGB /BitsPerCoordinate 16"
+        b" /BitsPerComponent 8 /BitsPerFlag 8 "
+        b"/Decode [0 612 0 792 0 1 0 1 0 1] /Length " +
+        str(len(mesh)).encode() + b" >>\nstream\n" + mesh +
+        b"\nendstream",
     ])
 
 
