@@ -1040,6 +1040,32 @@ struct Interp {
   PageContent* out;
   DisplayList* dl;
   GState gs;
+  // optional content (layers): OCGs turned OFF by the catalog's default
+  // configuration; content inside /OC marked sections (or xobjects with
+  // an /OC entry) referencing them does not RENDER. Text metadata is
+  // still extracted, matching fitz's get_text behavior.
+  std::unordered_set<const Object*> hidden_ocgs;
+  std::vector<bool> mc_stack;  // open marked-content levels: suppressing?
+  int mc_suppressed = 0;
+  bool suppressed() const { return mc_suppressed > 0; }
+  bool ocg_hidden(const ObjPtr& oc) {
+    ObjPtr o = doc->resolve(oc);
+    if (!o->is(ObjType::Dict)) return false;
+    ObjPtr type = doc->dict_get(o, "Type");
+    if (type->is(ObjType::Name) && type->s == "OCMD") {
+      ObjPtr gsd = doc->dict_get(o, "OCGs");
+      if (gsd->is(ObjType::Dict))
+        return hidden_ocgs.count(gsd.get()) > 0;
+      if (gsd->is(ObjType::Array) && !gsd->arr.empty()) {
+        // default AnyOn visibility: hidden only if ALL groups are off
+        for (auto& g : gsd->arr)
+          if (!hidden_ocgs.count(doc->resolve(g).get())) return false;
+        return true;
+      }
+      return false;
+    }
+    return hidden_ocgs.count(o.get()) > 0;
+  }
   Matrix base_ctm;  // page default space (pattern matrices map into this)
   std::vector<GState> gstack;
   Matrix tm, tlm;  // text matrix, text line matrix
@@ -1171,7 +1197,8 @@ void Interp::op_show_text(const std::string& s, const ObjPtr& resources) {
     // Type3: replay the glyph's CharProc content stream through this
     // interpreter with CTM = FontMatrix x TRM (full fidelity: paths,
     // images, nested state). Span text above already used Differences.
-    if (gs.render_mode != 3 && f->is_type3 && !is_space && depth < 12) {
+    if (gs.render_mode != 3 && !suppressed() && f->is_type3 && !is_space &&
+        depth < 12) {
       auto pit = f->t3_procs.find(code);
       if (pit != f->t3_procs.end()) {
         GState saved_gs = gs;
@@ -1205,7 +1232,7 @@ void Interp::op_show_text(const std::string& s, const ObjPtr& resources) {
       }
     }
     // glyph outlines for rasterization (skip invisible mode 3)
-    if (gs.render_mode != 3 && f->ttf && !is_space) {
+    if (gs.render_mode != 3 && !suppressed() && f->ttf && !is_space) {
       uint16_t gid = f->gid_for_code(code);
       if (gid) {
         const Glyph* g = f->ttf->glyph(gid);
@@ -1388,6 +1415,9 @@ bool Interp::build_tile_pattern(const ObjPtr& pat, const Matrix& pm) {
 }
 
 void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
+  if (suppressed()) {  // hidden optional content: consume, paint nothing
+    fill = stroke = false;
+  }
   if (subpaths.empty() || (!fill && !stroke && !pending_clip)) {
     if (pending_clip) {
       // clip with empty path -> leave as-is
@@ -1529,6 +1559,10 @@ void Interp::do_xobject(const std::string& name, const ObjPtr& resources) {
     ip.width = (int)doc->dict_get(xo, "Width")->num();
     ip.height = (int)doc->dict_get(xo, "Height")->num();
     out->images.push_back(ip);
+    // xobjects may carry their own /OC entry (watermark layers)
+    ObjPtr xoc = doc->dict_get(xo, "OC");
+    if (suppressed() || (!xoc->is(ObjType::Null) && ocg_hidden(xoc)))
+      return;
     RenderImage ri;
     ri.obj_num = obj_num;
     ri.img_to_page = gs.ctm;
@@ -1781,7 +1815,7 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
       }
     } else if (op == "sh") {
       // paint the current clip with a shading (axial/radial supported)
-      if (!st.empty() && st.back()->is(ObjType::Name)) {
+      if (!st.empty() && st.back()->is(ObjType::Name) && !suppressed()) {
         ObjPtr shs = doc->dict_get(resources, "Shading");
         ObjPtr shd = shs->is(ObjType::Dict)
                          ? doc->dict_get(shs, st.back()->s)
@@ -2061,7 +2095,8 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
           ri.inline_rgb = decode_image_rgb_obj(doc, norm, &ri.inline_w,
                                                &ri.inline_h);
         }
-        if (!ri.inline_rgb.empty() || !ri.inline_alpha.empty()) {
+        if ((!ri.inline_rgb.empty() || !ri.inline_alpha.empty()) &&
+            !suppressed()) {
           dl->order_kind.push_back(2);
           dl->order_index.push_back((int)dl->images.size());
           dl->images.push_back(std::move(ri));
@@ -2069,9 +2104,30 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
       }
       st.clear();
       continue;
-    } else if (op == "BX" || op == "EX" || op == "MP" || op == "DP" ||
-               op == "BMC" || op == "BDC" || op == "EMC") {
-      // marked content: ignore
+    } else if (op == "BDC" || op == "BMC") {
+      bool hide = false;
+      if (op == "BDC" && st.size() >= 2) {
+        ObjPtr tag = st[st.size() - 2];
+        ObjPtr props = st.back();
+        if (tag->is(ObjType::Name) && tag->s == "OC" &&
+            !hidden_ocgs.empty()) {
+          if (props->is(ObjType::Name)) {
+            ObjPtr pd = doc->dict_get(resources, "Properties");
+            if (pd->is(ObjType::Dict))
+              props = doc->dict_get(pd, props->s);
+          }
+          hide = ocg_hidden(props);
+        }
+      }
+      mc_stack.push_back(hide);
+      if (hide) mc_suppressed++;
+    } else if (op == "EMC") {
+      if (!mc_stack.empty()) {
+        if (mc_stack.back()) mc_suppressed--;
+        mc_stack.pop_back();
+      }
+    } else if (op == "BX" || op == "EX" || op == "MP" || op == "DP") {
+      // marked content points: ignore
     }
     st.clear();
   }
@@ -2094,6 +2150,17 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
   in.doc = doc_;
   in.out = out;
   in.dl = dl;
+  // optional content: collect the OCGs the catalog's default viewing
+  // configuration turns OFF (fitz honors these too)
+  {
+    ObjPtr root = doc_->dict_get(doc_->trailer(), "Root");
+    ObjPtr ocp = doc_->dict_get(root, "OCProperties");
+    ObjPtr dcfg = doc_->dict_get(ocp, "D");
+    ObjPtr off = doc_->dict_get(dcfg, "OFF");
+    if (off->is(ObjType::Array))
+      for (auto& g : off->arr)
+        in.hidden_ocgs.insert(doc_->resolve(g).get());
+  }
   // device space: top-left origin, y down, units = points. /Rotate is
   // the display rotation (clockwise); folding it into the base CTM
   // rotates EVERYTHING downstream consistently — text/drawing/image

@@ -118,6 +118,7 @@ class Document {
 
   const std::string& error() const { return err_; }
   bool encrypted() const { return encrypted_; }
+  const ObjPtr& trailer() const { return trailer_; }
 
   // Process-unique document id: the glyph bitmap cache keys on Glyph*
   // addresses, which the allocator can reuse across Document lifetimes;

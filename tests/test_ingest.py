@@ -490,3 +490,33 @@ def test_image_decode_array_inversion(tmp_path):
     p.write_bytes(pdf)
     arr = np.asarray(open_pdf(str(p)).render(0, dpi=72))
     assert 205 < arr[100, 100, 0] < 225, arr[100, 100].tolist()
+
+
+def test_optional_content_groups_hide_layers(tmp_path):
+    """Content in OCGs the catalog's default config turns OFF must not
+    render (print guides, alternate layers) — fitz honors /OCProperties
+    /D /OFF the same way. Visible layers and unmarked content render
+    normally."""
+    from tests.fontfixtures import _pdf
+
+    content = (b"/OC /L1 BDC 1 0 0 rg 20 200 60 50 re f EMC "
+               b"/OC /L2 BDC 0 1 0 rg 120 200 60 50 re f EMC "
+               b"0 0 1 rg 220 200 60 50 re f")
+    pdf = _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R /OCProperties "
+        b"<< /OCGs [5 0 R 6 0 R] /D << /ON [5 0 R] /OFF [6 0 R] >> >> >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 300 300] "
+        b"/Contents 4 0 R /Resources "
+        b"<< /Properties << /L1 5 0 R /L2 6 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() +
+        b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /OCG /Name (visible) >>",
+        b"<< /Type /OCG /Name (hidden) >>",
+    ])
+    p = tmp_path / "ocg.pdf"
+    p.write_bytes(pdf)
+    arr = np.asarray(open_pdf(str(p)).render(0, dpi=72))
+    assert arr[75, 50][0] > 220 and arr[75, 50][1] < 40   # visible layer
+    assert arr[75, 150].min() > 240                        # hidden layer
+    assert arr[75, 250][2] > 220                           # unmarked
