@@ -374,7 +374,7 @@ static bool ps_exec(const std::vector<PsTok>& prog, std::vector<double>* st,
     else if (o == "exp") { double b = pop(), a = pop(); st->push_back(std::pow(a, b)); }
     else if (o == "ln") { st->push_back(std::log(std::max(1e-300, pop()))); }
     else if (o == "log") { st->push_back(std::log10(std::max(1e-300, pop()))); }
-    else if (o == "cvi" || o == "truncate") { st->push_back(std::trunc(pop())); }
+    else if (o == "cvi") { st->push_back(std::trunc(pop())); }
     else if (o == "cvr") { /* no-op: all values are reals */ }
     else if (o == "dup") { double a = pop(); st->push_back(a); st->push_back(a); }
     else if (o == "pop") { pop(); }
@@ -1368,6 +1368,7 @@ bool Interp::build_tile_pattern(const ObjPtr& pat, const Matrix& pm) {
     bool saved_in_text = in_text;
     auto saved_paths = std::move(subpaths);
     subpaths.clear();
+    double saved_cx = cur_x, saved_cy = cur_y;
     size_t saved_stack = gstack.size();
     bool saved_pc = pending_clip, saved_pce = pending_clip_eo;
     gs = GState();
@@ -1396,6 +1397,8 @@ bool Interp::build_tile_pattern(const ObjPtr& pat, const Matrix& pm) {
     tlm = saved_tlm;
     in_text = saved_in_text;
     subpaths = std::move(saved_paths);
+    cur_x = saved_cx;
+    cur_y = saved_cy;
     pending_clip = saved_pc;
     pending_clip_eo = saved_pce;
     cell = TileCell{tdl, (float)bx0, (float)by0, (float)bw, (float)bh,
