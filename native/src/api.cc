@@ -91,6 +91,12 @@ void* spdf_open_bytes(const uint8_t* data, long size) {
 
 void spdf_close(void* handle) { delete (DocHandle*)handle; }
 
+// Register the host JPEG2000 decoder (see spdf.h::JpxDecodeCb). Called once
+// at library load by the Python binding; pass nullptr to unregister. The
+// callback may be invoked from any thread that renders or decodes images
+// (ctypes callbacks re-acquire the GIL via PyGILState_Ensure).
+void spdf_set_jpx_decoder(JpxDecodeCb cb) { g_jpx_decode_cb = cb; }
+
 int spdf_page_count(void* handle) {
   // page_count()/page_size() resolve objects and can mutate the document's
   // caches (indirect attrs, lazy object streams); callers run concurrently

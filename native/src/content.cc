@@ -10,6 +10,8 @@
 
 namespace spdf {
 
+JpxDecodeCb g_jpx_decode_cb = nullptr;
+
 static const char* kDejaVuPath =
     "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf";
 static const char* kDejaVuBoldPath =
@@ -2298,12 +2300,20 @@ std::vector<uint8_t> decode_image_rgb_obj(Document* doc, const ObjPtr& xo,
     return std::vector<uint8_t>((size_t)(*w) * (*h) * 3, 200);
   }
   if (fname == "JPXDecode") {
-    // Documented graceful degrade (PARITY.md §native-gaps): JPEG2000
-    // payloads decode to a correctly-sized neutral-gray plate rather
-    // than silently vanishing — downstream detection keeps the image's
-    // geometry/caption signals and the crop stays visibly present in
-    // outputs. A full wavelet codec is out of scope: no independent
-    // encoder exists in this environment to cross-validate against.
+    // JPEG2000 decodes through the registered host callback (the Python
+    // binding wires PIL/OpenJPEG — the codec MuPDF itself links). The
+    // payload reaches the callback with pre-filters + decryption already
+    // applied (decode_stream passes JPX raw, like DCT). If no callback is
+    // registered or the codestream is corrupt, degrade to a neutral-gray
+    // plate rather than silently vanishing — downstream detection keeps
+    // the image's geometry/caption signals (PARITY.md §native-gaps).
+    if (g_jpx_decode_cb) {
+      std::string data = doc->decode_stream(xo);
+      std::vector<uint8_t> rgb((size_t)(*w) * (*h) * 3);
+      if (g_jpx_decode_cb((const uint8_t*)data.data(), (long)data.size(),
+                          rgb.data(), *w, *h))
+        return rgb;
+    }
     return std::vector<uint8_t>((size_t)(*w) * (*h) * 3, 200);
   }
   if (fname == "DCTDecode" || fname == "DCT") {

@@ -517,6 +517,17 @@ class ContentEngine {
   Document* doc_;
 };
 
+// Host-side JPEG2000 decoder hook. The embedding process may register a
+// callback (spdf_set_jpx_decoder) that decodes a raw JPX codestream into a
+// caller-allocated w*h*3 RGB8 buffer and returns nonzero on success. The
+// Python binding registers a PIL/OpenJPEG-backed decoder — the same codec
+// family MuPDF links (ref pdf_image_segmentation.py:2731 gets JPX via
+// fitz/OpenJPEG). When no callback is set or it fails, JPXDecode images
+// degrade to a neutral plate (documented in PARITY.md).
+typedef int (*JpxDecodeCb)(const uint8_t* data, long n, uint8_t* out_rgb,
+                           int w, int h);
+extern JpxDecodeCb g_jpx_decode_cb;
+
 // Decode an image XObject (by object number) to RGB8.
 // Returns empty on failure.
 std::vector<uint8_t> decode_image_rgb(Document* doc, int obj_num,

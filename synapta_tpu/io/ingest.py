@@ -33,6 +33,37 @@ _SO_PATH = os.environ.get(
 
 _lib = None
 
+# JPEG2000 (JPXDecode) host decoder: the engine calls back into Python and
+# we decode via PIL/OpenJPEG — the same codec family fitz/MuPDF links for
+# JPX (ref pdf_image_segmentation.py:2731). The callback fills the engine's
+# pre-allocated w*h*3 RGB8 buffer (w/h from the image dict); any failure
+# returns 0 and the engine degrades to its neutral plate. ctypes re-acquires
+# the GIL inside the callback, so it is safe from the engine's caller thread
+# even though the outer foreign call released it.
+_JPX_CB_TYPE = ctypes.CFUNCTYPE(
+    ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+)
+_jpx_cb_ref = None  # must outlive the library: module-lifetime reference
+
+
+def _jpx_decode_host(data, n, out, w, h):
+    try:
+        import io as _io
+
+        from PIL import Image
+
+        im = Image.open(_io.BytesIO(ctypes.string_at(data, n)))
+        im.load()
+        im = im.convert("RGB")
+        if im.size != (w, h):  # spec requires match; be lenient like fitz
+            im = im.resize((w, h))
+        arr = np.ascontiguousarray(np.asarray(im, dtype=np.uint8))
+        ctypes.memmove(out, arr.ctypes.data, w * h * 3)
+        return 1
+    except Exception:
+        return 0
+
 
 def _load_lib():
     global _lib
@@ -89,6 +120,14 @@ def _load_lib():
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
     ]
     lib.spdf_box_downscale.restype = None
+    try:
+        lib.spdf_set_jpx_decoder.argtypes = [_JPX_CB_TYPE]
+        lib.spdf_set_jpx_decoder.restype = None
+        global _jpx_cb_ref
+        _jpx_cb_ref = _JPX_CB_TYPE(_jpx_decode_host)
+        lib.spdf_set_jpx_decoder(_jpx_cb_ref)
+    except AttributeError:  # stale .so without the hook: keep plate degrade
+        pass
     _lib = lib
     return lib
 

@@ -361,9 +361,10 @@ class PageCanvas:
         """Place an RGB uint8 HxWx3 array as an image XObject.
 
         ``mode`` overrides the book-level encoding for this image:
-        None (book default), "raw" (Flate RGB), "jpeg" (DCT RGB) or
-        "cmyk_jpeg" (DCT DeviceCMYK with Adobe inversion — the
-        print-workflow flavor real textbooks embed)."""
+        None (book default), "raw" (Flate RGB), "jpeg" (DCT RGB),
+        "jp2" (lossless JPEG2000 /JPXDecode) or "cmyk_jpeg" (DCT
+        DeviceCMYK with Adobe inversion — the print-workflow flavor
+        real textbooks embed)."""
         self._img_counter += 1
         name = f"Im{self._img_counter}"
         self.images.append((name, arr, (x0, y0, x1, y1), mode))
@@ -453,6 +454,18 @@ class SyntheticBook:
                 f"/Type /XObject /Subtype /Image /Width {w} /Height {h} "
                 f"/ColorSpace /DeviceCMYK /BitsPerComponent 8 "
                 f"/Filter /DCTDecode",
+                bio.getvalue(),
+                compress=False,
+            )
+        if mode == "jp2":
+            from PIL import Image
+
+            bio = io.BytesIO()
+            Image.fromarray(arr).save(bio, format="JPEG2000")  # lossless jp2
+            return b.stream_obj(
+                f"/Type /XObject /Subtype /Image /Width {w} /Height {h} "
+                f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+                f"/Filter /JPXDecode",
                 bio.getvalue(),
                 compress=False,
             )

@@ -520,3 +520,78 @@ def test_optional_content_groups_hide_layers(tmp_path):
     assert arr[75, 50][0] > 220 and arr[75, 50][1] < 40   # visible layer
     assert arr[75, 150].min() > 240                        # hidden layer
     assert arr[75, 250][2] > 220                           # unmarked
+
+
+def _jp2_bytes(arr: np.ndarray) -> bytes:
+    import io as _io
+
+    from PIL import Image
+
+    bio = _io.BytesIO()
+    Image.fromarray(arr).save(bio, format="JPEG2000")  # reversible 5/3
+    return bio.getvalue()
+
+
+def _jpx_pdf(payload: bytes, w: int, h: int, cs: bytes = b"/DeviceRGB") -> bytes:
+    from tests.fontfixtures import _pdf
+
+    content = b"q 200 0 0 200 100 400 cm /Im1 Do Q"
+    return _pdf([
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /XObject << /Im1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() +
+        b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode() +
+        b" /Height " + str(h).encode() + b" /ColorSpace " + cs +
+        b" /BitsPerComponent 8 /Filter /JPXDecode /Length " +
+        str(len(payload)).encode() + b" >>\nstream\n" + payload +
+        b"\nendstream",
+    ])
+
+
+def test_jpx_image_decodes_via_host_codec(tmp_path):
+    """JPEG2000 (JPXDecode) images decode to real pixels through the
+    registered PIL/OpenJPEG host callback — validated against the encoder
+    of an independent toolchain (OpenJPEG wrote the codestream; the spdf
+    decode path must reproduce the source array). Was a neutral-gray
+    plate degrade before round 3."""
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    p = tmp_path / "jpx.pdf"
+    p.write_bytes(_jpx_pdf(_jp2_bytes(src), 32, 32))
+    doc = open_pdf(str(p))
+    ims = doc.page_images(0)
+    assert len(ims) == 1
+    arr = doc.decode_image(ims[0]["obj"])
+    assert arr.shape == (32, 32, 3)
+    assert np.array_equal(arr, src)  # 5/3 reversible: bit-exact
+
+
+def test_jpx_image_renders_real_pixels(tmp_path):
+    """A JPX image placed on the page rasterizes with its actual colors
+    (solid red field), not the old 200-gray plate."""
+    src = np.zeros((16, 16, 3), np.uint8)
+    src[..., 0] = 220
+    p = tmp_path / "jpx_render.pdf"
+    p.write_bytes(_jpx_pdf(_jp2_bytes(src), 16, 16))
+    arr = np.asarray(open_pdf(str(p)).render(0, dpi=72))
+    px = arr[792 - 500, 200]  # mid-image in raster coords
+    assert px[0] > 180 and px[1] < 60 and px[2] < 60, px.tolist()
+
+
+def test_jpx_grayscale_and_corrupt_fallback(tmp_path):
+    """Grayscale JP2 expands to RGB; a corrupt codestream degrades to the
+    documented neutral plate instead of crashing or vanishing."""
+    ramp = np.tile(np.arange(0, 256, 16, dtype=np.uint8), (16, 1))
+    p = tmp_path / "jpx_gray.pdf"
+    p.write_bytes(_jpx_pdf(_jp2_bytes(ramp), 16, 16, cs=b"/DeviceGray"))
+    arr = open_pdf(str(p)).decode_image(open_pdf(str(p)).page_images(0)[0]["obj"])
+    assert arr.shape == (16, 16, 3)
+    assert np.array_equal(arr[..., 0], arr[..., 1])
+    assert abs(int(arr[8, 15, 0]) - 240) <= 2 and arr[8, 0, 0] <= 2
+    q = tmp_path / "jpx_bad.pdf"
+    q.write_bytes(_jpx_pdf(b"\xff\x4f\xff\x51 garbage not a codestream", 16, 16))
+    bad = open_pdf(str(q)).decode_image(open_pdf(str(q)).page_images(0)[0]["obj"])
+    assert bad.shape == (16, 16, 3) and np.all(bad == 200)
