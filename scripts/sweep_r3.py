@@ -38,10 +38,21 @@ def main() -> None:
     from synapta_tpu.pipeline import VisualSegmentationPipeline
     from synapta_tpu.utils.profiler import TIMERS
 
-    pdf = os.environ.get(
-        "SYNAPTA_SWEEP_PDF",
-        "/tmp/synapta_bench_books/textbook_p1000_s42_320885241f.pdf",
-    )
+    pdf = os.environ.get("SYNAPTA_SWEEP_PDF")
+    if not pdf:
+        # same cache key bench.py uses: (pages, seed, generator hash)
+        import hashlib
+        import tempfile
+
+        import synapta_tpu.io.pdf_writer as _pw
+
+        gen_hash = hashlib.md5(
+            open(_pw.__file__, "rb").read()
+        ).hexdigest()[:10]
+        pdf = os.path.join(
+            tempfile.gettempdir(), "synapta_bench_books",
+            f"textbook_p1000_s42_{gen_hash}.pdf",
+        )
     n_pages = int(os.environ.get("SYNAPTA_SWEEP_PAGES", "1000"))
     if not os.path.exists(pdf):
         raise SystemExit("bench book missing; run bench.py once first")

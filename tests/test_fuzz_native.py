@@ -242,11 +242,13 @@ def test_cascaded_flate_bomb_contained(tmp_path):
     """A crafted [/FlateDecode /FlateDecode] stream expanding a ~500-byte
     payload toward gigabytes must be contained by the per-stream decode
     ceiling (object.cc kMaxDecodedStream) instead of OOMing the host.
-    The page still renders (blank) and peak RSS stays bounded."""
-    import resource
+    The page still renders (blank) and peak RSS stays bounded.
+
+    Runs in a child interpreter: ru_maxrss is process-lifetime peak, so
+    measuring in the pytest process would assert on whatever earlier
+    tests happened to allocate, not on the bomb guard."""
     import zlib
 
-    from synapta_tpu.io.ingest import open_pdf
     from tests.fontfixtures import _pdf
 
     body = zlib.compress(zlib.compress(b"\0" * (1 << 28), 9), 9)
@@ -261,8 +263,30 @@ def test_cascaded_flate_bomb_contained(tmp_path):
     ])
     p = tmp_path / "bomb.pdf"
     p.write_bytes(pdf)
-    d = open_pdf(str(p))
-    arr = d.render(0, dpi=72)
-    assert arr is not None and arr.shape == (792, 612, 3)
-    peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-    assert peak_mb < 2500, f"bomb guard failed: peak RSS {peak_mb:.0f}MB"
+    probe = tmp_path / "bomb_probe.py"
+    probe.write_text(
+        "import resource, sys\n"
+        "from synapta_tpu.io.ingest import open_pdf\n"
+        "d = open_pdf(sys.argv[1])\n"
+        "arr = d.render(0, dpi=72)\n"
+        "assert arr is not None and arr.shape == (792, 612, 3), arr\n"
+        "peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss"
+        " / 1024\n"
+        "assert peak_mb < 2500, f'peak RSS {peak_mb:.0f}MB'\n"
+        "print('BOMBOK')\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [p_ for p_ in ("/root/.axon_site", REPO,
+                       env.get("PYTHONPATH", "")) if p_]
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, str(probe), str(p)],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, (
+        f"bomb guard failed (rc={r.returncode}); "
+        f"stderr tail: {r.stderr[-400:]}"
+    )
+    assert "BOMBOK" in r.stdout
