@@ -651,8 +651,8 @@ static bool build_shading(Document* doc, const ObjPtr& shin,
   if (stype >= 4) {
     // mesh shadings: decode the vertex stream into Gouraud triangles.
     // Types 4 (free-form) and 5 (lattice) decode exactly; Coons/tensor
-    // patches (6/7) approximate each patch by its four corner points as
-    // two Gouraud triangles (interior control points ignored).
+    // patches (6/7) evaluate the full bicubic tensor surface (type 6
+    // interior points derived per spec) tessellated at 8x8 per patch.
     if (!sh->is(ObjType::Stream)) return false;
     int bpc_ = (int)doc->dict_get(sh, "BitsPerCoordinate")->num();
     int bpcomp = (int)doc->dict_get(sh, "BitsPerComponent")->num();
@@ -760,18 +760,30 @@ static bool build_shading(Document* doc, const ObjPtr& shin,
           }
         prev = cur;
       }
-    } else {  // 6/7: per patch, read flag + control points + colors
+    } else {  // 6/7: Coons / tensor patches, evaluated exactly
+      // Each patch is a bicubic tensor-product surface S(u,v) =
+      // sum_ij p[i][j] B_i(u) B_j(v). Type 6 supplies the 12 boundary
+      // control points (interior derived by the spec's Coons formulas);
+      // type 7 supplies all 16. Stream order -> tensor grid (row, col):
+      //   pts 1..12 walk the boundary p11 p12 p13 p14 p24 p34 p44 p43
+      //   p42 p41 p31 p21; type 7 appends interior p22 p23 p33 p32.
+      // Corner colors c1..c4 sit at p11, p14, p44, p41. Edge flags 1/2/3
+      // reuse the previous patch's p1x / p4x-reversed / px1-reversed edge
+      // as the new first row (PDF 32000 tables 85-86).
+      static const int kGridRow[16] =
+          {0, 0, 0, 0, 1, 2, 3, 3, 3, 3, 2, 1, 1, 1, 2, 2};
+      static const int kGridCol[16] =
+          {0, 1, 2, 3, 3, 3, 3, 2, 1, 0, 0, 0, 1, 2, 2, 1};
       int npts_new = stype == 6 ? 12 : 16;
-      MV corners[4];
-      MV prev_corners[4];
+      double pg[4][4][2];       // previous patch tensor grid
+      float pcol[4][3];         // previous corner colors c1..c4 (0..1)
       bool have_prev = false;
+      const int N = 8;          // quads per patch axis (2*N*N triangles)
       while (true) {
         if (bitpos + bpflag > nbits) break;
         int flag = (int)bits(bpflag);
         int npts = flag == 0 ? npts_new : npts_new - 4;
         int ncol = flag == 0 ? 4 : 2;
-        // control points: corners are points 0, 3, 6, 9 (type 6 edge
-        // ordering); approximate using every 3rd point
         std::vector<std::pair<double, double>> pts;
         bool ok = true;
         double cmax = (double)((1ull << bpc_) - 1);
@@ -783,7 +795,7 @@ static bool build_shading(Document* doc, const ObjPtr& shin,
         }
         if (!ok) break;
         double vmax = (double)((1ull << bpcomp) - 1);
-        MV cols[4];
+        float cols[4][3];
         for (int i = 0; i < ncol; i++) {
           std::vector<double> comps;
           for (int k = 0; k < ncomp; k++) {
@@ -801,37 +813,98 @@ static bool build_shading(Document* doc, const ObjPtr& shin,
           }
           float rgb[3] = {0.5f, 0.5f, 0.5f};
           comps_to_rgb(comps, rgb);
-          for (int k = 0; k < 3; k++)
-            cols[i].rgb[k] = (uint8_t)(rgb[k] * 255.0f + 0.5f);
+          for (int k = 0; k < 3; k++) cols[i][k] = rgb[k];
         }
         if (!ok) break;
-        // corners for a NEW patch: control points 0, 3, 6, 9
-        MV c4[4];
+        double g[4][4][2];
+        float cc[4][3];
         if (flag == 0) {
-          for (int i = 0; i < 4; i++) {
-            c4[i].x = (float)pts[i * 3].first;
-            c4[i].y = (float)pts[i * 3].second;
-            for (int k = 0; k < 3; k++) c4[i].rgb[k] = cols[i].rgb[k];
+          for (int i = 0; i < npts; i++) {
+            g[kGridRow[i]][kGridCol[i]][0] = pts[i].first;
+            g[kGridRow[i]][kGridCol[i]][1] = pts[i].second;
           }
+          memcpy(cc, cols, sizeof(cc));
         } else {
           if (!have_prev) break;
-          // shared edge: previous patch contributes two corners; which
-          // two depends on the flag — approximate with the previous
-          // patch's last edge (corners 1, 2)
-          c4[0] = prev_corners[1];
-          c4[1] = prev_corners[2];
-          c4[2].x = (float)pts[2 * 3 >= npts ? npts - 1 : 5].first;
-          c4[2].y = (float)pts[2 * 3 >= npts ? npts - 1 : 5].second;
-          c4[3].x = (float)pts[npts - 1].first;
-          c4[3].y = (float)pts[npts - 1].second;
+          // shared first row from the previous grid, per flag
+          for (int j = 0; j < 4; j++) {
+            const double* src =
+                flag == 1 ? pg[j][3]                 // p14 p24 p34 p44
+                : flag == 2 ? pg[3][3 - j]           // p44 p43 p42 p41
+                            : pg[3 - j][0];          // p41 p31 p21 p11
+            g[0][j][0] = src[0];
+            g[0][j][1] = src[1];
+          }
+          int ca = flag == 1 ? 1 : flag == 2 ? 2 : 3;  // prev color at p11
+          int cb = (ca + 1) & 3;                       // prev color at p14
           for (int k = 0; k < 3; k++) {
-            c4[2].rgb[k] = cols[0].rgb[k];
-            c4[3].rgb[k] = cols[1].rgb[k];
+            cc[0][k] = pcol[ca][k];
+            cc[1][k] = pcol[cb][k];
+            cc[2][k] = cols[0][k];
+            cc[3][k] = cols[1][k];
+          }
+          // stream supplies boundary points 5..12 (+ interior for 7)
+          for (int i = 0; i < npts; i++) {
+            g[kGridRow[4 + i]][kGridCol[4 + i]][0] = pts[i].first;
+            g[kGridRow[4 + i]][kGridCol[4 + i]][1] = pts[i].second;
           }
         }
-        push_tri(c4[0], c4[1], c4[2]);
-        push_tri(c4[0], c4[2], c4[3]);
-        memcpy(prev_corners, c4, sizeof(c4));
+        if (stype == 6) {
+          // Coons interior points (PDF 32000 8.7.4.5.8, zero-based)
+          for (int c = 0; c < 2; c++) {
+            g[1][1][c] = (-4 * g[0][0][c] + 6 * (g[0][1][c] + g[1][0][c]) -
+                          2 * (g[0][3][c] + g[3][0][c]) +
+                          3 * (g[3][1][c] + g[1][3][c]) - g[3][3][c]) / 9;
+            g[1][2][c] = (-4 * g[0][3][c] + 6 * (g[0][2][c] + g[1][3][c]) -
+                          2 * (g[0][0][c] + g[3][3][c]) +
+                          3 * (g[3][2][c] + g[1][0][c]) - g[3][0][c]) / 9;
+            g[2][1][c] = (-4 * g[3][0][c] + 6 * (g[3][1][c] + g[2][0][c]) -
+                          2 * (g[3][3][c] + g[0][0][c]) +
+                          3 * (g[0][1][c] + g[2][3][c]) - g[0][3][c]) / 9;
+            g[2][2][c] = (-4 * g[3][3][c] + 6 * (g[3][2][c] + g[2][3][c]) -
+                          2 * (g[3][0][c] + g[0][3][c]) +
+                          3 * (g[0][2][c] + g[2][0][c]) - g[0][0][c]) / 9;
+          }
+        }
+        // tessellate: sample S(u,v) and the bilinear corner-color sheet
+        // on an (N+1)x(N+1) grid, emit 2 triangles per cell
+        MV grid[N + 1][N + 1];
+        for (int iu = 0; iu <= N; iu++) {
+          double u = (double)iu / N;
+          double bu[4] = {(1 - u) * (1 - u) * (1 - u),
+                          3 * u * (1 - u) * (1 - u),
+                          3 * u * u * (1 - u), u * u * u};
+          for (int iv = 0; iv <= N; iv++) {
+            double v = (double)iv / N;
+            double bv[4] = {(1 - v) * (1 - v) * (1 - v),
+                            3 * v * (1 - v) * (1 - v),
+                            3 * v * v * (1 - v), v * v * v};
+            double x = 0, y = 0;
+            for (int i = 0; i < 4; i++)
+              for (int j = 0; j < 4; j++) {
+                double w = bu[i] * bv[j];
+                x += w * g[i][j][0];
+                y += w * g[i][j][1];
+              }
+            MV* m = &grid[iu][iv];
+            m->x = (float)x;
+            m->y = (float)y;
+            for (int k = 0; k < 3; k++) {
+              double col = (1 - u) * (1 - v) * cc[0][k] +
+                           (1 - u) * v * cc[1][k] + u * v * cc[2][k] +
+                           u * (1 - v) * cc[3][k];
+              m->rgb[k] = (uint8_t)(col * 255.0 + 0.5);
+            }
+          }
+        }
+        for (int iu = 0; iu < N; iu++)
+          for (int iv = 0; iv < N; iv++) {
+            push_tri(grid[iu][iv], grid[iu][iv + 1], grid[iu + 1][iv]);
+            push_tri(grid[iu][iv + 1], grid[iu + 1][iv + 1],
+                     grid[iu + 1][iv]);
+          }
+        memcpy(pg, g, sizeof(pg));
+        memcpy(pcol, cc, sizeof(pcol));
         have_prev = true;
       }
     }

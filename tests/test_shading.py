@@ -352,3 +352,143 @@ def test_mesh_shading_type4_gouraud(tmp_path):
     assert g[1] > 180 and g[0] < 90, g.tolist()
     assert b[2] > 180 and b[0] < 90, b.tolist()
     assert all(40 < v < 180 for v in c), c.tolist()
+
+
+def _coons_vert16(x, y):
+    import struct
+    return struct.pack(">HH", int(round(x / 300 * 65535)),
+                       int(round(y / 300 * 65535)))
+
+
+def _coons_patch6(flag, pts, cols):
+    data = bytes([flag])
+    for x, y in pts:
+        data += _coons_vert16(x, y)
+    for c in cols:
+        data += bytes(c)
+    return data
+
+
+def _mesh_sh(stype, stream, extra=b""):
+    return (b"<< /ShadingType " + str(stype).encode() +
+            b" /ColorSpace /DeviceRGB /BitsPerCoordinate 16 "
+            b"/BitsPerComponent 8 /BitsPerFlag 8 "
+            b"/Decode [0 300 0 300 0 1 0 1 0 1] " + extra +
+            b"/Length " + str(len(stream)).encode() +
+            b" >>\nstream\n" + stream + b"\nendstream")
+
+
+# The square [50,250]^2 whose bottom edge (p11->p41 via p21, p31) bows
+# down to y=12.5 at midspan; all other edges straight.  Stream order per
+# PDF 32000 type-6 figure: p11 p12 p13 p14 p24 p34 p44 p43 p42 p41 p31 p21.
+_COONS_PTS = [
+    (50, 50), (50, 117), (50, 183), (50, 250),       # left edge
+    (117, 250), (183, 250), (250, 250),              # top edge
+    (250, 183), (250, 117), (250, 50),               # right edge
+    (183, 0), (117, 0),                              # bowed bottom edge
+]
+_COONS_COLS = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 0, 255)]
+
+
+def test_mesh_shading_type6_coons_exact(tmp_path):
+    """ShadingType 6 (Coons patch): boundary Bezier curves are honored —
+    a bowed bottom edge paints BELOW the corner chord, which the old
+    corner-quad approximation left white. Corner colors stay pure."""
+    stream = _coons_patch6(0, _COONS_PTS, _COONS_COLS)
+    p = tmp_path / "coons.pdf"
+    p.write_bytes(_pdf(_page_objs(
+        b"/S0 sh", b"/Shading << /S0 5 0 R >>",
+        (_mesh_sh(6, stream),))))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    # bulge: PDF (150, 20) is below the p11-p41 chord (y=50) but inside
+    # the bowed edge (y=12.5 at midspan)
+    bulge = arr[300 - 20, 150]
+    assert bulge.max() - bulge.min() > 30 or bulge.mean() < 220, (
+        bulge.tolist())
+    # corners
+    c1 = arr[300 - 55, 55]     # near p11: red
+    c3 = arr[300 - 245, 245]   # near p44: blue
+    assert c1[0] > 170 and c1[2] < 110, c1.tolist()
+    assert c3[2] > 170 and c3[0] < 110, c3.tolist()
+
+
+def test_mesh_shading_type7_matches_type6_then_diverges(tmp_path):
+    """ShadingType 7 (tensor patch): with interior control points at the
+    spec's Coons positions the render matches the type-6 patch; with the
+    interior displaced the interior color field moves while the patch
+    boundary (set by boundary points alone) stays identical."""
+    import numpy as np
+
+    g = np.zeros((4, 4, 2))
+    order6 = [(0, 0), (0, 1), (0, 2), (0, 3), (1, 3), (2, 3), (3, 3),
+              (3, 2), (3, 1), (3, 0), (2, 0), (1, 0)]
+    for (i, j), (x, y) in zip(order6, _COONS_PTS):
+        g[i][j] = (x, y)
+    # spec Coons interior formulas (zero-based)
+    g[1][1] = (-4 * g[0][0] + 6 * (g[0][1] + g[1][0]) -
+               2 * (g[0][3] + g[3][0]) + 3 * (g[3][1] + g[1][3]) -
+               g[3][3]) / 9
+    g[1][2] = (-4 * g[0][3] + 6 * (g[0][2] + g[1][3]) -
+               2 * (g[0][0] + g[3][3]) + 3 * (g[3][2] + g[1][0]) -
+               g[3][0]) / 9
+    g[2][1] = (-4 * g[3][0] + 6 * (g[3][1] + g[2][0]) -
+               2 * (g[3][3] + g[0][0]) + 3 * (g[0][1] + g[2][3]) -
+               g[0][3]) / 9
+    g[2][2] = (-4 * g[3][3] + 6 * (g[3][2] + g[2][3]) -
+               2 * (g[3][0] + g[0][3]) + 3 * (g[0][2] + g[2][0]) -
+               g[0][0]) / 9
+
+    def render7(interior_dx):
+        pts = list(_COONS_PTS)
+        for i, j in [(1, 1), (1, 2), (2, 2), (2, 1)]:  # p22 p23 p33 p32
+            pts.append((min(300, g[i][j][0] + interior_dx), g[i][j][1]))
+        stream = _coons_patch6(0, pts, _COONS_COLS)
+        p = tmp_path / f"tensor{interior_dx}.pdf"
+        p.write_bytes(_pdf(_page_objs(
+            b"/S0 sh", b"/Shading << /S0 5 0 R >>",
+            (_mesh_sh(7, stream),))))
+        return open_pdf(str(p)).render(0, dpi=72).astype(int)
+
+    stream6 = _coons_patch6(0, _COONS_PTS, _COONS_COLS)
+    p6 = tmp_path / "c6.pdf"
+    p6.write_bytes(_pdf(_page_objs(
+        b"/S0 sh", b"/Shading << /S0 5 0 R >>", (_mesh_sh(6, stream6),))))
+    arr6 = open_pdf(str(p6)).render(0, dpi=72).astype(int)
+    arr7 = render7(0)
+    assert np.abs(arr6 - arr7).mean() < 1.0  # Coons == tensor at spec pts
+
+    warped = render7(60)
+    mid = np.abs(arr7[100:200, 100:200] - warped[100:200, 100:200])
+    assert mid.mean() > 5.0, mid.mean()      # interior field moved
+    covered7 = (arr7 < 250).any(axis=2)
+    coveredw = (warped < 250).any(axis=2)
+    assert (covered7 != coveredw).mean() < 0.01  # boundary unchanged
+
+
+def test_mesh_shading_type6_continuation_flag2(tmp_path):
+    """A second Coons patch with edge flag 2 reuses the previous patch's
+    p44->p41 edge and its c3/c4 colors, extending the paint to the right
+    with the correct shared geometry."""
+    patch_a = _coons_patch6(0, _COONS_PTS, _COONS_COLS)
+    # flag-2 continuation: 8 new boundary points (p24 p34 p44 p43 p42
+    # p41 p31 p21) and 2 new colors (c3, c4)
+    pts_b = [
+        (266, 50), (282, 50), (298, 50),      # p24 p34 p44
+        (298, 117), (298, 183), (298, 250),   # p43 p42 p41
+        (282, 250), (266, 250),               # p31 p21
+    ]
+    patch_b = _coons_patch6(2, pts_b, [(255, 255, 0), (0, 255, 255)])
+    p = tmp_path / "cont.pdf"
+    p.write_bytes(_pdf(_page_objs(
+        b"/S0 sh", b"/Shading << /S0 5 0 R >>",
+        (_mesh_sh(6, patch_a + patch_b),))))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    near_c3 = arr[300 - 55, 294]    # new p44 corner: yellow
+    near_c4 = arr[300 - 245, 294]   # new p41 corner: cyan
+    assert near_c3[0] > 150 and near_c3[1] > 150 and near_c3[2] < 120, (
+        near_c3.tolist())
+    assert near_c4[1] > 150 and near_c4[2] > 150 and near_c4[0] < 120, (
+        near_c4.tolist())
+    # shared edge continuity: pixels just left/right of x=250 both painted
+    left, right = arr[150, 246], arr[150, 254]
+    assert left.min() < 250 and right.min() < 250
