@@ -1,0 +1,424 @@
+"""JBIG2 *encoder* fixtures: a first-party Python implementation of the
+T.88 arithmetic coding procedures (Annex E MQ encoder, Annex A integer
+encoding), generic-region coding (templates 0-3, AT pixels, TPGDON) and
+arithmetic symbol-dictionary / text-region segments.
+
+This is the validation counterpart to native/src/jbig2.cc: no JBIG2
+toolchain exists in this environment (no jbig2dec/jbig2enc/mutool/
+imagecodecs), so the decoder is validated by exhaustive round-trip
+against this independently written encoder. Both sides implement the
+published T.88 procedures from scratch in different languages; the one
+shared artifact is the 47-entry Qe state table (identical in T.88 and
+JPEG 2000) — a wrong transcription there would round-trip yet disagree
+with real-world encoders, which is documented as the residual risk in
+PARITY.md. Everything else (renorm/byteout/flush logic, context
+modeling, segment framing) is structurally independent.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# T.88 Table E.1: (Qe, NMPS, NLPS, SWITCH)
+QE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+
+class MQEncoder:
+    """T.88 Annex E software-conventions MQ encoder.
+
+    The byte buffer carries a 0x00 sentinel at index 0 standing in for
+    the spec's B at BP = BPST - 1; whether the sentinel is part of the
+    emitted stream is decided empirically in finish() by round-trip
+    (see tests/test_jbig2.py::test_mq_roundtrip_settles_sentinel) —
+    the spec's carry rule can increment it, making it significant.
+    """
+
+    def __init__(self) -> None:
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray([0x00])
+
+    # context arrays are bytearrays of packed (state_index << 1) | mps
+    def encode(self, cxs: bytearray, idx: int, d: int) -> None:
+        st = cxs[idx]
+        i, mps = st >> 1, st & 1
+        qe, nmps, nlps, sw = QE[i]
+        if d == mps:  # CODEMPS
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+            else:
+                if self.a < qe:
+                    self.a = qe
+                else:
+                    self.c += qe
+                cxs[idx] = (nmps << 1) | mps
+                self._renorm()
+        else:  # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if sw:
+                mps ^= 1
+            cxs[idx] = (nlps << 1) | mps
+            self._renorm()
+
+    def _renorm(self) -> None:
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def _byteout(self) -> None:
+        if self.out[-1] == 0xFF:
+            self.out.append((self.c >> 20) & 0xFF)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            self.out.append((self.c >> 19) & 0xFF)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            # carry into the previous byte
+            self.out[-1] += 1
+            if self.out[-1] == 0xFF:
+                self.c &= 0x7FFFFFF
+                self.out.append((self.c >> 20) & 0xFF)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                self.out.append((self.c >> 19) & 0xFF)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def finish(self) -> bytes:
+        """FLUSH (E.3.5) and return the stream bytes."""
+        # SETBITS: pick the value in [C, C+A) whose trailing bits are
+        # all ones, so the truncated stream + the decoder's implicit
+        # 0xFF padding stays inside the final interval.
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        if self.out[-1] != 0xFF:
+            self.out.append(0xFF)
+        self.out.append(0xAC)
+        # The sentinel at index 0 stood in for B at BPST-1. If no carry
+        # reached it, it is still 0x00 and the stream proper starts at
+        # index 1; a carry made it significant, so it stays. (Verified
+        # by decoder round-trip in the test suite.)
+        if self.out[0] == 0x00:
+            return bytes(self.out[1:])
+        return bytes(self.out)
+
+
+# ------------------------------------------------------------- int encoding
+
+def new_int_ctx() -> bytearray:
+    return bytearray(512)
+
+
+def _enc_bit(mq: MQEncoder, ctx: bytearray, prev: int, bit: int) -> int:
+    mq.encode(ctx, prev, bit)
+    if prev < 256:
+        return (prev << 1) | bit
+    return ((((prev << 1) | bit) & 511) | 256)
+
+
+def encode_int(mq: MQEncoder, ctx: bytearray, v) -> None:
+    """T.88 A.2 inverse. v=None encodes OOB."""
+    prev = 1
+    if v is None:
+        prev = _enc_bit(mq, ctx, prev, 1)  # sign
+        prev = _enc_bit(mq, ctx, prev, 0)
+        for _ in range(2):
+            prev = _enc_bit(mq, ctx, prev, 0)
+        return
+    s = 1 if v < 0 else 0
+    av = -v if v < 0 else v
+    prev = _enc_bit(mq, ctx, prev, s)
+    if av < 4:
+        spec = ([0], 2, 0)
+    elif av < 20:
+        spec = ([1, 0], 4, 4)
+    elif av < 84:
+        spec = ([1, 1, 0], 6, 20)
+    elif av < 340:
+        spec = ([1, 1, 1, 0], 8, 84)
+    elif av < 4436:
+        spec = ([1, 1, 1, 1, 0], 12, 340)
+    else:
+        spec = ([1, 1, 1, 1, 1], 32, 4436)
+    prefix, nbits, base = spec
+    for b in prefix:
+        prev = _enc_bit(mq, ctx, prev, b)
+    rem = av - base
+    for i in range(nbits - 1, -1, -1):
+        prev = _enc_bit(mq, ctx, prev, (rem >> i) & 1)
+
+
+def encode_iaid(mq: MQEncoder, ctx: bytearray, codelen: int,
+                value: int) -> None:
+    prev = 1
+    for i in range(codelen - 1, -1, -1):
+        bit = (value >> i) & 1
+        mq.encode(ctx, prev, bit)
+        prev = (prev << 1) | bit
+
+
+# --------------------------------------------------------- generic encoding
+
+# Template pixel lists in the spec's context bit order (MSB first) with
+# the index of each AT slot; mirrors kGenT in native/src/jbig2.cc but
+# transcribed independently from the T.88 6.2.5.3 figures.
+GEN_TEMPLATES = {
+    0: ([(-2, -2), (-1, -2), (0, -2), (1, -2), (2, -2),
+         (-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), (3, -1),
+         (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+        [11, 5, 4, 0], 0x9B25),
+    1: ([(-1, -2), (0, -2), (1, -2), (2, -2),
+         (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), (3, -1),
+         (-3, 0), (-2, 0), (-1, 0)],
+        [9], 0x0795),
+    2: ([(-1, -2), (0, -2), (1, -2),
+         (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+         (-2, 0), (-1, 0)],
+        [7], 0x00E5),
+    3: ([(-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+         (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+        [5], 0x0195),
+}
+
+NOMINAL_AT = {
+    0: [(3, -1), (-3, -1), (2, -2), (-2, -2)],
+    1: [(3, -1)],
+    2: [(2, -1)],
+    3: [(2, -1)],
+}
+
+
+def encode_generic(mq: MQEncoder, gbcx: bytearray, bm: np.ndarray,
+                   template: int = 0, at=None, tpgdon: bool = False
+                   ) -> None:
+    """Encode one bitmap (uint8 0/1, shape (h, w)) with the generic
+    region procedure. gbcx: caller-owned 1<<16 context bytearray."""
+    px, at_slots, tpgd_cx = GEN_TEMPLATES[template]
+    px = list(px)
+    at = list(at if at is not None else NOMINAL_AT[template])
+    for slot, (ax, ay) in zip(at_slots, at):
+        px[slot] = (ax, ay)
+    h, w = bm.shape
+
+    def get(x, y):
+        if x < 0 or y < 0 or x >= w or y >= h:
+            return 0
+        return int(bm[y, x])
+
+    ltp = 0
+    for y in range(h):
+        if tpgdon:
+            same = y > 0 and bool((bm[y] == bm[y - 1]).all()) or (
+                y == 0 and not bm[y].any())
+            sltp = ltp ^ (1 if same else 0)
+            mq.encode(gbcx, tpgd_cx, sltp)
+            ltp ^= sltp
+            if ltp:
+                continue
+        for x in range(w):
+            cx = 0
+            for dx, dy in px:
+                cx = (cx << 1) | get(x + dx, y + dy)
+            mq.encode(gbcx, cx, int(bm[y, x]))
+
+
+# ------------------------------------------------------------ segment build
+
+def segment(num: int, stype: int, page: int, data: bytes,
+            refs=()) -> bytes:
+    """One segment with small (<=4) referred-to list, 1-byte page assoc."""
+    assert len(refs) <= 4
+    head = struct.pack(">IB", num, stype)
+    head += bytes([len(refs) << 5])
+    for r in refs:
+        assert num <= 256
+        head += bytes([r])
+    head += bytes([page])
+    head += struct.pack(">I", len(data))
+    return head + data
+
+
+def page_info_segment(w: int, h: int, num: int = 0, page: int = 1) -> bytes:
+    data = struct.pack(">IIII", w, h, 0, 0) + bytes([0]) + b"\x00\x00"
+    return segment(num, 48, page, data)
+
+
+def generic_region_segment(bm: np.ndarray, num: int = 1, page: int = 1,
+                           template: int = 0, at=None,
+                           tpgdon: bool = False, x: int = 0, y: int = 0
+                           ) -> bytes:
+    h, w = bm.shape
+    rinfo = struct.pack(">IIII", w, h, x, y) + bytes([0])  # op = OR
+    gflags = ((1 if tpgdon else 0) << 3) | (template << 1)  # MMR=0
+    at = list(at if at is not None else NOMINAL_AT[template])
+    atb = b"".join(struct.pack("bb", ax, ay) for ax, ay in at)
+    mq = MQEncoder()
+    gbcx = bytearray(1 << 16)
+    encode_generic(mq, gbcx, bm, template, at, tpgdon)
+    data = rinfo + bytes([gflags]) + atb + mq.finish()
+    return segment(num, 38, page, data)  # immediate generic region
+
+
+def symbol_dict_segment(symbols, num: int = 1, page: int = 0,
+                        template: int = 0) -> bytes:
+    """Arithmetic symbol dictionary exporting all `symbols` (list of
+    uint8 0/1 arrays), encoded in height classes per 6.5.5."""
+    at = NOMINAL_AT[template]
+    flags = template << 10  # SDHUFF=0 SDREFAGG=0
+    atb = b"".join(struct.pack("bb", ax, ay) for ax, ay in at)
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (symbols[i].shape[0], i))
+    mq = MQEncoder()
+    iadh, iadw, iaex = new_int_ctx(), new_int_ctx(), new_int_ctx()
+    gbcx = bytearray(1 << 16)
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = symbols[order[i]].shape[0]
+        encode_int(mq, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order) and symbols[order[i]].shape[0] == h:
+            w = symbols[order[i]].shape[1]
+            encode_int(mq, iadw, w - symwidth)
+            symwidth = w
+            encode_generic(mq, gbcx, symbols[order[i]], template, at,
+                           tpgdon=False)
+            i += 1
+        encode_int(mq, iadw, None)  # OOB ends the height class
+    # export all new symbols: run of 0 non-exported, then all exported
+    encode_int(mq, iaex, 0)
+    encode_int(mq, iaex, len(symbols))
+    data = (struct.pack(">H", flags) + atb +
+            struct.pack(">II", len(symbols), len(symbols)) + mq.finish())
+    return segment(num, 0, page, data), order
+
+
+def text_region_segment(w: int, h: int, instances, symbols,
+                        num: int = 2, page: int = 1, refs=(1,),
+                        refcorner: int = 1, transposed: bool = False,
+                        logsbstrips: int = 0, dsoffset: int = 0,
+                        x: int = 0, y: int = 0) -> bytes:
+    """Arithmetic text region placing `instances` = [(sym_id, s, t)]
+    where (s, t) is the symbol's reference-corner coordinate per the
+    chosen refcorner/transposed mode. Instances are grouped into strips
+    by t (quantized by SBSTRIPS). `symbols` is the dictionary's export
+    list (the decoder's CURS advance needs each symbol's extent)."""
+    nsyms = len(symbols)
+    advance = [(b.shape[0] - 1) if transposed else (b.shape[1] - 1)
+               for b in symbols]
+    sbstrips = 1 << logsbstrips
+    rinfo = struct.pack(">IIII", w, h, x, y) + bytes([0])  # op = OR
+    flags = (logsbstrips << 2) | (refcorner << 4)
+    if transposed:
+        flags |= 0x40
+    flags |= (dsoffset & 0x1F) << 10
+    codelen = 1
+    while (1 << codelen) < nsyms:
+        codelen += 1
+
+    mq = MQEncoder()
+    iadt, iafs, iads, iait = (new_int_ctx(), new_int_ctx(), new_int_ctx(),
+                              new_int_ctx())
+    iaid_cx = bytearray(1 << (codelen + 1))
+
+    # group into strips: strip t = (t // sbstrips) * sbstrips
+    strips: dict = {}
+    for sym_id, s, t in instances:
+        strips.setdefault((t // sbstrips) * sbstrips, []).append(
+            (sym_id, s, t))
+    stript = 0
+    encode_int(mq, iadt, 0)  # initial STRIPT = -0 * SBSTRIPS
+    firsts = 0
+    for st_t in sorted(strips):
+        dt, rem = divmod(st_t - stript, sbstrips)
+        assert rem == 0
+        encode_int(mq, iadt, dt)
+        stript = st_t
+        row = sorted(strips[st_t], key=lambda inst: inst[1])
+        curs = None
+        for sym_id, s, t in row:
+            if curs is None:
+                encode_int(mq, iafs, s - firsts)
+                firsts = s
+                curs = s
+            else:
+                encode_int(mq, iads, s - curs - dsoffset)
+                curs = s
+            if sbstrips > 1:
+                encode_int(mq, iait, t - stript)
+            encode_iaid(mq, iaid_cx, codelen, sym_id)
+            curs += advance[sym_id]
+        encode_int(mq, iads, None)  # OOB ends the strip
+    data = (rinfo + struct.pack(">H", flags) +
+            struct.pack(">I", len(instances)) + mq.finish())
+    return segment(num, 6, page, data, refs=refs)  # immediate text region
+
+
+# ----------------------------------------------------------------- PDF glue
+
+def jbig2_pdf(stream: bytes, w: int, h: int,
+              globals_stream: bytes = b"") -> bytes:
+    """A one-page PDF embedding `stream` as a JBIG2Decode image."""
+    from tests.fontfixtures import _pdf
+
+    content = b"q 306 0 0 306 100 400 cm /Im Do Q"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /XObject << /Im 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n" +
+        content + b"\nendstream",
+    ]
+    img = (b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode() +
+           b" /Height " + str(h).encode() +
+           b" /ColorSpace /DeviceGray /BitsPerComponent 1 "
+           b"/Filter /JBIG2Decode ")
+    if globals_stream:
+        img += b"/DecodeParms << /JBIG2Globals 6 0 R >> "
+    img += (b"/Length " + str(len(stream)).encode() + b" >>\nstream\n" +
+            stream + b"\nendstream")
+    objs.append(img)
+    if globals_stream:
+        objs.append(b"<< /Length " + str(len(globals_stream)).encode() +
+                    b" >>\nstream\n" + globals_stream + b"\nendstream")
+    return _pdf(objs)

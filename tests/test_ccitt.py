@@ -222,9 +222,11 @@ def test_jbig2_mmr_generic_region_pixel_exact(tmp_path):
     assert (np.asarray(arr) < 128).sum() > 100  # ink reaches the page
 
 
-def test_jbig2_arithmetic_falls_back_to_plate(tmp_path):
-    """Arithmetic-coded JBIG2 (unsupported subset) keeps the documented
-    neutral-plate degrade instead of failing or garbling."""
+def test_jbig2_bogus_arithmetic_payload_no_crash(tmp_path):
+    """A G4 payload mislabeled as arithmetic-coded (MMR flag cleared)
+    decodes as arbitrary-but-bounded MQ noise since round 3 added the
+    real arithmetic decoder (tests/test_jbig2.py covers correctness);
+    the only contract here is full-size output and no crash."""
     from synapta_tpu.io.ingest import open_pdf
 
     bm = _textlike(96, 160, 11)
@@ -233,4 +235,3 @@ def test_jbig2_arithmetic_falls_back_to_plate(tmp_path):
     d = open_pdf(str(p))
     rgb = d.decode_image(5)
     assert rgb is not None and rgb.shape == (96, 160, 3)
-    assert (rgb == 200).all()  # neutral plate

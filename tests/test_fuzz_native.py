@@ -171,7 +171,7 @@ def _mutants(data: bytes, rng: random.Random, out_dir: str, tag: str,
 @pytest.mark.parametrize(
     "base",
     ["ttf_book", "cff", "type1", "enc", "pil_images", "ccitt", "rich",
-     "jbig2"],
+     "jbig2", "jbig2_arith"],
 )
 def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
     rng = random.Random(20260818)
@@ -208,10 +208,30 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
         data = _ccitt_pdf(bm, _g4_strip(bm))
     elif base == "rich":
         data = _rich_base()
-    else:  # jbig2: MMR generic-region segment stream
+    elif base == "jbig2":  # MMR generic-region segment stream
         from tests.test_ccitt import _jbig2_pdf, _textlike
 
         data = _jbig2_pdf(_textlike(96, 160, 11), mmr=True)
+    else:  # jbig2_arith: MQ generic region + symbol dict + text region
+        import numpy as np
+
+        from tests.jbig2fixtures import (generic_region_segment,
+                                         jbig2_pdf, page_info_segment,
+                                         symbol_dict_segment,
+                                         text_region_segment)
+        from tests.test_ccitt import _textlike
+
+        syms = [(np.random.default_rng(i).random((8, 6 + i)) > 0.5)
+                .astype(np.uint8) for i in range(3)]
+        seg_sd, order = symbol_dict_segment(syms, num=1, page=1)
+        export = [syms[i] for i in order]
+        seg_tr = text_region_segment(
+            120, 60, [(i % 3, 8 + 20 * i, 30) for i in range(4)],
+            export, num=2, refs=(1,), refcorner=1)
+        stream = (page_info_segment(160, 96, num=0) + seg_sd + seg_tr +
+                  generic_region_segment(_textlike(96, 160, 7), num=3,
+                                         tpgdon=True))
+        data = jbig2_pdf(stream, 160, 96)
 
     out = tmp_path / "cases"
     out.mkdir()
