@@ -991,6 +991,9 @@ struct GState {
   double dash_phase = 0;
   // ExtGState constant alpha (/ca fill, /CA stroke)
   float fill_alpha = 1.0f, stroke_alpha = 1.0f;
+  // ExtGState /BM blend mode + /SMask soft-mask group (spdf.h encoding)
+  int blend_mode = 0;
+  std::shared_ptr<SoftMaskSpec> smask;
   // PatternType-2 (shading) fill state: set by `/Pattern cs ... /P scn`,
   // consumed by paint_path. Null when the fill color is a plain color.
   ObjPtr fill_pattern_shading;
@@ -1178,6 +1181,7 @@ struct Interp {
   void paint_path(bool fill, bool stroke, bool even_odd);
   void do_xobject(const std::string& name, const ObjPtr& resources);
   bool build_tile_pattern(const ObjPtr& pat, const Matrix& pm);
+  std::shared_ptr<SoftMaskSpec> build_softmask(const ObjPtr& sm);
 
   // per-page tile-cell cache: a pattern reused across many fills
   // (hatched bar charts) interprets its cell stream once
@@ -1261,6 +1265,8 @@ void Interp::op_show_text(const std::string& s, const ObjPtr& resources) {
       cur_run.rgb[1] = gs.fill_rgb[1];
       cur_run.rgb[2] = gs.fill_rgb[2];
       cur_run.clip = gs.clip;
+      cur_run.blend_mode = gs.blend_mode;
+      cur_run.smask = gs.smask;
     }
     if (!is_space || !cur_span.text.empty()) {
       if (uni) utf8_append(&cur_span.text, uni);
@@ -1492,6 +1498,99 @@ bool Interp::build_tile_pattern(const ObjPtr& pat, const Matrix& pm) {
   return true;
 }
 
+// ExtGState /SMask: interpret the mask's /G transparency-group form into
+// its own page-space display list (rendered with the CTM in effect at the
+// gs operator, per PDF 11.6.5.2). The raster turns it into a per-pixel
+// coverage multiplier. Returns null for malformed masks (treated as
+// /None — opaque), which also covers the /S /Alpha-without-group case.
+std::shared_ptr<SoftMaskSpec> Interp::build_softmask(const ObjPtr& sm) {
+  if (!sm->is(ObjType::Dict) || depth >= 8) return nullptr;
+  ObjPtr g = doc->resolve(doc->dict_get(sm, "G"));
+  if (!g->is(ObjType::Stream)) return nullptr;
+  auto spec = std::make_shared<SoftMaskSpec>();
+  ObjPtr s = doc->dict_get(sm, "S");
+  spec->luminosity = !(s->is(ObjType::Name) && s->s == "Alpha");
+  ObjPtr bc = doc->dict_get(sm, "BC");
+  if (bc->is(ObjType::Array) && !bc->arr.empty()) {
+    // backdrop in the group's colorspace; gray/RGB components cover the
+    // real-world cases (1 or 3 numbers)
+    if (bc->arr.size() >= 3) {
+      for (int k = 0; k < 3; k++)
+        spec->backdrop[k] = (float)doc->resolve(bc->arr[k])->num();
+    } else {
+      float v = (float)doc->resolve(bc->arr[0])->num();
+      spec->backdrop[0] = spec->backdrop[1] = spec->backdrop[2] = v;
+    }
+  }
+  Matrix group_ctm = gs.ctm;
+  ObjPtr mtx = doc->dict_get(g, "Matrix");
+  if (mtx->is(ObjType::Array) && mtx->arr.size() == 6) {
+    Matrix m{doc->resolve(mtx->arr[0])->num(),
+             doc->resolve(mtx->arr[1])->num(),
+             doc->resolve(mtx->arr[2])->num(),
+             doc->resolve(mtx->arr[3])->num(),
+             doc->resolve(mtx->arr[4])->num(),
+             doc->resolve(mtx->arr[5])->num()};
+    group_ctm = m.mul(group_ctm);
+  }
+  // /BBox (required for forms) clips the group; map to a page-space rect
+  Rect bclip{-1e30, -1e30, 1e30, 1e30};
+  ObjPtr bbox = doc->dict_get(g, "BBox");
+  if (bbox->is(ObjType::Array) && bbox->arr.size() == 4) {
+    double xa = doc->resolve(bbox->arr[0])->num();
+    double ya = doc->resolve(bbox->arr[1])->num();
+    double xb = doc->resolve(bbox->arr[2])->num();
+    double yb = doc->resolve(bbox->arr[3])->num();
+    Rect r;
+    for (int k = 0; k < 4; k++) {
+      double px, py;
+      group_ctm.apply(k & 1 ? xb : xa, k & 2 ? yb : ya, &px, &py);
+      r.grow((float)px, (float)py);
+    }
+    bclip = r;
+  }
+  auto mdl = std::make_shared<DisplayList>();
+  mdl->page_w = dl->page_w;
+  mdl->page_h = dl->page_h;
+  PageContent scratch;
+  GState saved_gs = gs;
+  DisplayList* saved_dl = dl;
+  PageContent* saved_out = out;
+  Matrix saved_tm = tm, saved_tlm = tlm;
+  bool saved_in_text = in_text;
+  auto saved_paths = std::move(subpaths);
+  subpaths.clear();
+  double saved_cx = cur_x, saved_cy = cur_y;
+  size_t saved_stack = gstack.size();
+  bool saved_pc = pending_clip, saved_pce = pending_clip_eo;
+  flush_span();
+  gs = GState();
+  gs.ctm = group_ctm;
+  gs.clip = bclip;
+  dl = mdl.get();
+  out = &scratch;
+  in_text = false;
+  ObjPtr res = doc->dict_get(g, "Resources");
+  depth++;
+  run_stream(doc->decode_stream(g), res);
+  depth--;
+  flush_span();
+  if (gstack.size() > saved_stack) gstack.resize(saved_stack);
+  gs = saved_gs;
+  dl = saved_dl;
+  out = saved_out;
+  tm = saved_tm;
+  tlm = saved_tlm;
+  in_text = saved_in_text;
+  subpaths = std::move(saved_paths);
+  cur_x = saved_cx;
+  cur_y = saved_cy;
+  pending_clip = saved_pc;
+  pending_clip_eo = saved_pce;
+  spec->dl = mdl;
+  return spec;
+}
+
 void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
   if (suppressed()) {  // hidden optional content: consume, paint nothing
     fill = stroke = false;
@@ -1537,6 +1636,9 @@ void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
         rs.clip = gs.clip;
         rs.clip_path = subpaths;
         rs.even_odd = even_odd;
+        rs.blend_mode = gs.blend_mode;
+        rs.smask = gs.smask;
+        rs.const_alpha = gs.fill_alpha;
         dl->order_kind.push_back(3);
         dl->order_index.push_back((int)dl->shadings.size());
         dl->shadings.push_back(std::move(rs));
@@ -1573,6 +1675,8 @@ void Interp::paint_path(bool fill, bool stroke, bool even_odd) {
     rp.clip = gs.clip;
     rp.fill_alpha = gs.fill_alpha;
     rp.stroke_alpha = gs.stroke_alpha;
+    rp.blend_mode = gs.blend_mode;
+    rp.smask = gs.smask;
     if (stroke && !gs.dash.empty()) {
       // dash lengths are user-space: scale by the same ctm factor the
       // line width uses, then split the polylines into "on" runs
@@ -1646,6 +1750,8 @@ void Interp::do_xobject(const std::string& name, const ObjPtr& resources) {
     ri.img_to_page = gs.ctm;
     ri.clip = gs.clip;
     ri.const_alpha = gs.fill_alpha;
+    ri.blend_mode = gs.blend_mode;
+    ri.smask = gs.smask;
     ObjPtr imask = doc->dict_get(xo, "ImageMask");
     if (imask->is(ObjType::Bool) && imask->b) {
       ri.stencil = true;
@@ -1723,7 +1829,7 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
       // ExtGState: honor the entries that change pixels we care about —
       // /ca //CA constant alpha (matplotlib's alpha= fills emit these;
       // rendering them opaque hid gridlines/series underneath), /LW,
-      // and /D dash. Blend modes / soft masks are out of scope.
+      // /D dash, /BM blend modes, and /SMask soft-mask groups.
       if (!st.empty() && st.back()->is(ObjType::Name)) {
         ObjPtr egs_dict = doc->dict_get(resources, "ExtGState");
         ObjPtr egs = egs_dict->is(ObjType::Dict)
@@ -1750,6 +1856,32 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
             bool any_on = false;
             for (double v : gs.dash) any_on |= v > 0;
             if (!any_on) gs.dash.clear();
+          }
+          ObjPtr bm = doc->dict_get(egs, "BM");
+          if (bm->is(ObjType::Array) && !bm->arr.empty())
+            bm = doc->resolve(bm->arr[0]);  // first mode the viewer knows
+          if (bm->is(ObjType::Name)) {
+            static const char* kModes[] = {
+                "Normal", "Multiply", "Screen", "Overlay", "Darken",
+                "Lighten", "ColorDodge", "ColorBurn", "HardLight",
+                "SoftLight", "Difference", "Exclusion", "Hue",
+                "Saturation", "Color", "Luminosity"};
+            int mode = 0;  // unknown names fall back to Normal (spec)
+            for (int k = 0; k < 16; k++)
+              if (bm->s == kModes[k]) {
+                mode = k;
+                break;
+              }
+            if (mode != gs.blend_mode) flush_span();
+            gs.blend_mode = mode;
+          }
+          ObjPtr smv = doc->dict_get(egs, "SMask");
+          if (smv->is(ObjType::Name) && smv->s == "None") {
+            if (gs.smask) flush_span();
+            gs.smask = nullptr;
+          } else if (smv->is(ObjType::Dict)) {
+            flush_span();
+            gs.smask = build_softmask(smv);
           }
         }
       }
@@ -1901,6 +2033,9 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
         RenderShading rs;
         if (build_shading(doc, shd, gs.ctm, &rs)) {
           rs.clip = gs.clip;
+          rs.blend_mode = gs.blend_mode;
+          rs.smask = gs.smask;
+          rs.const_alpha = gs.fill_alpha;
           dl->order_kind.push_back(3);
           dl->order_index.push_back((int)dl->shadings.size());
           dl->shadings.push_back(std::move(rs));
@@ -2161,6 +2296,8 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
         ri.inline_image = true;
         ri.img_to_page = gs.ctm;
         ri.clip = gs.clip;
+        ri.blend_mode = gs.blend_mode;
+        ri.smask = gs.smask;
         ObjPtr imask = doc->dict_get(norm, "ImageMask");
         if (imask->is(ObjType::Bool) && imask->b) {
           ri.stencil = true;

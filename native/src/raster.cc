@@ -17,12 +17,121 @@ struct Canvas {
   int w = 0, h = 0;
   double scale = 1.0;
   double off_x = 0, off_y = 0;  // page pts of top-left corner
+  // paint modifiers for the item being replayed (set by rasterize):
+  int bm = 0;                               // PDF /BM blend mode
+  const std::vector<float>* smask = nullptr;  // canvas-sized alpha 0..1
 
   inline void to_dev(float px_, float py_, float* dx, float* dy) const {
     *dx = (float)((px_ - off_x) * scale);
     *dy = (float)((py_ - off_y) * scale);
   }
 };
+
+// ------------------------------------------------------- blend modes
+// PDF 11.3.5 separable blend functions; cb = backdrop, cs = source,
+// both 0..1. Mode encoding per spdf.h.
+inline float blend_sep(int m, float cb, float cs) {
+  switch (m) {
+    case 1: return cb * cs;                        // Multiply
+    case 2: return cb + cs - cb * cs;              // Screen
+    case 3: return blend_sep(8, cs, cb);           // Overlay = HardLight^T
+    case 4: return std::min(cb, cs);               // Darken
+    case 5: return std::max(cb, cs);               // Lighten
+    case 6:                                        // ColorDodge
+      if (cb <= 0) return 0;
+      if (cs >= 1) return 1;
+      return std::min(1.0f, cb / (1 - cs));
+    case 7:                                        // ColorBurn
+      if (cb >= 1) return 1;
+      if (cs <= 0) return 0;
+      return 1 - std::min(1.0f, (1 - cb) / cs);
+    case 8:                                        // HardLight
+      return cs <= 0.5f ? cb * (2 * cs)
+                        : cb + (2 * cs - 1) - cb * (2 * cs - 1);
+    case 9: {                                      // SoftLight
+      if (cs <= 0.5f) return cb - (1 - 2 * cs) * cb * (1 - cb);
+      float d = cb <= 0.25f ? ((16 * cb - 12) * cb + 4) * cb
+                            : std::sqrt(cb);
+      return cb + (2 * cs - 1) * (d - cb);
+    }
+    case 10: return std::fabs(cb - cs);            // Difference
+    default: return cb + cs - 2 * cb * cs;         // Exclusion
+  }
+}
+
+// Non-separable helpers (PDF 11.3.5.3)
+inline float lum3(const float c[3]) {
+  return 0.3f * c[0] + 0.59f * c[1] + 0.11f * c[2];
+}
+inline void clip_color(float c[3]) {
+  float l = lum3(c);
+  float n = std::min({c[0], c[1], c[2]});
+  float x = std::max({c[0], c[1], c[2]});
+  if (n < 0)
+    for (int k = 0; k < 3; k++)
+      c[k] = l + (c[k] - l) * l / std::max(l - n, 1e-6f);
+  if (x > 1)
+    for (int k = 0; k < 3; k++)
+      c[k] = l + (c[k] - l) * (1 - l) / std::max(x - l, 1e-6f);
+}
+inline void set_lum(float c[3], float l) {
+  float d = l - lum3(c);
+  for (int k = 0; k < 3; k++) c[k] += d;
+  clip_color(c);
+}
+inline float sat3(const float c[3]) {
+  return std::max({c[0], c[1], c[2]}) - std::min({c[0], c[1], c[2]});
+}
+inline void set_sat(float c[3], float s) {
+  int mn = 0, mx = 0;
+  for (int k = 1; k < 3; k++) {
+    if (c[k] < c[mn]) mn = k;
+    if (c[k] > c[mx]) mx = k;
+  }
+  int md = 3 - mn - mx;
+  if (mx == mn) md = mx;  // all equal
+  if (c[mx] > c[mn]) {
+    c[md] = (c[md] - c[mn]) * s / (c[mx] - c[mn]);
+    c[mx] = s;
+  } else {
+    c[md] = c[mx] = 0;
+  }
+  c[mn] = 0;
+}
+
+// Apply blend mode m to src rgb (0..1, in place) against the backdrop
+// pixel dst (RGB8).
+inline void blend_apply(int m, const uint8_t* dst, float* rgb) {
+  float cb[3] = {dst[0] / 255.0f, dst[1] / 255.0f, dst[2] / 255.0f};
+  if (m < 12) {
+    for (int k = 0; k < 3; k++) rgb[k] = blend_sep(m, cb[k], rgb[k]);
+    return;
+  }
+  float cs[3] = {rgb[0], rgb[1], rgb[2]};
+  float out[3];
+  switch (m) {
+    case 12:  // Hue: SetLum(SetSat(Cs, Sat(Cb)), Lum(Cb))
+      out[0] = cs[0]; out[1] = cs[1]; out[2] = cs[2];
+      set_sat(out, sat3(cb));
+      set_lum(out, lum3(cb));
+      break;
+    case 13:  // Saturation: SetLum(SetSat(Cb, Sat(Cs)), Lum(Cb))
+      out[0] = cb[0]; out[1] = cb[1]; out[2] = cb[2];
+      set_sat(out, sat3(cs));
+      set_lum(out, lum3(cb));
+      break;
+    case 14:  // Color: SetLum(Cs, Lum(Cb))
+      out[0] = cs[0]; out[1] = cs[1]; out[2] = cs[2];
+      set_lum(out, lum3(cb));
+      break;
+    default:  // Luminosity: SetLum(Cb, Lum(Cs))
+      out[0] = cb[0]; out[1] = cb[1]; out[2] = cb[2];
+      set_lum(out, lum3(cs));
+      break;
+  }
+  for (int k = 0; k < 3; k++)
+    rgb[k] = std::min(std::max(out[k], 0.0f), 1.0f);
+}
 
 struct Edge {
   float x0, y0, x1, y1;
@@ -145,9 +254,11 @@ void scanline_fill_edges(Canvas* cv, const std::vector<Edge>& edges,
       if (a <= 0.002f) continue;
       if (a > 1.0f) a = 1.0f;
       a *= const_alpha;  // ExtGState /ca constant alpha
+      if (cv->smask) a *= (*cv->smask)[(size_t)y * cv->w + x];
       if (a <= 0.002f) continue;
       float rgb[3];
       if (!color_at(x, y, rgb)) continue;
+      if (cv->bm) blend_apply(cv->bm, row, rgb);
       row[0] = (uint8_t)(row[0] + (rgb[0] * 255.0f - row[0]) * a);
       row[1] = (uint8_t)(row[1] + (rgb[1] * 255.0f - row[1]) * a);
       row[2] = (uint8_t)(row[2] + (rgb[2] * 255.0f - row[2]) * a);
@@ -282,7 +393,8 @@ void draw_mesh_shading(Canvas* cv, const RenderShading& sh) {
                               cols[6 + k] * l2) /
                              255.0);
           return true;
-        });
+        },
+        sh.const_alpha);
   }
 }
 
@@ -370,7 +482,8 @@ void draw_shading(Canvas* cv, const RenderShading& sh) {
     rgb[2] = sh.lut[idx][2] * (1.0f / 255.0f);
     return true;
   };
-  fill_polygon_t(cv, *path, sh.even_odd, sh.clip, color_at);
+  fill_polygon_t(cv, *path, sh.even_odd, sh.clip, color_at,
+                 sh.const_alpha);
 }
 
 // expand a polyline into stroke quads (with square joins/caps)
@@ -533,7 +646,15 @@ void blend_glyph_bitmap(Canvas* cv, const GlyphBitmap& bm, int ax, int ay,
       int dx = ax + bm.ox + x;
       if (dx < clx || dx > chx) continue;
       uint8_t* p = drow + (size_t)dx * 3;
-      if (a == 255) {
+      if (cv->bm || cv->smask) {  // rare for text: take the slow path
+        float af = a / 255.0f;
+        if (cv->smask) af *= (*cv->smask)[(size_t)dy * cv->w + dx];
+        if (af <= 0.002f) continue;
+        float src[3] = {rgb[0], rgb[1], rgb[2]};
+        if (cv->bm) blend_apply(cv->bm, p, src);
+        for (int k = 0; k < 3; k++)
+          p[k] = (uint8_t)(p[k] + (src[k] * 255.0f - p[k]) * af);
+      } else if (a == 255) {
         p[0] = cr;
         p[1] = cg;
         p[2] = cb;
@@ -679,10 +800,13 @@ void fill_quad(Canvas* cv, const float qx[4], const float qy[4],
       if (a <= 0.002f) continue;
       if (a > 1.0f) a = 1.0f;
       a *= const_alpha;  // ExtGState /CA constant alpha
+      if (cv->smask) a *= (*cv->smask)[(size_t)y * cv->w + x];
       if (a <= 0.002f) continue;
-      row[0] = (uint8_t)(row[0] + (rgb[0] * 255.0f - row[0]) * a);
-      row[1] = (uint8_t)(row[1] + (rgb[1] * 255.0f - row[1]) * a);
-      row[2] = (uint8_t)(row[2] + (rgb[2] * 255.0f - row[2]) * a);
+      float src[3] = {rgb[0], rgb[1], rgb[2]};
+      if (cv->bm) blend_apply(cv->bm, row, src);
+      row[0] = (uint8_t)(row[0] + (src[0] * 255.0f - row[0]) * a);
+      row[1] = (uint8_t)(row[1] + (src[1] * 255.0f - row[1]) * a);
+      row[2] = (uint8_t)(row[2] + (src[2] * 255.0f - row[2]) * a);
     }
   }
 }
@@ -818,8 +942,10 @@ void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
               aat(ty + 1, tx + 1) * bx * by) /
              255.0;
       }
+      if (cv->smask) a *= (*cv->smask)[(size_t)y * cv->w + x];
       if (a <= 1.0 / 255.0) continue;
       uint8_t* out = cv->px.data() + ((size_t)y * cv->w + x) * 3;
+      float src[3];
       for (int k = 0; k < 3; k++) {
         double v = ri.stencil
                        ? ri.stencil_rgb[k] * 255.0
@@ -827,7 +953,11 @@ void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
                              at(sy, sx + 1, k) * ax * (1 - ay) +
                              at(sy + 1, sx, k) * (1 - ax) * ay +
                              at(sy + 1, sx + 1, k) * ax * ay;
-        v = v * a + out[k] * (1 - a);
+        src[k] = (float)std::min(1.0, std::max(0.0, v / 255.0));
+      }
+      if (cv->bm) blend_apply(cv->bm, out, src);
+      for (int k = 0; k < 3; k++) {
+        double v = src[k] * 255.0 * a + out[k] * (1 - a);
         out[k] = (uint8_t)std::min(255.0, std::max(0.0, v));
       }
     }
@@ -951,10 +1081,67 @@ std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
   std::unordered_map<int, CachedImg> img_cache;
   std::unordered_map<const DisplayList*, TileBitmap> tile_cache;
   static thread_local GlyphCache glyph_cache;
+
+  // ExtGState /SMask planes: the mask group renders once per (mask,
+  // canvas) at identical geometry; luminosity (over the /BC backdrop)
+  // or dual-background-recovered alpha becomes a 0..1 multiplier.
+  std::unordered_map<const SoftMaskSpec*, std::vector<float>> mask_cache;
+  auto mask_plane =
+      [&](const std::shared_ptr<SoftMaskSpec>& sm) -> const std::vector<float>* {
+    if (!sm || !sm->dl) return nullptr;
+    auto it = mask_cache.find(sm.get());
+    if (it != mask_cache.end())
+      return it->second.empty() ? nullptr : &it->second;
+    std::vector<float> plane;
+    double mclip[4] = {cv.off_x, cv.off_y, cv.off_x + cv.w / cv.scale,
+                       cv.off_y + cv.h / cv.scale};
+    int mw = 0, mh = 0;
+    if (sm->luminosity) {
+      uint8_t bgl = (uint8_t)std::min(
+          255.0f, std::max(0.0f, (0.3f * sm->backdrop[0] +
+                                  0.59f * sm->backdrop[1] +
+                                  0.11f * sm->backdrop[2]) *
+                                     255.0f));
+      std::vector<uint8_t> rgb =
+          rasterize(doc, *sm->dl, cv.scale, mclip, &mw, &mh, bgl);
+      if (mw == cv.w && mh == cv.h && !rgb.empty()) {
+        plane.resize((size_t)cv.w * cv.h);
+        for (size_t k = 0; k < plane.size(); k++)
+          plane[k] = (0.3f * rgb[k * 3] + 0.59f * rgb[k * 3 + 1] +
+                      0.11f * rgb[k * 3 + 2]) /
+                     255.0f;
+      }
+    } else {
+      // /S /Alpha: the engine keeps no alpha channel, so recover it the
+      // tiling-pattern way — render on white and black backdrops
+      int w2 = 0, h2 = 0;
+      std::vector<uint8_t> on_w =
+          rasterize(doc, *sm->dl, cv.scale, mclip, &mw, &mh, 255);
+      std::vector<uint8_t> on_b =
+          rasterize(doc, *sm->dl, cv.scale, mclip, &w2, &h2, 0);
+      if (mw == cv.w && mh == cv.h && w2 == mw && h2 == mh &&
+          !on_w.empty()) {
+        plane.resize((size_t)cv.w * cv.h);
+        for (size_t k = 0; k < plane.size(); k++) {
+          int amax = 0;
+          for (int c = 0; c < 3; c++) {
+            int a = 255 - (on_w[k * 3 + c] - on_b[k * 3 + c]);
+            amax = std::max(amax, a);
+          }
+          plane[k] = std::min(std::max(amax, 0), 255) / 255.0f;
+        }
+      }
+    }
+    it = mask_cache.emplace(sm.get(), std::move(plane)).first;
+    return it->second.empty() ? nullptr : &it->second;
+  };
+
   for (size_t i = 0; i < dl.order_kind.size(); i++) {
     int kind = dl.order_kind[i], idx = dl.order_index[i];
     if (kind == 0) {
       const RenderPath& rp = dl.paths[idx];
+      cv.bm = rp.blend_mode;
+      cv.smask = mask_plane(rp.smask);
       if (rp.fill) {
         if (rp.tile_dl)
           draw_tiled_fill(&cv, doc, rp, &tile_cache);
@@ -968,13 +1155,23 @@ std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
                          rp.stroke_alpha);
       }
     } else if (kind == 1) {
-      draw_glyph_run(&cv, dl.glyphs[idx], &glyph_cache,
-                     doc ? doc->gen_id : 0);
+      const RenderGlyphRun& gr = dl.glyphs[idx];
+      cv.bm = gr.blend_mode;
+      cv.smask = mask_plane(gr.smask);
+      draw_glyph_run(&cv, gr, &glyph_cache, doc ? doc->gen_id : 0);
     } else if (kind == 2) {
-      blit_image(&cv, doc, dl.images[idx], &img_cache);
+      const RenderImage& ri = dl.images[idx];
+      cv.bm = ri.blend_mode;
+      cv.smask = mask_plane(ri.smask);
+      blit_image(&cv, doc, ri, &img_cache);
     } else {
-      draw_shading(&cv, dl.shadings[idx]);
+      const RenderShading& sh = dl.shadings[idx];
+      cv.bm = sh.blend_mode;
+      cv.smask = mask_plane(sh.smask);
+      draw_shading(&cv, sh);
     }
+    cv.bm = 0;
+    cv.smask = nullptr;
   }
   *out_w = cv.w;
   *out_h = cv.h;

@@ -419,6 +419,23 @@ struct PageContent {
 // extraction, replayed by the rasterizer at any scale/clip.
 struct DisplayList;  // fwd (tiling-pattern cells carry their own list)
 
+// ExtGState /SMask: the mask group's content interpreted into its own
+// page-space display list (same coordinate space as the base page).
+// The raster renders it once per (mask, canvas) and multiplies paint
+// coverage by the resulting per-pixel value — luminosity of the
+// rendered group over the /BC backdrop (/S /Luminosity), or recovered
+// alpha via dual-background renders (/S /Alpha).
+struct SoftMaskSpec {
+  std::shared_ptr<DisplayList> dl;
+  bool luminosity = true;
+  float backdrop[3] = {0, 0, 0};  // /BC, luminosity subtype only
+};
+
+// PDF /BM blend modes (11.3.5): 0 Normal/Compatible, 1 Multiply,
+// 2 Screen, 3 Overlay, 4 Darken, 5 Lighten, 6 ColorDodge, 7 ColorBurn,
+// 8 HardLight, 9 SoftLight, 10 Difference, 11 Exclusion, 12 Hue,
+// 13 Saturation, 14 Color, 15 Luminosity.
+
 struct RenderPath {
   std::vector<std::vector<std::pair<float, float>>> subpaths;  // page space
   bool fill = false, stroke = false, even_odd = false;
@@ -435,6 +452,8 @@ struct RenderPath {
   float tile_w = 0, tile_h = 0;          // cell extent (bbox size)
   float tile_xstep = 0, tile_ystep = 0;  // pattern-space tiling steps
   Matrix tile_to_page;                   // pattern space -> page pts
+  int blend_mode = 0;                    // ExtGState /BM
+  std::shared_ptr<SoftMaskSpec> smask;   // ExtGState /SMask (null = none)
 };
 
 struct RenderGlyphRun {
@@ -451,6 +470,8 @@ struct RenderGlyphRun {
   std::vector<GlyphInst> glyph_insts;
   float rgb[3] = {0, 0, 0};
   Rect clip;
+  int blend_mode = 0;
+  std::shared_ptr<SoftMaskSpec> smask;
 };
 
 struct RenderImage {
@@ -468,6 +489,8 @@ struct RenderImage {
   std::vector<uint8_t> inline_alpha;
   int inline_aw = 0, inline_ah = 0;
   float const_alpha = 1.0f;  // ExtGState /ca at placement time
+  int blend_mode = 0;
+  std::shared_ptr<SoftMaskSpec> smask;
 };
 
 // Axial/radial shading paint (ShadingType 2/3): the `sh` operator and
@@ -495,6 +518,9 @@ struct RenderShading {
   // pattern fills paint only inside the filled path; empty = clip rect
   std::vector<std::vector<std::pair<float, float>>> clip_path;  // page pts
   bool even_odd = false;
+  int blend_mode = 0;
+  std::shared_ptr<SoftMaskSpec> smask;
+  float const_alpha = 1.0f;  // ExtGState /ca at paint time
 };
 
 struct DisplayList {

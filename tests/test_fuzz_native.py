@@ -58,8 +58,9 @@ print("FUZZDONE")
 def _rich_base() -> bytes:
     """One page exercising every round-3 renderer feature: tiling
     pattern, Type-4 calculator shading, dash, inline image + stencil,
-    SMask'd image, Separation scn, /Rotate — corrupting THIS base fuzzes
-    the newest code paths."""
+    SMask'd image, Separation scn, /Rotate, /BM blend modes and an
+    ExtGState /SMask luminosity group — corrupting THIS base fuzzes the
+    newest code paths."""
     import zlib
 
     from tests.fontfixtures import _pdf
@@ -92,7 +93,10 @@ def _rich_base() -> bytes:
         b"q 100 0 0 100 50 600 cm BI /W 4 /H 4 /CS /RGB /BPC 8 /F /Fl "
         b"/L " + str(len(rgbpx)).encode() + b" ID " + rgbpx + b" EI Q "
         b"q 100 0 0 100 300 600 cm /Im1 Do Q "
-        b"/CS1 cs 0.8 scn 400 450 100 50 re f")
+        b"/CS1 cs 0.8 scn 400 450 100 50 re f "
+        b"0.9 0.1 0.1 rg 100 300 200 100 re f "
+        b"/GS1 gs 0.1 0.2 0.9 rg 200 250 200 100 re f "
+        b"/GS2 gs 0 0 0 rg 350 300 150 100 re f")
     return _pdf([
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -101,6 +105,9 @@ def _rich_base() -> bytes:
         b"/Pattern << /P0 5 0 R >> "
         b"/Shading << /S0 6 0 R /S1 10 0 R >> "
         b"/XObject << /Im1 8 0 R >> "
+        b"/ExtGState << /GS1 << /BM /Multiply /ca 0.7 >> "
+        b"/GS2 << /BM /Luminosity /SMask << /S /Luminosity /G 11 0 R >> "
+        b">> >> "
         b"/ColorSpace << /CS1 [/Separation /Sp /DeviceRGB 7 0 R] >> >> >>",
         b"<< /Length " + str(len(content)).encode() +
         b" >>\nstream\n" + content + b"\nendstream",
@@ -123,6 +130,11 @@ def _rich_base() -> bytes:
         b"/Decode [0 612 0 792 0 1 0 1 0 1] /Length " +
         str(len(mesh)).encode() + b" >>\nstream\n" + mesh +
         b"\nendstream",
+        obj_stream(b"<< /Type /XObject /Subtype /Form "
+                   b"/BBox [200 250 500 450] /Group "
+                   b"<< /S /Transparency /CS /DeviceGray >> "
+                   b"/Resources << /Shading << /S0 6 0 R >> >>",
+                   b"q 200 250 300 200 re W n /S0 sh Q"),
     ])
 
 
