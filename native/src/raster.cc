@@ -193,15 +193,67 @@ void scanline_fill_edges(Canvas* cv, const std::vector<Edge>& edges,
   cov.assign((size_t)x_hi - x_lo + 2, 0.0f);
   static thread_local std::vector<std::pair<float, int>> xs;
   const int SS = 4;
+
+  // Crossing buckets: for modest edge counts (glyphs, ticks, small
+  // paths — the dominant call class: a text page fills 500k glyph
+  // polygons) the per-sample-row edge scan is O(rows x SS x E) while
+  // the actual crossing count is far smaller. Bucketing walks each
+  // edge once over the sample rows it spans (exact same inclusion
+  // test and x formula as the scan loop, so output is bit-identical)
+  // and turns the inner loop into a bucket read. Large fills keep the
+  // scan path: their bucket memory is unbounded while the scan's
+  // working set is one row.
+  const int nrows = (y_end - y_start + 1) * SS;
+  const bool bucketed = edges.size() <= 512;
+  static thread_local std::vector<int> bstart;
+  static thread_local std::vector<std::pair<float, int>> bx;
+  if (bucketed) {
+    bstart.assign((size_t)nrows + 1, 0);
+    auto row_range = [&](const Edge& e, int* k0, int* k1) {
+      double lo = ((double)e.y0 - y_start) * SS - 1.0;
+      double hi = ((double)e.y1 - y_start) * SS + 1.0;
+      *k0 = std::max(0, (int)lo - 1);
+      *k1 = std::min(nrows, (int)hi + 1);
+    };
+    for (auto& e : edges) {
+      int k0, k1;
+      row_range(e, &k0, &k1);
+      for (int k = k0; k < k1; k++) {
+        float sy = (y_start + k / SS) + (k % SS + 0.5f) / SS;
+        if (sy < e.y0 || sy >= e.y1) continue;
+        bstart[k + 1]++;
+      }
+    }
+    for (int k = 0; k < nrows; k++) bstart[k + 1] += bstart[k];
+    bx.resize(bstart[nrows]);
+    static thread_local std::vector<int> bfill;
+    bfill.assign(bstart.begin(), bstart.end() - 1);
+    for (auto& e : edges) {
+      int k0, k1;
+      row_range(e, &k0, &k1);
+      for (int k = k0; k < k1; k++) {
+        float sy = (y_start + k / SS) + (k % SS + 0.5f) / SS;
+        if (sy < e.y0 || sy >= e.y1) continue;
+        float t = (sy - e.y0) / (e.y1 - e.y0);
+        bx[bfill[k]++] = {e.x0 + t * (e.x1 - e.x0), e.dir};
+      }
+    }
+  }
+
   for (int y = y_start; y <= y_end; y++) {
     std::fill(cov.begin(), cov.end(), 0.0f);
     for (int s = 0; s < SS; s++) {
       float sy = y + (s + 0.5f) / SS;
       xs.clear();
-      for (auto& e : edges) {
-        if (sy < e.y0 || sy >= e.y1) continue;
-        float t = (sy - e.y0) / (e.y1 - e.y0);
-        xs.push_back({e.x0 + t * (e.x1 - e.x0), e.dir});
+      if (bucketed) {
+        int k = (y - y_start) * SS + s;
+        xs.assign(bx.begin() + bstart[k], bx.begin() + bstart[k + 1]);
+      } else {
+        for (auto& e : edges) {
+          if (sy < e.y0 || sy >= e.y1) continue;
+          float t = (sy - e.y0) / (e.y1 - e.y0);
+          xs.push_back({e.x0 + t * (e.x1 - e.x0), e.dir});
+        }
       }
       if (xs.empty()) continue;
       std::sort(xs.begin(), xs.end());
@@ -908,6 +960,69 @@ void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
   int y0 = std::max({0, (int)std::floor(bb.y0), (int)std::floor(ccy0)});
   int x1 = std::min({cv->w - 1, (int)std::ceil(bb.x1), (int)std::ceil(ccx1)});
   int y1 = std::min({cv->h - 1, (int)std::ceil(bb.y1), (int)std::ceil(ccy1)});
+  if (x1 < x0 || y1 < y0) return;
+
+  // Axis-aligned placements (the overwhelming case: upright figures and
+  // scans) factor the inverse map per axis — ux depends only on x and
+  // uy only on y, so the per-column sample coordinates, clamped bilinear
+  // indices and weights are computed once instead of per pixel (was
+  // ~26% of full-page render time at 8 ms/image). The expressions
+  // mirror the general path's operation order, but the compiler's FMA
+  // contraction rounds the restructured loop differently: output can
+  // differ from the general path by at most 1/255 per channel at
+  // bilinear rounding boundaries (measured max |delta| = 1 over the
+  // 1,000-page bench book).
+  bool axis = ib == 0.0 && ic == 0.0 && !cv->bm && !cv->smask &&
+              alpha == nullptr && !ri.stencil && ri.const_alpha >= 1.0f;
+  if (axis) {
+    struct ColS { int i0, i1; double wx; bool in; };
+    static thread_local std::vector<ColS> cols;
+    cols.resize((size_t)x1 - x0 + 1);
+    for (int x = x0; x <= x1; x++) {
+      double pxp = cv->off_x + (x + 0.5) / cv->scale;
+      double ux = ia * pxp + ie;
+      ColS& cs = cols[x - x0];
+      cs.in = !(ux < 0 || ux >= 1);
+      if (!cs.in) continue;
+      double fx = ux * iw - 0.5;
+      int sx = (int)std::floor(fx);
+      cs.wx = fx - sx;
+      cs.i0 = std::min(std::max(sx, 0), iw - 1);
+      cs.i1 = std::min(std::max(sx + 1, 0), iw - 1);
+    }
+    for (int y = y0; y <= y1; y++) {
+      double pyp = cv->off_y + (y + 0.5) / cv->scale;
+      double uy = id * pyp + iff;
+      if (uy < 0 || uy >= 1) continue;
+      double fy = (1.0 - uy) * ih - 0.5;
+      int sy = (int)std::floor(fy);
+      double ay = fy - sy;
+      const uint8_t* r0 =
+          pix->data() + (size_t)std::min(std::max(sy, 0), ih - 1) * iw * 3;
+      const uint8_t* r1 = pix->data() +
+                          (size_t)std::min(std::max(sy + 1, 0), ih - 1) *
+                              iw * 3;
+      uint8_t* out = cv->px.data() + ((size_t)y * cv->w + x0) * 3;
+      for (int x = x0; x <= x1; x++, out += 3) {
+        const ColS& cs = cols[x - x0];
+        if (!cs.in) continue;
+        const uint8_t *p00 = r0 + (size_t)cs.i0 * 3,
+                      *p01 = r0 + (size_t)cs.i1 * 3,
+                      *p10 = r1 + (size_t)cs.i0 * 3,
+                      *p11 = r1 + (size_t)cs.i1 * 3;
+        double ax = cs.wx;
+        for (int k = 0; k < 3; k++) {
+          // same expression order as the general path below
+          double v = p00[k] * (1 - ax) * (1 - ay) +
+                     p01[k] * ax * (1 - ay) + p10[k] * (1 - ax) * ay +
+                     p11[k] * ax * ay;
+          out[k] = (uint8_t)std::min(255.0, std::max(0.0, v));
+        }
+      }
+    }
+    return;
+  }
+
   for (int y = y0; y <= y1; y++) {
     for (int x = x0; x <= x1; x++) {
       // device px center -> page pts
