@@ -2411,6 +2411,115 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
   }
   in.run_stream(all, resources);
   in.flush_span();
+
+  // --- annotations: paint /AP /N appearance streams (PDF 32000-1 12.5.5).
+  // fitz renders annotations by default in get_pixmap (the reference's
+  // render path, pdf_image_segmentation.py:3651 uses the default), so
+  // stamps / FreeText / widget appearances are part of the page pixels a
+  // parity build must produce. Annotations WITHOUT an /AP (where viewers
+  // synthesize an appearance from /Subtype properties) are a documented
+  // degrade: nothing is painted (see PARITY.md).
+  ObjPtr annots = doc_->dict_get(pg, "Annots");
+  if (annots->is(ObjType::Array)) {
+    for (auto& aref : annots->arr) {
+      ObjPtr an = doc_->resolve(aref);
+      if (!an->is(ObjType::Dict)) continue;
+      ObjPtr sub = doc_->dict_get(an, "Subtype");
+      // links and popups are navigation chrome, never page ink (MuPDF
+      // skips them in fz_run_page_annots too)
+      if (sub->is(ObjType::Name) && (sub->s == "Link" || sub->s == "Popup"))
+        continue;
+      ObjPtr fo = doc_->dict_get(an, "F");
+      int flags =
+          (fo->is(ObjType::Int) || fo->is(ObjType::Real)) ? (int)fo->num() : 0;
+      if (flags & 2) continue;   // Hidden
+      if (flags & 32) continue;  // NoView
+      ObjPtr aoc = doc_->dict_get(an, "OC");
+      if (!aoc->is(ObjType::Null) && in.ocg_hidden(aoc)) continue;
+      ObjPtr n = doc_->dict_get(doc_->dict_get(an, "AP"), "N");
+      if (n->is(ObjType::Dict)) {  // appearance substates: select by /AS
+        ObjPtr as = doc_->dict_get(an, "AS");
+        ObjPtr pick = make_null();
+        if (as->is(ObjType::Name)) {
+          auto it = n->dict.find(as->s);
+          if (it != n->dict.end()) pick = doc_->resolve(it->second);
+        } else if (n->dict.size() == 1) {
+          pick = doc_->resolve(n->dict.begin()->second);
+        }
+        n = pick;
+      }
+      if (!n->is(ObjType::Stream)) continue;
+      ObjPtr ro = doc_->dict_get(an, "Rect");
+      if (!ro->is(ObjType::Array) || ro->arr.size() != 4) continue;
+      double rx0 = doc_->resolve(ro->arr[0])->num();
+      double ry0 = doc_->resolve(ro->arr[1])->num();
+      double rx1 = doc_->resolve(ro->arr[2])->num();
+      double ry1 = doc_->resolve(ro->arr[3])->num();
+      if (rx1 < rx0) std::swap(rx0, rx1);
+      if (ry1 < ry0) std::swap(ry0, ry1);
+      ObjPtr bo = doc_->dict_get(n, "BBox");
+      if (!bo->is(ObjType::Array) || bo->arr.size() != 4) continue;
+      double bx[4], by[4];
+      {
+        double v[4];
+        for (int k = 0; k < 4; k++) v[k] = doc_->resolve(bo->arr[k])->num();
+        bx[0] = v[0]; by[0] = v[1];
+        bx[1] = v[2]; by[1] = v[1];
+        bx[2] = v[2]; by[2] = v[3];
+        bx[3] = v[0]; by[3] = v[3];
+      }
+      Matrix fm;  // form /Matrix, default identity
+      ObjPtr mo = doc_->dict_get(n, "Matrix");
+      if (mo->is(ObjType::Array) && mo->arr.size() == 6)
+        fm = Matrix{doc_->resolve(mo->arr[0])->num(),
+                    doc_->resolve(mo->arr[1])->num(),
+                    doc_->resolve(mo->arr[2])->num(),
+                    doc_->resolve(mo->arr[3])->num(),
+                    doc_->resolve(mo->arr[4])->num(),
+                    doc_->resolve(mo->arr[5])->num()};
+      // 12.5.5 algorithm: bbox corners through /Matrix -> transformed
+      // appearance box; A maps that box onto /Rect.
+      double tx0 = 1e300, ty0 = 1e300, tx1 = -1e300, ty1 = -1e300;
+      for (int k = 0; k < 4; k++) {
+        double ox, oy;
+        fm.apply(bx[k], by[k], &ox, &oy);
+        tx0 = std::min(tx0, ox); ty0 = std::min(ty0, oy);
+        tx1 = std::max(tx1, ox); ty1 = std::max(ty1, oy);
+      }
+      if (!(tx1 > tx0) || !(ty1 > ty0)) continue;  // degenerate bbox
+      double sx = (rx1 - rx0) / (tx1 - tx0);
+      double sy = (ry1 - ry0) / (ty1 - ty0);
+      Matrix A{sx, 0, 0, sy, rx0 - tx0 * sx, ry0 - ty0 * sy};
+      // fresh interpreter per annotation: content-stream state (text,
+      // marked content, clips, gstack) must not leak page -> annot or
+      // annot -> annot. Shares extraction sinks and OCG config.
+      Interp ai;
+      ai.doc = doc_;
+      ai.out = out;
+      ai.dl = dl;
+      ai.hidden_ocgs = in.hidden_ocgs;
+      ai.base_ctm = in.base_ctm;
+      ai.gs.ctm = fm.mul(A).mul(in.base_ctm);
+      // the form's /BBox clips its content (PDF 8.10.1); in device space
+      // that is the transformed-corner extent intersected with the page
+      Rect bclip;
+      for (int k = 0; k < 4; k++) {
+        double ox, oy;
+        ai.gs.ctm.apply(bx[k], by[k], &ox, &oy);
+        bclip.grow(ox, oy);
+      }
+      ai.gs.clip.x0 = std::max(0.0, bclip.x0);
+      ai.gs.clip.y0 = std::max(0.0, bclip.y0);
+      ai.gs.clip.x1 = std::min(w, bclip.x1);
+      ai.gs.clip.y1 = std::min(h, bclip.y1);
+      if (ai.gs.clip.x1 <= ai.gs.clip.x0 || ai.gs.clip.y1 <= ai.gs.clip.y0)
+        continue;  // entirely off-page
+      ObjPtr res2 = doc_->dict_get(n, "Resources");
+      if (!res2->is(ObjType::Dict)) res2 = resources;
+      ai.run_stream(doc_->decode_stream(n), res2);
+      ai.flush_span();
+    }
+  }
   return true;
 }
 

@@ -1,0 +1,199 @@
+"""Annotation appearance streams (native/src/content.cc ContentEngine::run).
+
+fitz renders /Annots by default in get_pixmap — the reference's render
+path (ref pdf_image_segmentation.py:3651) — so stamps, FreeText boxes,
+and widget appearances are part of the page pixels. These fixtures are
+hand-assembled; the /Rect<->/BBox/Matrix fitting assertions are computed
+independently from the PDF 32000-1 12.5.5 algorithm in the test body.
+"""
+import io
+
+import numpy as np
+
+from synapta_tpu.io.ingest import open_pdf
+
+
+def _pdf(objs):
+    out = io.BytesIO()
+    out.write(b"%PDF-1.7\n")
+    offs = [0]
+    for i, body in enumerate(objs, 1):
+        offs.append(out.tell())
+        out.write(b"%d 0 obj\n" % i)
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xr = out.tell()
+    out.write(b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1))
+    for o in offs[1:]:
+        out.write(b"%010d 00000 n \n" % o)
+    out.write(b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+              % (len(objs) + 1, xr))
+    return out.getvalue()
+
+
+def _stream(extra, data):
+    return (b"<< " + extra + b" /Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream")
+
+
+def _annot_page(annot_dicts, extra_objs=(), contents=b""):
+    """Page 300x300 whose /Annots are the given dict bodies; appearance
+    form objects (and anything else) go in extra_objs starting at 5 0 R."""
+    refs = b" ".join(b"%d 0 R" % (5 + len(extra_objs) + k)
+                     for k in range(len(annot_dicts)))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 300 300] "
+         b"/Resources << >> /Contents 4 0 R /Annots [" + refs + b"] >>"),
+        _stream(b"", contents),
+    ]
+    objs.extend(extra_objs)
+    objs.extend(annot_dicts)
+    return objs
+
+
+def _form(bbox, content, matrix=None, extra=b""):
+    m = b"" if matrix is None else (b" /Matrix [" + matrix + b"]")
+    return _stream(
+        b"/Type /XObject /Subtype /Form /BBox [" + bbox + b"]" + m + extra,
+        content)
+
+
+RED_FILL = b"1 0 0 rg 0 0 10 10 re f\n"
+
+
+def test_square_annot_ap_renders_at_rect(tmp_path):
+    """A /Square annot's /AP /N form (BBox 10x10, identity Matrix) is
+    scaled onto /Rect [100 100 200 150]: red exactly there, white outside."""
+    form = _form(b"0 0 10 10", RED_FILL)
+    annot = (b"<< /Type /Annot /Subtype /Square /Rect [100 100 200 150] "
+             b"/AP << /N 5 0 R >> >>")
+    p = tmp_path / "sq.pdf"
+    p.write_bytes(_pdf(_annot_page([annot], extra_objs=[form])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    # page y [100,150] -> device rows [150,200) with the y-flip
+    inside = arr[160:190, 110:190]
+    assert (inside[..., 0] > 200).all() and (inside[..., 2] < 60).all()
+    assert (arr[120, 150] > 240).all()  # above the rect: white
+    assert (arr[250, 150] > 240).all()  # below: white
+    assert (arr[175, 50] > 240).all()   # left: white
+
+
+def test_annot_matrix_bbox_fitting(tmp_path):
+    """12.5.5: BBox corners go through /Matrix, the transformed extent is
+    fitted onto /Rect. A 90-degree Matrix on a 40x10 BBox still fills the
+    20x80 Rect completely."""
+    form = _form(b"0 0 40 10", b"0 0 1 rg 0 0 40 10 re f\n",
+                 matrix=b"0 1 -1 0 0 0")
+    annot = (b"<< /Type /Annot /Subtype /Stamp /Rect [50 50 70 130] "
+             b"/AP << /N 5 0 R >> >>")
+    p = tmp_path / "mx.pdf"
+    p.write_bytes(_pdf(_annot_page([annot], extra_objs=[form])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    # rect y [50,130] -> rows [170,250); x [50,70)
+    inside = arr[175:245, 53:67]
+    assert (inside[..., 2] > 200).all() and (inside[..., 0] < 60).all()
+    assert (arr[175, 80] > 240).all()
+
+
+def test_hidden_and_noview_flags_skip(tmp_path):
+    """F bit 2 (Hidden) and bit 6 (NoView) suppress painting."""
+    form = _form(b"0 0 10 10", RED_FILL)
+    mk = lambda f: (b"<< /Type /Annot /Subtype /Square /F %d "
+                    b"/Rect [100 100 200 150] /AP << /N 5 0 R >> >>" % f)
+    for flags in (2, 32):
+        p = tmp_path / ("f%d.pdf" % flags)
+        p.write_bytes(_pdf(_annot_page([mk(flags)], extra_objs=[form])))
+        arr = open_pdf(str(p)).render(0, dpi=72)
+        assert (arr > 240).all()
+    # sanity: flags 4 (Print) still paints
+    p = tmp_path / "f4.pdf"
+    p.write_bytes(_pdf(_annot_page([mk(4)], extra_objs=[form])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    assert (arr[175, 150][0] > 200) and (arr[175, 150][2] < 60)
+
+
+def test_ap_substate_selected_by_as(tmp_path):
+    """/AP /N as a dict of substates: /AS picks the one to paint (the
+    checkbox-widget shape). Missing /AS with >1 substates paints nothing."""
+    on = _form(b"0 0 10 10", RED_FILL)
+    off = _form(b"0 0 10 10", b"")  # empty appearance
+    base = (b"<< /Type /Annot /Subtype /Widget /Rect [100 100 200 150] "
+            b"/AP << /N << /On 5 0 R /Off 6 0 R >> >>")
+    for as_name, painted in ((b" /AS /On >>", True), (b" /AS /Off >>", False),
+                             (b" >>", False)):
+        p = tmp_path / "as.pdf"
+        p.write_bytes(_pdf(_annot_page([base + as_name],
+                                       extra_objs=[on, off])))
+        arr = open_pdf(str(p)).render(0, dpi=72)
+        px = arr[175, 150]
+        if painted:
+            assert px[0] > 200 and px[2] < 60
+        else:
+            assert (px > 240).all()
+
+
+def test_link_and_popup_never_painted(tmp_path):
+    """Links/popups are navigation chrome, not page ink (MuPDF skips them
+    in fz_run_page_annots), even when they carry an /AP."""
+    form = _form(b"0 0 10 10", RED_FILL)
+    annots = [
+        (b"<< /Type /Annot /Subtype /Link /Rect [100 100 200 150] "
+         b"/AP << /N 5 0 R >> >>"),
+        (b"<< /Type /Annot /Subtype /Popup /Rect [20 20 80 80] "
+         b"/AP << /N 5 0 R >> >>"),
+    ]
+    p = tmp_path / "ln.pdf"
+    p.write_bytes(_pdf(_annot_page(annots, extra_objs=[form])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    assert (arr > 240).all()
+
+
+def test_bbox_clips_appearance_content(tmp_path):
+    """The form's /BBox clips its content (PDF 8.10.1): ink drawn outside
+    the BBox must not leak outside the fitted /Rect."""
+    # content paints a 30x30 square but BBox is 10x10 -> only the BBox
+    # portion appears, scaled onto Rect
+    form = _form(b"0 0 10 10", b"1 0 0 rg 0 0 30 30 re f\n")
+    annot = (b"<< /Type /Annot /Subtype /Square /Rect [100 100 200 150] "
+             b"/AP << /N 5 0 R >> >>")
+    p = tmp_path / "clip.pdf"
+    p.write_bytes(_pdf(_annot_page([annot], extra_objs=[form])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    assert (arr[175, 150][0] > 200)       # inside rect painted
+    assert (arr[175, 220] > 240).all()    # right of rect: clipped
+    assert (arr[130, 150] > 240).all()    # above rect (higher y): clipped
+
+
+def test_annot_without_ap_is_graceful(tmp_path):
+    """AP-less annotations (viewer-synthesized appearances) degrade to
+    nothing painted — documented in PARITY.md — and never crash."""
+    annots = [
+        b"<< /Type /Annot /Subtype /Square /Rect [100 100 200 150] >>",
+        b"<< /Type /Annot /Subtype /Highlight /Rect [0 0 10 10] "
+        b"/AP << >> >>",
+        # degenerate rect + bbox forms
+        b"<< /Type /Annot /Subtype /Square /Rect [100 100 100 100] "
+        b"/AP << /N 5 0 R >> >>",
+    ]
+    form = _form(b"0 0 0 0", RED_FILL)
+    p = tmp_path / "noap.pdf"
+    p.write_bytes(_pdf(_annot_page(annots, extra_objs=[form])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    assert (arr > 240).all()
+
+
+def test_annot_over_page_content_composites(tmp_path):
+    """Annotation ink paints OVER the page content (annots run after the
+    content stream), matching fitz z-order."""
+    form = _form(b"0 0 10 10", RED_FILL)
+    annot = (b"<< /Type /Annot /Subtype /Stamp /Rect [100 100 200 150] "
+             b"/AP << /N 5 0 R >> >>")
+    # page content: full-page black fill
+    p = tmp_path / "z.pdf"
+    p.write_bytes(_pdf(_annot_page([annot], extra_objs=[form],
+                                   contents=b"0 0 0 rg 0 0 300 300 re f\n")))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    assert arr[175, 150][0] > 200          # annot red wins inside rect
+    assert (arr[250, 150] < 40).all()      # black page elsewhere
