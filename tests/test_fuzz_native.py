@@ -183,7 +183,7 @@ def _mutants(data: bytes, rng: random.Random, out_dir: str, tag: str,
 @pytest.mark.parametrize(
     "base",
     ["ttf_book", "cff", "type1", "enc", "pil_images", "ccitt", "rich",
-     "jbig2", "jbig2_arith"],
+     "jbig2", "jbig2_arith", "annots"],
 )
 def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
     rng = random.Random(20260818)
@@ -220,6 +220,25 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
         data = _ccitt_pdf(bm, _g4_strip(bm))
     elif base == "rich":
         data = _rich_base()
+    elif base == "annots":  # /Annots appearance streams (12.5.5 fitting)
+        from tests.test_annots import _annot_page, _form, _pdf
+
+        forms = [
+            _form(b"0 0 10 10", b"1 0 0 rg 0 0 10 10 re f\n"),
+            _form(b"0 0 40 10", b"0 0 1 rg 0 0 40 10 re f\n",
+                  matrix=b"0 1 -1 0 0 0"),
+            _form(b"0 0 10 10", b""),
+        ]
+        annots = [
+            (b"<< /Type /Annot /Subtype /Square /Rect [100 100 200 150] "
+             b"/AP << /N 8 0 R >> >>"),
+            (b"<< /Type /Annot /Subtype /Widget /Rect [30 30 60 60] "
+             b"/AP << /N << /On 8 0 R /Off 10 0 R >> >> /AS /On >>"),
+            (b"<< /Type /Annot /Subtype /Stamp /Rect [50 200 70 280] "
+             b"/F 4 /AP << /N 9 0 R >> >>"),
+        ]
+        data = _pdf(_annot_page(annots, extra_objs=forms,
+                                contents=b"0.5 g 0 0 300 300 re f\n"))
     elif base == "jbig2":  # MMR generic-region segment stream
         from tests.test_ccitt import _jbig2_pdf, _textlike
 
