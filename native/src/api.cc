@@ -59,6 +59,107 @@ void append_rect(std::string* j, const Rect& r) {
   *j += buf;
 }
 
+// ---- Pillow-parity bilinear resample, single 8-bit band ----------------
+//
+// Bit-identical to PIL Image.resize(..., Image.BILINEAR) on mode-L
+// images (Pillow Resample.c): triangle filter whose support scales with
+// the downscale factor, per-output-pixel coefficient windows normalized
+// in double then rounded to 22-bit fixed point, horizontal pass then
+// vertical pass, accumulator seeded with the half-ulp rounding bias.
+// The OCR line-tile builder (spdf_line_tiles) must reproduce the Python
+// ocr/processor._line_tile pixels exactly — the recognizer was trained
+// on PIL-resized tiles, so "close" resampling is not good enough
+// (locked by tests/test_ocr.py native-parity cases).
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+inline uint8_t pil_clip8(int in) {
+  if (in >= (1 << kPrecisionBits << 8)) return 255;
+  if (in <= 0) return 0;
+  return (uint8_t)(in >> kPrecisionBits);
+}
+
+// coefficient windows for one axis: bounds (xmin, xmax) per output px +
+// ksize fixed-point taps per output px
+static int pil_coeffs(int in_size, int out_size, std::vector<int>* bounds,
+                      std::vector<int>* kk) {
+  double scale = (double)in_size / out_size;
+  double filterscale = scale < 1.0 ? 1.0 : scale;
+  double support = 1.0 * filterscale;  // bilinear filter support = 1.0
+  int ksize = (int)std::ceil(support) * 2 + 1;
+  bounds->assign((size_t)out_size * 2, 0);
+  std::vector<double> prekk((size_t)out_size * ksize, 0.0);
+  double ss = 1.0 / filterscale;
+  for (int xx = 0; xx < out_size; xx++) {
+    double center = (xx + 0.5) * scale;
+    double ww = 0.0;
+    int xmin = (int)(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double* k = prekk.data() + (size_t)xx * ksize;
+    for (int x = 0; x < xmax; x++) {
+      double wgt = (x + xmin - center + 0.5) * ss;
+      wgt = wgt < 0 ? 1.0 + wgt : 1.0 - wgt;  // triangle filter
+      if (wgt < 0) wgt = 0;
+      k[x] = wgt;
+      ww += wgt;
+    }
+    if (ww != 0.0)
+      for (int x = 0; x < xmax; x++) k[x] /= ww;
+    (*bounds)[xx * 2] = xmin;
+    (*bounds)[xx * 2 + 1] = xmax;
+  }
+  kk->resize(prekk.size());
+  for (size_t i = 0; i < prekk.size(); i++)
+    (*kk)[i] = (int)(prekk[i] < 0
+                         ? prekk[i] * (1 << kPrecisionBits) - 0.5
+                         : prekk[i] * (1 << kPrecisionBits) + 0.5);
+  return ksize;
+}
+
+// (sh, sw) 8-bit gray -> (oh, ow), PIL BILINEAR semantics
+static void pil_resize_gray(const uint8_t* src, int sh, int sw,
+                            uint8_t* dst, int oh, int ow) {
+  std::vector<int> hb, hk, vb, vk;
+  const uint8_t* cur = src;
+  int cw = sw;
+  std::vector<uint8_t> tmp;
+  if (ow != sw) {  // horizontal pass (PIL skips it for identity widths)
+    int ks = pil_coeffs(sw, ow, &hb, &hk);
+    tmp.resize((size_t)sh * ow);
+    for (int y = 0; y < sh; y++) {
+      const uint8_t* row = cur + (size_t)y * sw;
+      uint8_t* orow = tmp.data() + (size_t)y * ow;
+      for (int xx = 0; xx < ow; xx++) {
+        int xmin = hb[xx * 2], xmax = hb[xx * 2 + 1];
+        const int* k = hk.data() + (size_t)xx * ks;
+        int acc = 1 << (kPrecisionBits - 1);
+        for (int x = 0; x < xmax; x++) acc += row[x + xmin] * k[x];
+        orow[xx] = pil_clip8(acc);
+      }
+    }
+    cur = tmp.data();
+    cw = ow;
+  }
+  if (oh != sh) {  // vertical pass
+    int ks = pil_coeffs(sh, oh, &vb, &vk);
+    for (int yy = 0; yy < oh; yy++) {
+      int ymin = vb[yy * 2], ymax = vb[yy * 2 + 1];
+      const int* k = vk.data() + (size_t)yy * ks;
+      uint8_t* orow = dst + (size_t)yy * ow;
+      for (int xx = 0; xx < ow; xx++) {
+        int acc = 1 << (kPrecisionBits - 1);
+        for (int y = 0; y < ymax; y++)
+          acc += cur[(size_t)(y + ymin) * cw + xx] * k[y];
+        orow[xx] = pil_clip8(acc);
+      }
+    }
+  } else {
+    memcpy(dst, cur, (size_t)oh * ow);
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -500,6 +601,89 @@ void spdf_box_downscale(const uint8_t* src, int h, int w, uint8_t* dst,
       out[j * 3 + 1] = (uint8_t)(v1 < 0 ? 0 : (v1 > 255 ? 255 : v1));
       out[j * 3 + 2] = (uint8_t)(v2 < 0 ? 0 : (v2 > 255 ? 255 : v2));
     }
+  }
+}
+
+// Build normalized OCR line tiles from one source image — the batched
+// native form of ocr/processor.TPUOCR._line_tile, bit-identical to the
+// Python path (which replaces the reference's per-crop PaddleOCR tile
+// prep, ref pdf_image_segmentation.py:1098-1126): per box, 2px-padded
+// clamped crop, integer luma ((77r+150g+29b)>>8, no rounding — matches
+// the numpy uint16 shift), 1-99 percentile contrast stretch via the
+// 256-bin histogram (float32 scale, truncating cast), PIL-parity
+// BILINEAR resize to (tile_h-4, new_w), white (tile_h, tile_w) tile
+// with the content at rows [2, 2+target_h) and cols [0, new_w).
+//
+// src: RGB8 (h, w, 3) C-contiguous. boxes: n*4 int32 (x0,y0,x1,y1) in
+// src coords — the caller applies any hires ratio scaling. out:
+// caller-allocated n*tile_h*tile_w uint8. content_w: per-tile written
+// width (new_w), for width-bucketed recognition batches.
+void spdf_line_tiles(const uint8_t* src, int h, int w, const int* boxes,
+                     int n, int tile_h, int tile_w, uint8_t* out,
+                     int* content_w) {
+  const int target_h = tile_h - 4;
+  if (target_h <= 0 || tile_w <= 0) return;
+  std::vector<uint8_t> gray, resized((size_t)target_h * tile_w);
+  for (int i = 0; i < n; i++) {
+    int x0 = boxes[i * 4], y0 = boxes[i * 4 + 1];
+    int x1 = boxes[i * 4 + 2], y1 = boxes[i * 4 + 3];
+    int yy0 = std::max(0, y0 - 2), xx0 = std::max(0, x0 - 2);
+    int yy1 = std::min(h, y1 + 2), xx1 = std::min(w, x1 + 2);
+    int sh = yy1 - yy0, sw = xx1 - xx0;
+    int hist[256] = {0};
+    if (sh <= 0 || sw <= 0) {
+      sh = 8;
+      sw = 8;
+      gray.assign(64, 255);
+      hist[255] = 64;
+    } else {
+      gray.resize((size_t)sh * sw);
+      for (int y = 0; y < sh; y++) {
+        const uint8_t* row = src + ((size_t)(yy0 + y) * w + xx0) * 3;
+        uint8_t* grow = gray.data() + (size_t)y * sw;
+        for (int x = 0; x < sw; x++) {
+          const uint8_t* p = row + (size_t)x * 3;
+          uint8_t g =
+              (uint8_t)(((unsigned)(77 * p[0] + 150 * p[1] + 29 * p[2])) >> 8);
+          grow[x] = g;
+          hist[g]++;
+        }
+      }
+    }
+    // 1/99 percentiles: np.searchsorted(cumsum, q*n) left semantics
+    const double n_px = (double)sh * sw;
+    const double vlo = 0.01 * n_px, vhi = 0.99 * n_px;
+    int lo = 256, hi = 256;
+    long cum = 0;
+    for (int b = 0; b < 256; b++) {
+      cum += hist[b];
+      if (lo == 256 && (double)cum >= vlo) lo = b;
+      if (hi == 256 && (double)cum >= vhi) {
+        hi = b;
+        break;
+      }
+    }
+    if ((double)hi - lo > 30.0) {
+      // float32 per-op math, truncating cast — matches the numpy path
+      const float flo = (float)(double)lo;
+      const float mul = (float)(255.0 / ((double)hi - lo));
+      for (auto& g : gray) {
+        float v = ((float)g - flo) * mul;
+        if (v < 0.0f) v = 0.0f;
+        if (v > 255.0f) v = 255.0f;
+        g = (uint8_t)v;
+      }
+    }
+    const double scale_t = (double)target_h / std::max(sh, 1);
+    int new_w = (int)(sw * scale_t);  // int() truncation
+    new_w = std::max(1, std::min(new_w, tile_w));
+    pil_resize_gray(gray.data(), sh, sw, resized.data(), target_h, new_w);
+    uint8_t* tile = out + (size_t)i * tile_h * tile_w;
+    memset(tile, 255, (size_t)tile_h * tile_w);
+    for (int y = 0; y < target_h; y++)
+      memcpy(tile + (size_t)(y + 2) * tile_w,
+             resized.data() + (size_t)y * new_w, new_w);
+    if (content_w) content_w[i] = new_w;
   }
 }
 

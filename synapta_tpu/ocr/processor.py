@@ -110,8 +110,11 @@ class TPUOCR:
         pad = 2
         yy0 = max(0, y0 - pad)
         xx0 = max(0, x0 - pad)
-        yy1 = min(src.shape[0], y1 + pad)
-        xx1 = min(src.shape[1], x1 + pad)
+        # clamp ends non-negative too: a fully-off-image box must yield an
+        # EMPTY slice (white tile), not wrap around via numpy's negative
+        # indexing (native spdf_line_tiles parity)
+        yy1 = max(0, min(src.shape[0], y1 + pad))
+        xx1 = max(0, min(src.shape[1], x1 + pad))
         sub = src[yy0:yy1, xx0:xx1]
         if sub.size == 0:
             sub = np.full((8, 8, 3), 255, np.uint8)
@@ -236,14 +239,55 @@ class TPUOCR:
         with TIMERS.stage("ocr_tile_prep"):
             for ci, boxes in enumerate(per_crop_boxes):
                 ctx = render_ctx[ci] if render_ctx is not None else None
+                segs_crop: List[List[int]] = []
                 for b in boxes:
                     segs, joins = self._split_long_line(crops[ci], b)
-                    for sb in segs:
-                        tiles.append(self._line_tile(crops[ci], sb, ctx))
+                    segs_crop.extend(segs)
                     owners.append(ci)
                     boxes_flat.append(b)
                     parts.append((len(segs), joins))
+                tiles.extend(self._crop_tiles(crops[ci], segs_crop, ctx))
         return tiles, owners, boxes_flat, parts
+
+    def _crop_tiles(self, crop: np.ndarray, segs: List[List[int]],
+                    ctx=None) -> List[np.ndarray]:
+        """All line tiles of one crop in a single native batched call
+        (io/ingest.line_tiles_native — bit-identical to _line_tile, which
+        stays as the .so-absent fallback). The per-tile Python+PIL loop
+        profiled at ~1.4 ms/tile on the 1-core host; the native batch
+        runs at ~0.05 ms/tile."""
+        if not segs:
+            return []
+        cfg = self.cfg
+        src = crop
+        ratio = 1.0
+        if ctx is not None:
+            hires, r = ctx
+            if hires is not None and r > 1.001:
+                src, ratio = hires, r
+        boxes = np.empty((len(segs), 4), np.int32)
+        for i, (x0, y0, x1, y1) in enumerate(segs):
+            if ratio > 1.001:
+                # same coordinate scaling _line_tile applies (truncate
+                # mins, ceil maxes)
+                boxes[i] = (int(x0 * ratio), int(y0 * ratio),
+                            int(np.ceil(x1 * ratio)),
+                            int(np.ceil(y1 * ratio)))
+            else:
+                boxes[i] = (int(x0), int(y0), int(x1), int(y1))
+        try:
+            from synapta_tpu.io.ingest import line_tiles_native
+
+            res = line_tiles_native(
+                src, boxes, cfg.line_height, cfg.line_max_width
+            )
+        except Exception:
+            res = None
+        if res is None:  # native engine absent: per-tile Python path
+            # boxes already scaled -> pass src-space boxes with no ctx
+            return [self._line_tile(src, list(b), None) for b in boxes]
+        tiles_arr, _cw = res
+        return list(tiles_arr)
 
     def _split_long_line(self, crop: np.ndarray, box) -> List[List[int]]:
         """Split a line box that would squash more than cfg.split_squash

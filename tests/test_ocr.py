@@ -102,3 +102,71 @@ def test_old_algo_client_fallbacks():
         np.zeros((4, 4, 3), np.uint8), VisualType.CHART, None, None
     )
     assert summary is None and sconf == 0.0
+
+
+def test_native_line_tiles_bit_identical_to_python():
+    """The native batched tile builder (io/ingest.line_tiles_native,
+    native/src/api.cc spdf_line_tiles) must reproduce TPUOCR._line_tile
+    bit-for-bit: the recognizer was trained on the Python/PIL tiles, so
+    any resampling drift is silent accuracy loss. Covers random noise,
+    text-like strokes, off-image boxes, degenerate boxes, and hires-ratio
+    scaled boxes."""
+    from synapta_tpu.config import OCRConfig
+    from synapta_tpu.io.ingest import line_tiles_native
+    from synapta_tpu.ocr.processor import TPUOCR
+
+    cfg = OCRConfig()
+
+    class Shim:
+        pass
+
+    shim = Shim()
+    shim.cfg = cfg
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        H = int(rng.integers(8, 700))
+        W = int(rng.integers(8, 1100))
+        img = rng.integers(0, 256, (H, W, 3), np.uint8)
+        if trial % 2 == 0:  # text-like: white bg, dark strokes
+            img[:] = 255
+            for _ in range(25):
+                y = int(rng.integers(0, H))
+                x = int(rng.integers(0, W))
+                img[y:y + 2, x:x + int(rng.integers(2, 50))] = int(
+                    rng.integers(0, 90))
+        boxes = []
+        for _ in range(6):
+            x0 = int(rng.integers(-6, W))
+            y0 = int(rng.integers(-6, H))
+            boxes.append([x0, y0, x0 + int(rng.integers(1, 600)),
+                          y0 + int(rng.integers(1, 70))])
+        boxes.append([W + 5, H + 5, W + 9, H + 9])  # fully off-image
+        arr = np.array(boxes, np.int32)
+        res = line_tiles_native(img, arr, cfg.line_height,
+                                cfg.line_max_width)
+        assert res is not None, "native engine missing spdf_line_tiles"
+        tiles, cw = res
+        py = np.stack([TPUOCR._line_tile(shim, img, list(b))
+                       for b in boxes])
+        assert np.array_equal(py, tiles), f"tile drift on trial {trial}"
+        assert (cw >= 1).all() and (cw <= cfg.line_max_width).all()
+
+
+def test_crop_tiles_matches_line_tile_with_hires_ctx():
+    """_crop_tiles (the batched call site) applies the same hires-ratio
+    box scaling _line_tile did, so pixels are identical both with and
+    without a render ctx."""
+    from synapta_tpu.config import OCRConfig
+    from synapta_tpu.ocr.processor import TPUOCR
+
+    shim = TPUOCR.__new__(TPUOCR)
+    shim.cfg = OCRConfig()
+    rng = np.random.default_rng(11)
+    crop = rng.integers(0, 256, (180, 260, 3), np.uint8)
+    hires = rng.integers(0, 256, (360, 520, 3), np.uint8)
+    segs = [[10, 20, 120, 40], [0, 0, 259, 25], [200, 150, 260, 180]]
+    for ctx in (None, (hires, 2.0)):
+        batched = TPUOCR._crop_tiles(shim, crop, segs, ctx)
+        single = [TPUOCR._line_tile(shim, crop, s, ctx) for s in segs]
+        for b, s in zip(batched, single):
+            assert np.array_equal(b, s)
