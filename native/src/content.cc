@@ -5,6 +5,7 @@
 #include "spdf.h"
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstring>
 
@@ -2348,6 +2349,236 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// Annotation appearance synthesis (annots WITHOUT /AP). MuPDF renders
+// these too: its pdf_appearance.c synthesizes an appearance stream from
+// the annotation dictionary's geometry/color entries, so fitz
+// get_pixmap (the reference render path, pdf_image_segmentation.py:3651)
+// shows them. We emit a content-stream string directly in PAGE space
+// (no 12.5.5 form mapping needed) for the standard geometry/markup
+// subtypes; FreeText/Stamp glyph layout stays a documented degrade.
+// ---------------------------------------------------------------------------
+
+static void syn_num(std::string* s, double v) {
+  char b[40];
+  snprintf(b, sizeof b, "%.4f ", v);
+  *s += b;
+}
+
+// /C //IC color arrays: 0 comps = none, 1 = gray, 3 = RGB, 4 = CMYK
+// (PDF 32000-1 12.5.6.2)
+static bool syn_color(Document* doc, const ObjPtr& an, const char* key,
+                      bool stroke, std::string* s) {
+  ObjPtr c = doc->dict_get(an, key);
+  if (!c->is(ObjType::Array)) return false;
+  std::vector<double> v;
+  for (auto& e : c->arr) v.push_back(doc->resolve(e)->num());
+  if (v.empty()) return false;
+  for (double x : v) syn_num(s, std::min(1.0, std::max(0.0, x)));
+  if (v.size() >= 4) *s += stroke ? "K\n" : "k\n";
+  else if (v.size() >= 3) *s += stroke ? "RG\n" : "rg\n";
+  else *s += stroke ? "G\n" : "g\n";
+  return true;
+}
+
+static double syn_border_width(Document* doc, const ObjPtr& an) {
+  ObjPtr bs = doc->dict_get(an, "BS");
+  if (bs->is(ObjType::Dict)) {
+    ObjPtr w = doc->dict_get(bs, "W");
+    if (w->is(ObjType::Int) || w->is(ObjType::Real))
+      return std::max(0.0, w->num());
+  }
+  ObjPtr br = doc->dict_get(an, "Border");
+  if (br->is(ObjType::Array) && br->arr.size() >= 3)
+    return std::max(0.0, doc->resolve(br->arr[2])->num());
+  return 1.0;  // PDF 12.5.4: default border width
+}
+
+// /QuadPoints -> per-quad AABBs. Producers famously disagree on the
+// corner order (the spec's counterclockwise wording vs Acrobat's
+// TL TR BL BR emission), so the AABB is the robust interpretation for
+// the axis-aligned quads text markup produces.
+static std::vector<std::array<double, 4>> syn_quads(Document* doc,
+                                                    const ObjPtr& an) {
+  std::vector<std::array<double, 4>> out;
+  ObjPtr q = doc->dict_get(an, "QuadPoints");
+  if (!q->is(ObjType::Array)) return out;
+  for (size_t i = 0; i + 7 < q->arr.size(); i += 8) {
+    double xs[4], ys[4];
+    for (int k = 0; k < 4; k++) {
+      xs[k] = doc->resolve(q->arr[i + 2 * k])->num();
+      ys[k] = doc->resolve(q->arr[i + 2 * k + 1])->num();
+    }
+    double x0 = *std::min_element(xs, xs + 4);
+    double x1 = *std::max_element(xs, xs + 4);
+    double y0 = *std::min_element(ys, ys + 4);
+    double y1 = *std::max_element(ys, ys + 4);
+    if (x1 > x0 && y1 > y0) out.push_back({x0, y0, x1, y1});
+  }
+  return out;
+}
+
+// Returns false when the subtype isn't synthesizable or carries no ink.
+// pad_out = how far stroke ink may extend beyond /Rect (clip slop).
+static bool synth_annot_appearance(Document* doc, const ObjPtr& an,
+                                   const std::string& sub, double rx0,
+                                   double ry0, double rx1, double ry1,
+                                   std::string* content, ObjPtr* res_out,
+                                   double* pad_out) {
+  std::string s;
+  double bw = syn_border_width(doc, an);
+  *pad_out = bw;
+  // markup opacity /CA and the Highlight multiply blend ride a
+  // fabricated ExtGState the interpreter already evaluates
+  double alpha = 1.0;
+  ObjPtr cao = doc->dict_get(an, "CA");
+  if (cao->is(ObjType::Int) || cao->is(ObjType::Real))
+    alpha = std::min(1.0, std::max(0.0, cao->num()));
+  bool multiply = (sub == "Highlight");
+  if (alpha < 1.0 || multiply) {
+    auto egs = std::make_shared<Object>();
+    egs->type = ObjType::Dict;
+    if (alpha < 1.0) {
+      egs->dict["ca"] = make_real(alpha);
+      egs->dict["CA"] = make_real(alpha);
+    }
+    if (multiply) egs->dict["BM"] = make_name("Multiply");
+    auto gsd = std::make_shared<Object>();
+    gsd->type = ObjType::Dict;
+    gsd->dict["synA"] = egs;
+    auto res = std::make_shared<Object>();
+    res->type = ObjType::Dict;
+    res->dict["ExtGState"] = gsd;
+    *res_out = res;
+    s += "/synA gs\n";
+  }
+
+  if (sub == "Square" || sub == "Circle") {
+    bool has_fill = syn_color(doc, an, "IC", false, &s);
+    bool has_stroke = syn_color(doc, an, "C", true, &s);
+    syn_num(&s, bw);
+    s += "w\n";
+    bool stroke = has_stroke && bw > 0;
+    // per 12.5.6.8: no /C -> no border ink; no /IC -> no interior
+    if (!stroke && !has_fill) return false;
+    double in2 = stroke ? bw / 2 : 0;  // inset: ink stays inside /Rect
+    double x0 = rx0 + in2, y0 = ry0 + in2, x1 = rx1 - in2, y1 = ry1 - in2;
+    if (!(x1 > x0) || !(y1 > y0)) return false;
+    if (sub == "Square") {
+      syn_num(&s, x0); syn_num(&s, y0);
+      syn_num(&s, x1 - x0); syn_num(&s, y1 - y0);
+      s += "re\n";
+    } else {
+      const double kp = 0.55228474983;  // circular-arc Bezier constant
+      double cx = (x0 + x1) / 2, cy = (y0 + y1) / 2;
+      double ax = (x1 - x0) / 2, ay = (y1 - y0) / 2;
+      syn_num(&s, cx + ax); syn_num(&s, cy); s += "m\n";
+      syn_num(&s, cx + ax); syn_num(&s, cy + ay * kp);
+      syn_num(&s, cx + ax * kp); syn_num(&s, cy + ay);
+      syn_num(&s, cx); syn_num(&s, cy + ay); s += "c\n";
+      syn_num(&s, cx - ax * kp); syn_num(&s, cy + ay);
+      syn_num(&s, cx - ax); syn_num(&s, cy + ay * kp);
+      syn_num(&s, cx - ax); syn_num(&s, cy); s += "c\n";
+      syn_num(&s, cx - ax); syn_num(&s, cy - ay * kp);
+      syn_num(&s, cx - ax * kp); syn_num(&s, cy - ay);
+      syn_num(&s, cx); syn_num(&s, cy - ay); s += "c\n";
+      syn_num(&s, cx + ax * kp); syn_num(&s, cy - ay);
+      syn_num(&s, cx + ax); syn_num(&s, cy - ay * kp);
+      syn_num(&s, cx + ax); syn_num(&s, cy); s += "c\nh\n";
+    }
+    s += (stroke && has_fill) ? "B\n" : (stroke ? "S\n" : "f\n");
+  } else if (sub == "Line") {
+    ObjPtr L = doc->dict_get(an, "L");
+    if (!L->is(ObjType::Array) || L->arr.size() < 4) return false;
+    if (!syn_color(doc, an, "C", true, &s)) s += "0 G\n";
+    syn_num(&s, std::max(bw, 0.5));
+    s += "w\n";
+    syn_num(&s, doc->resolve(L->arr[0])->num());
+    syn_num(&s, doc->resolve(L->arr[1])->num());
+    s += "m\n";
+    syn_num(&s, doc->resolve(L->arr[2])->num());
+    syn_num(&s, doc->resolve(L->arr[3])->num());
+    s += "l\nS\n";
+  } else if (sub == "Ink") {
+    ObjPtr inkl = doc->dict_get(an, "InkList");
+    if (!inkl->is(ObjType::Array)) return false;
+    if (!syn_color(doc, an, "C", true, &s)) s += "0 G\n";
+    syn_num(&s, std::max(bw, 0.5));
+    s += "w\n";
+    bool any = false;
+    for (auto& pref : inkl->arr) {
+      ObjPtr pts = doc->resolve(pref);
+      if (!pts->is(ObjType::Array) || pts->arr.size() < 4) continue;
+      for (size_t i = 0; i + 1 < pts->arr.size(); i += 2) {
+        syn_num(&s, doc->resolve(pts->arr[i])->num());
+        syn_num(&s, doc->resolve(pts->arr[i + 1])->num());
+        s += i == 0 ? "m\n" : "l\n";
+      }
+      s += "S\n";
+      any = true;
+    }
+    if (!any) return false;
+  } else if (sub == "Polygon" || sub == "PolyLine") {
+    ObjPtr vs = doc->dict_get(an, "Vertices");
+    if (!vs->is(ObjType::Array) || vs->arr.size() < 4) return false;
+    bool has_fill =
+        sub == "Polygon" && syn_color(doc, an, "IC", false, &s);
+    if (!syn_color(doc, an, "C", true, &s)) s += "0 G\n";
+    syn_num(&s, std::max(bw, 0.5));
+    s += "w\n";
+    for (size_t i = 0; i + 1 < vs->arr.size(); i += 2) {
+      syn_num(&s, doc->resolve(vs->arr[i])->num());
+      syn_num(&s, doc->resolve(vs->arr[i + 1])->num());
+      s += i == 0 ? "m\n" : "l\n";
+    }
+    if (sub == "Polygon") s += has_fill ? "h\nB\n" : "h\nS\n";
+    else s += "S\n";
+  } else if (sub == "Highlight") {
+    auto quads = syn_quads(doc, an);
+    if (quads.empty()) return false;
+    if (!syn_color(doc, an, "C", false, &s)) s += "1 1 0 rg\n";
+    for (auto& q : quads) {
+      syn_num(&s, q[0]); syn_num(&s, q[1]);
+      syn_num(&s, q[2] - q[0]); syn_num(&s, q[3] - q[1]);
+      s += "re\n";
+    }
+    s += "f\n";
+  } else if (sub == "Underline" || sub == "StrikeOut" ||
+             sub == "Squiggly") {
+    auto quads = syn_quads(doc, an);
+    if (quads.empty()) return false;
+    if (!syn_color(doc, an, "C", true, &s)) s += "0 G\n";
+    for (auto& q : quads) {
+      double qh = q[3] - q[1];
+      double lw = std::max(0.5, qh * 0.07);
+      syn_num(&s, lw);
+      s += "w\n";
+      if (sub == "Squiggly") {
+        double amp = qh * 0.12, half = std::max(1.0, qh * 0.2);
+        double y = q[1] + amp;
+        syn_num(&s, q[0]); syn_num(&s, y); s += "m\n";
+        bool up = true;
+        for (double x = q[0] + half; x < q[2] + half; x += half) {
+          syn_num(&s, std::min(x, q[2]));
+          syn_num(&s, up ? y + amp : y);
+          s += "l\n";
+          up = !up;
+        }
+        s += "S\n";
+      } else {
+        double y = sub == "Underline" ? q[1] + qh * 0.08 + lw / 2
+                                      : q[1] + qh * 0.45;
+        syn_num(&s, q[0]); syn_num(&s, y); s += "m\n";
+        syn_num(&s, q[2]); syn_num(&s, y); s += "l\nS\n";
+      }
+    }
+  } else {
+    return false;
+  }
+  *content += s;
+  return true;
+}
+
 }  // namespace
 
 bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
@@ -2448,7 +2679,6 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
         }
         n = pick;
       }
-      if (!n->is(ObjType::Stream)) continue;
       ObjPtr ro = doc_->dict_get(an, "Rect");
       if (!ro->is(ObjType::Array) || ro->arr.size() != 4) continue;
       double rx0 = doc_->resolve(ro->arr[0])->num();
@@ -2457,6 +2687,43 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
       double ry1 = doc_->resolve(ro->arr[3])->num();
       if (rx1 < rx0) std::swap(rx0, rx1);
       if (ry1 < ry0) std::swap(ry0, ry1);
+      if (!n->is(ObjType::Stream)) {
+        // no /AP: synthesize the standard subtypes' appearance from the
+        // annotation dictionary like MuPDF's pdf_appearance.c; content
+        // is emitted in page space, so only the base CTM applies
+        std::string syn;
+        ObjPtr synres = make_null();
+        double pad = 0;
+        if (!sub->is(ObjType::Name) ||
+            !synth_annot_appearance(doc_, an, sub->s, rx0, ry0, rx1, ry1,
+                                    &syn, &synres, &pad))
+          continue;
+        Interp ai;
+        ai.doc = doc_;
+        ai.out = out;
+        ai.dl = dl;
+        ai.hidden_ocgs = in.hidden_ocgs;
+        ai.base_ctm = in.base_ctm;
+        ai.gs.ctm = in.base_ctm;
+        Rect bclip;  // /Rect grown by the stroke slop, in device space
+        double cs[4][2] = {{rx0 - pad, ry0 - pad}, {rx1 + pad, ry0 - pad},
+                           {rx1 + pad, ry1 + pad}, {rx0 - pad, ry1 + pad}};
+        for (auto& c : cs) {
+          double ox, oy;
+          ai.gs.ctm.apply(c[0], c[1], &ox, &oy);
+          bclip.grow(ox, oy);
+        }
+        ai.gs.clip.x0 = std::max(0.0, bclip.x0);
+        ai.gs.clip.y0 = std::max(0.0, bclip.y0);
+        ai.gs.clip.x1 = std::min(w, bclip.x1);
+        ai.gs.clip.y1 = std::min(h, bclip.y1);
+        if (ai.gs.clip.x1 <= ai.gs.clip.x0 ||
+            ai.gs.clip.y1 <= ai.gs.clip.y0)
+          continue;
+        ai.run_stream(syn, synres);
+        ai.flush_span();
+        continue;
+      }
       ObjPtr bo = doc_->dict_get(n, "BBox");
       if (!bo->is(ObjType::Array) || bo->arr.size() != 4) continue;
       double bx[4], by[4];

@@ -944,14 +944,26 @@ std::string Document::decode_stream(const ObjPtr& stm) {
         parmlist.push_back(make_null());
     }
   }
-  for (size_t i = 0; i < filters.size(); i++) {
-    // cascaded-filter bomb guard: a stage that hit the per-stream
-    // ceiling must not feed the next stage (exponential blowup)
-    if (data.size() > ((size_t)256 << 20)) {
+  bool expanded = false;  // a decode stage (not raw passthrough) ran
+  for (size_t i = 0; i <= filters.size(); i++) {
+    // decompression-bomb guard: a decode stage that hit the per-stream
+    // ceiling produced garbage (legit book streams stay far below it,
+    // see kMaxDecodedStream) — drop it entirely rather than feed it to
+    // the next stage (exponential blowup) or return a truncated
+    // 256MB+ buffer callers would retain/lex. Raw data (unfiltered,
+    // DCT/JPX passthrough) is bounded by the file size and kept.
+    if (expanded && data.size() > kMaxDecodedStream) {
       data.clear();
+      data.shrink_to_fit();
       break;
     }
+    if (i == filters.size()) break;
     const std::string& f = filters[i]->s;
+    if (f == "FlateDecode" || f == "Fl" || f == "ASCIIHexDecode" ||
+        f == "AHx" || f == "ASCII85Decode" || f == "A85" ||
+        f == "RunLengthDecode" || f == "RL" || f == "LZWDecode" ||
+        f == "LZW" || f == "CCITTFaxDecode" || f == "CCF")
+      expanded = true;
     if (f == "FlateDecode" || f == "Fl") data = flate_decode(data);
     else if (f == "ASCIIHexDecode" || f == "AHx") data = ascii_hex_decode(data);
     else if (f == "ASCII85Decode" || f == "A85") data = ascii85_decode(data);

@@ -167,8 +167,9 @@ def test_bbox_clips_appearance_content(tmp_path):
 
 
 def test_annot_without_ap_is_graceful(tmp_path):
-    """AP-less annotations (viewer-synthesized appearances) degrade to
-    nothing painted — documented in PARITY.md — and never crash."""
+    """AP-less annotations with no ink to synthesize (no /C //IC colors,
+    no /QuadPoints) paint nothing and never crash; degenerate /Rect or
+    /BBox forms are skipped."""
     annots = [
         b"<< /Type /Annot /Subtype /Square /Rect [100 100 200 150] >>",
         b"<< /Type /Annot /Subtype /Highlight /Rect [0 0 10 10] "
@@ -197,3 +198,136 @@ def test_annot_over_page_content_composites(tmp_path):
     arr = open_pdf(str(p)).render(0, dpi=72)
     assert arr[175, 150][0] > 200          # annot red wins inside rect
     assert (arr[250, 150] < 40).all()      # black page elsewhere
+
+# ---------------------------------------------------------------------------
+# Appearance SYNTHESIS for annots without /AP (MuPDF pdf_appearance.c
+# class of behavior): the engine builds the ink from the annotation
+# dictionary's geometry/color entries. Expected pixels below are derived
+# by hand from the fixtures (page 300x300 at 72 dpi -> device row =
+# 300 - page_y).
+# ---------------------------------------------------------------------------
+
+
+def test_synth_square_border_and_interior(tmp_path):
+    """Square without /AP: /C border stroked at /BS /W inset to stay
+    inside /Rect, /IC interior filled."""
+    annot = (b"<< /Type /Annot /Subtype /Square /Rect [100 100 200 150] "
+             b"/C [1 0 0] /IC [0 0 1] /BS << /W 4 >> >>")
+    p = tmp_path / "sq.pdf"
+    p.write_bytes(_pdf(_annot_page([annot])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    # left border band: stroke width 4 centered at x=102
+    assert arr[175, 102][0] > 180 and arr[175, 102][2] < 80
+    # top border: page y=148 -> device row 152
+    assert arr[152, 150][0] > 180 and arr[152, 150][2] < 80
+    inside = arr[160:190, 110:190]
+    assert (inside[..., 2] > 180).all() and (inside[..., 0] < 80).all()
+    assert (arr[175, 95] > 240).all()   # outside: white
+    assert (arr[140, 150] > 240).all()  # above rect
+
+
+def test_synth_circle_fill_misses_corners(tmp_path):
+    """Circle without /AP: /IC fills the inscribed ellipse; /Rect corners
+    stay unpainted (it is an ellipse, not the rect)."""
+    annot = (b"<< /Type /Annot /Subtype /Circle /Rect [100 100 200 200] "
+             b"/IC [0 1 0] >>")
+    p = tmp_path / "ci.pdf"
+    p.write_bytes(_pdf(_annot_page([annot])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    c = arr[150, 150]  # center: green fill
+    assert c[1] > 180 and c[0] < 80 and c[2] < 80
+    assert (arr[195, 105] > 240).all()  # rect corner: outside the ellipse
+    assert (arr[105, 195] > 240).all()
+
+
+def test_synth_line_and_ink(tmp_path):
+    """Line strokes /L with /C at /BS /W; Ink strokes each /InkList
+    polyline."""
+    annots = [
+        (b"<< /Type /Annot /Subtype /Line /Rect [40 40 260 260] "
+         b"/L [50 50 250 250] /C [0 0 1] /BS << /W 3 >> >>"),
+        (b"<< /Type /Annot /Subtype /Ink /Rect [40 40 260 260] "
+         b"/InkList [[50 250 250 250]] /C [0 1 0] /BS << /W 3 >> >>"),
+    ]
+    p = tmp_path / "li.pdf"
+    p.write_bytes(_pdf(_annot_page(annots)))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    mid = arr[150, 150]  # line midpoint (150,150)
+    assert mid[2] > 180 and mid[0] < 80
+    assert (arr[150, 180] > 240).all()  # off the diagonal
+    ink = arr[50, 150]  # ink stroke at page y=250 -> row 50
+    assert ink[1] > 150 and ink[0] < 100
+    assert (arr[60, 150] > 240).all()
+
+
+def test_synth_highlight_multiplies(tmp_path):
+    """Highlight without /AP fills its /QuadPoints AABBs with /C through
+    a Multiply blend: white turns yellow, black page ink stays black
+    (how real highlighters and MuPDF's synthesized highlights behave)."""
+    # bottom strip (page y<100) painted black by the page content
+    annot = (b"<< /Type /Annot /Subtype /Highlight /Rect [50 50 250 150] "
+             b"/C [1 1 0] "
+             b"/QuadPoints [50 150 250 150 50 50 250 50] >>")
+    p = tmp_path / "hl.pdf"
+    p.write_bytes(_pdf(_annot_page(
+        [annot], contents=b"0 0 0 rg 0 0 300 100 re f\n")))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    over_white = arr[175, 150]  # page y=125: white * yellow = yellow
+    assert over_white[0] > 200 and over_white[1] > 200 and over_white[2] < 60
+    over_black = arr[225, 150]  # page y=75: black * yellow = black
+    assert (over_black < 60).all()
+    assert (arr[130, 150] > 240).all()  # above the quad: untouched white
+
+
+def test_synth_markup_opacity_ca(tmp_path):
+    """/CA markup opacity applies to synthesized ink: a half-alpha red
+    fill over white blends to pink."""
+    annot = (b"<< /Type /Annot /Subtype /Square /Rect [100 100 200 150] "
+             b"/IC [1 0 0] /CA 0.5 >>")
+    p = tmp_path / "ca.pdf"
+    p.write_bytes(_pdf(_annot_page([annot])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    px = arr[175, 150]
+    assert px[0] > 240                 # red stays saturated
+    assert 90 < px[1] < 170 and 90 < px[2] < 170  # half-blended with white
+
+
+def test_synth_strikeout_underline_squiggly(tmp_path):
+    """Text-markup lines land in the right zone of each quad: StrikeOut
+    mid-height, Underline near the bottom, Squiggly wiggles at the
+    bottom; the rest of the quad stays white."""
+    quads = b"/QuadPoints [100 140 200 140 100 100 200 100]"
+    mk = lambda sub: (b"<< /Type /Annot /Subtype /" + sub +
+                      b" /Rect [100 100 200 140] /C [1 0 0] " + quads + b" >>")
+    # StrikeOut: y = 100 + 40*0.45 = 118 -> row 182
+    p = tmp_path / "so.pdf"
+    p.write_bytes(_pdf(_annot_page([mk(b"StrikeOut")])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    assert arr[182, 150][0] > 180 and arr[182, 150][1] < 100
+    assert (arr[165, 150] > 240).all() and (arr[195, 150] > 240).all()
+    # Underline: y ~ 100 + 40*0.08 + lw/2 ~ 104.6 -> row ~195
+    p = tmp_path / "ul.pdf"
+    p.write_bytes(_pdf(_annot_page([mk(b"Underline")])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    band = arr[193:198, 120:180]
+    assert (band[..., 1] < 200).any()          # some red ink in the band
+    assert (arr[170, 150] > 240).all()         # mid-quad untouched
+    # Squiggly: ink somewhere in the bottom zone, none at mid-height
+    p = tmp_path / "sq2.pdf"
+    p.write_bytes(_pdf(_annot_page([mk(b"Squiggly")])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    assert (arr[186:200, 110:190][..., 1] < 200).any()
+    assert (arr[165, 150] > 240).all()
+
+
+def test_synth_polygon(tmp_path):
+    """Polygon without /AP: /Vertices closed, /IC filled, /C stroked."""
+    annot = (b"<< /Type /Annot /Subtype /Polygon /Rect [40 140 260 260] "
+             b"/Vertices [150 250 250 150 50 150] /C [0 0 0] "
+             b"/IC [0 1 0] /BS << /W 2 >> >>")
+    p = tmp_path / "pg.pdf"
+    p.write_bytes(_pdf(_annot_page([annot])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    c = arr[117, 150]  # triangle centroid (page ~(150,183))
+    assert c[1] > 180 and c[0] < 80
+    assert (arr[117, 60] > 240).all()  # outside the triangle, inside rect

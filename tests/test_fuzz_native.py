@@ -236,6 +236,22 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
              b"/AP << /N << /On 8 0 R /Off 10 0 R >> >> /AS /On >>"),
             (b"<< /Type /Annot /Subtype /Stamp /Rect [50 200 70 280] "
              b"/F 4 /AP << /N 9 0 R >> >>"),
+            # AP-less: every synthesized subtype (content.cc
+            # synth_annot_appearance) so mutations hit those paths too
+            (b"<< /Type /Annot /Subtype /Circle /Rect [10 10 90 90] "
+             b"/C [1 0 0] /IC [0 0 1] /BS << /W 3 >> /CA 0.6 >>"),
+            (b"<< /Type /Annot /Subtype /Line /Rect [0 0 300 300] "
+             b"/L [20 20 280 280] /C [0 1 0] >>"),
+            (b"<< /Type /Annot /Subtype /Ink /Rect [0 0 300 300] "
+             b"/InkList [[10 10 50 40 90 10] [100 100 200 120]] "
+             b"/C [0.2 0.2 0.9] >>"),
+            (b"<< /Type /Annot /Subtype /Highlight /Rect [20 200 280 260] "
+             b"/C [1 1 0] /QuadPoints [20 260 280 260 20 200 280 200] >>"),
+            (b"<< /Type /Annot /Subtype /Squiggly /Rect [20 150 280 180] "
+             b"/C [1 0 0] /QuadPoints [20 180 280 180 20 150 280 150] >>"),
+            (b"<< /Type /Annot /Subtype /Polygon /Rect [0 0 300 300] "
+             b"/Vertices [150 250 250 150 50 150] /C [0 0 0] "
+             b"/IC [0 1 0] >>"),
         ]
         data = _pdf(_annot_page(annots, extra_objs=forms,
                                 contents=b"0.5 g 0 0 300 300 re f\n"))
@@ -323,7 +339,7 @@ def test_cascaded_flate_bomb_contained(tmp_path):
         "assert arr is not None and arr.shape == (792, 612, 3), arr\n"
         "peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss"
         " / 1024\n"
-        "assert peak_mb < 2500, f'peak RSS {peak_mb:.0f}MB'\n"
+        "assert peak_mb < 1500, f'peak RSS {peak_mb:.0f}MB'\n"
         "print('BOMBOK')\n"
     )
     env = dict(os.environ)
