@@ -320,7 +320,19 @@ std::string flate_decode(const std::string& in) {
   char buf[65536];
   int ret = Z_OK;
   do {
-    if (out.size() > kMaxDecodedStream) break;  // decompression bomb
+    if (out.size() >= kMaxDecodedStream) {
+      // decompression bomb: drop HERE, inside the decoder — a payload
+      // engineered to land exactly at the ceiling must not escape as a
+      // "successful" 256MB decode the caller retains and lexes
+      std::string().swap(out);
+      break;
+    }
+    // cap capacity growth at the ceiling: unchecked doubling reallocs
+    // 256MB -> 512MB with both buffers live, spiking peak RSS for a
+    // stream that is about to be dropped anyway
+    if (out.capacity() - out.size() < sizeof(buf))
+      out.reserve(std::min(out.capacity() * 2 + sizeof(buf),
+                           kMaxDecodedStream + sizeof(buf)));
     zs.next_out = (Bytef*)buf;
     zs.avail_out = sizeof(buf);
     ret = inflate(&zs, Z_NO_FLUSH);
@@ -406,6 +418,10 @@ std::string ascii85_decode(const std::string& in) {
     if (c == '~') break;
     if (c == 'z' && cnt == 0) {
       out.append(4, '\0');
+      if (out.size() >= kMaxDecodedStream) {  // 'z' bomb: 4x expansion
+        std::string().swap(out);
+        return out;
+      }
       continue;
     }
     if (c < '!' || c > 'u') continue;
@@ -427,7 +443,11 @@ std::string ascii85_decode(const std::string& in) {
 std::string runlength_decode(const std::string& in) {
   std::string out;
   size_t p = 0;
-  while (p < in.size() && out.size() <= kMaxDecodedStream) {
+  while (p < in.size()) {
+    if (out.size() >= kMaxDecodedStream) {  // bomb: drop, don't truncate
+      std::string().swap(out);
+      break;
+    }
     uint8_t l = in[p++];
     if (l == 128) break;
     if (l < 128) {
@@ -475,7 +495,10 @@ std::string lzw_decode(const std::string& in, int early) {
         entry = prev + prev[0];
       }
       out += entry;
-      if (out.size() > kMaxDecodedStream) return out;  // LZW bomb
+      if (out.size() >= kMaxDecodedStream) {  // LZW bomb: drop
+        std::string().swap(out);
+        return out;
+      }
       if (!prev.empty()) table.push_back(prev + entry[0]);
       prev = entry;
       if ((int)table.size() + early >= (1 << bits) && bits < 12) bits++;
@@ -952,7 +975,7 @@ std::string Document::decode_stream(const ObjPtr& stm) {
     // the next stage (exponential blowup) or return a truncated
     // 256MB+ buffer callers would retain/lex. Raw data (unfiltered,
     // DCT/JPX passthrough) is bounded by the file size and kept.
-    if (expanded && data.size() > kMaxDecodedStream) {
+    if (expanded && data.size() >= kMaxDecodedStream) {
       data.clear();
       data.shrink_to_fit();
       break;

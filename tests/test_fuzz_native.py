@@ -339,7 +339,7 @@ def test_cascaded_flate_bomb_contained(tmp_path):
         "assert arr is not None and arr.shape == (792, 612, 3), arr\n"
         "peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss"
         " / 1024\n"
-        "assert peak_mb < 1500, f'peak RSS {peak_mb:.0f}MB'\n"
+        "assert peak_mb < 800, f'peak RSS {peak_mb:.0f}MB'\n"
         "print('BOMBOK')\n"
     )
     env = dict(os.environ)
