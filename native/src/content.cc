@@ -7,6 +7,7 @@
 #include <algorithm>
 #include <array>
 #include <cmath>
+#include <cstdlib>
 #include <cstring>
 
 namespace spdf {
@@ -2356,7 +2357,9 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
 // get_pixmap (the reference render path, pdf_image_segmentation.py:3651)
 // shows them. We emit a content-stream string directly in PAGE space
 // (no 12.5.5 form mapping needed) for the standard geometry/markup
-// subtypes; FreeText/Stamp glyph layout stays a documented degrade.
+// subtypes plus FreeText (/DA-styled, wrapped, quadded text) and Stamp
+// (rounded banner with the /Name as text); Widget field appearances
+// stay a documented degrade.
 // ---------------------------------------------------------------------------
 
 static void syn_num(std::string* s, double v) {
@@ -2418,6 +2421,132 @@ static std::vector<std::array<double, 4>> syn_quads(Document* doc,
   return out;
 }
 
+static ObjPtr syn_ensure_res(ObjPtr* res_out) {
+  if (!(*res_out) || !(*res_out)->is(ObjType::Dict)) {
+    auto r = std::make_shared<Object>();
+    r->type = ObjType::Dict;
+    *res_out = r;
+  }
+  return *res_out;
+}
+
+// PDF text string (12.5.6 /Contents): UTF-16BE with BOM, else PDFDoc
+// bytes (≈ Latin-1 for the printable range WinAnsi also covers)
+static std::string syn_text_decode(const std::string& s) {
+  if (s.size() >= 2 && (uint8_t)s[0] == 0xFE && (uint8_t)s[1] == 0xFF) {
+    std::string out;
+    for (size_t i = 2; i + 1 < s.size(); i += 2) {
+      uint32_t u = ((uint8_t)s[i] << 8) | (uint8_t)s[i + 1];
+      out += (u && u < 256) ? (char)u : '?';
+    }
+    return out;
+  }
+  return s;
+}
+
+static void syn_escape(std::string* s, const std::string& text) {
+  for (char c : text) {
+    if (c == '(' || c == ')' || c == '\\') *s += '\\';
+    *s += c;
+  }
+}
+
+// /DA default-appearance string (12.7.3.3): extract the /<font> <size> Tf
+// selector and any g/rg/k fill color so the synthesized text matches.
+static void syn_parse_da(const std::string& da, std::string* font_name,
+                         double* size, std::string* color_ops) {
+  std::vector<std::string> t;
+  std::string cur;
+  for (char c : da) {
+    if (isspace((unsigned char)c)) {
+      if (!cur.empty()) {
+        t.push_back(cur);
+        cur.clear();
+      }
+    } else {
+      cur += c;
+    }
+  }
+  if (!cur.empty()) t.push_back(cur);
+  for (size_t i = 0; i < t.size(); i++) {
+    if (t[i] == "Tf" && i >= 2) {
+      *size = atof(t[i - 1].c_str());
+      *font_name = t[i - 2];
+      if (!font_name->empty() && (*font_name)[0] == '/')
+        font_name->erase(0, 1);
+    } else if (t[i] == "g" && i >= 1) {
+      *color_ops = t[i - 1] + " g\n";
+    } else if (t[i] == "rg" && i >= 3) {
+      *color_ops = t[i - 3] + " " + t[i - 2] + " " + t[i - 1] + " rg\n";
+    } else if (t[i] == "k" && i >= 4) {
+      *color_ops = t[i - 4] + " " + t[i - 3] + " " + t[i - 2] + " " +
+                   t[i - 1] + " k\n";
+    }
+  }
+}
+
+// DA font names (/Helv /TiRo /Cour ...) resolve through the AcroForm
+// default resources when present; otherwise fabricate a non-embedded
+// base-14-style dict so load_font falls through to the family substitute
+// (the same path non-embedded page fonts take).
+static ObjPtr syn_resolve_da_font(Document* doc, const std::string& name) {
+  if (!name.empty()) {
+    ObjPtr root = doc->dict_get(doc->trailer(), "Root");
+    ObjPtr dr = doc->dict_get(doc->dict_get(root, "AcroForm"), "DR");
+    ObjPtr f = doc->dict_get(doc->dict_get(dr, "Font"), name);
+    if (f->is(ObjType::Dict)) return f;
+  }
+  std::string lower;
+  for (char c : name) lower += (char)tolower((unsigned char)c);
+  const char* base = "Helvetica";
+  if (lower.find("cour") != std::string::npos ||
+      lower.find("mono") != std::string::npos)
+    base = "Courier";
+  else if (lower.find("tiro") != std::string::npos ||
+           lower.find("times") != std::string::npos ||
+           lower.find("serif") != std::string::npos ||
+           lower.find("roman") != std::string::npos)
+    base = "Times-Roman";
+  else if (lower.find("bold") != std::string::npos)
+    base = "Helvetica-Bold";
+  auto f = std::make_shared<Object>();
+  f->type = ObjType::Dict;
+  f->dict["Type"] = make_name("Font");
+  f->dict["Subtype"] = make_name("Type1");
+  f->dict["BaseFont"] = make_name(base);
+  return f;
+}
+
+static double syn_text_width(const PdfFont* f, const std::string& line,
+                             double size) {
+  double w = 0;
+  for (unsigned char c : line) w += f->width_for_code(c) * size / 1000.0;
+  return w;
+}
+
+// /C as an RGB triple (gray / rgb / cmyk comps per 12.5.6.2)
+static bool syn_get_rgb(Document* doc, const ObjPtr& an, const char* key,
+                        double* r, double* g, double* b) {
+  ObjPtr c = doc->dict_get(an, key);
+  if (!c->is(ObjType::Array)) return false;
+  std::vector<double> v;
+  for (auto& e : c->arr)
+    v.push_back(std::min(1.0, std::max(0.0, doc->resolve(e)->num())));
+  if (v.empty()) return false;
+  if (v.size() >= 4) {
+    *r = (1 - v[0]) * (1 - v[3]);
+    *g = (1 - v[1]) * (1 - v[3]);
+    *b = (1 - v[2]) * (1 - v[3]);
+  } else if (v.size() >= 3) {
+    *r = v[0];
+    *g = v[1];
+    *b = v[2];
+  } else {
+    *r = *g = *b = v[0];
+  }
+  return true;
+}
+
 // Returns false when the subtype isn't synthesizable or carries no ink.
 // pad_out = how far stroke ink may extend beyond /Rect (clip slop).
 static bool synth_annot_appearance(Document* doc, const ObjPtr& an,
@@ -2446,10 +2575,7 @@ static bool synth_annot_appearance(Document* doc, const ObjPtr& an,
     auto gsd = std::make_shared<Object>();
     gsd->type = ObjType::Dict;
     gsd->dict["synA"] = egs;
-    auto res = std::make_shared<Object>();
-    res->type = ObjType::Dict;
-    res->dict["ExtGState"] = gsd;
-    *res_out = res;
+    syn_ensure_res(res_out)->dict["ExtGState"] = gsd;
     s += "/synA gs\n";
   }
 
@@ -2572,6 +2698,185 @@ static bool synth_annot_appearance(Document* doc, const ObjPtr& an,
         syn_num(&s, q[2]); syn_num(&s, y); s += "l\nS\n";
       }
     }
+  } else if (sub == "FreeText") {
+    // 12.5.6.6: for FreeText /C is the BACKGROUND; text style rides the
+    // required /DA string (font selector, size, fill color honored).
+    bool bg = syn_color(doc, an, "C", false, &s);
+    if (bg) {
+      syn_num(&s, rx0); syn_num(&s, ry0);
+      syn_num(&s, rx1 - rx0); syn_num(&s, ry1 - ry0);
+      s += "re\nf\n";
+    }
+    if (bw > 0 && rx1 - rx0 > bw * 2 && ry1 - ry0 > bw * 2) {
+      s += "0 G\n";
+      syn_num(&s, bw);
+      s += "w\n";
+      syn_num(&s, rx0 + bw / 2); syn_num(&s, ry0 + bw / 2);
+      syn_num(&s, rx1 - rx0 - bw); syn_num(&s, ry1 - ry0 - bw);
+      s += "re\nS\n";
+    }
+    std::string fname, colorops;
+    double fsize = 0;
+    ObjPtr dao = doc->dict_get(an, "DA");
+    if (dao->is(ObjType::String))
+      syn_parse_da(dao->s, &fname, &fsize, &colorops);
+    if (fsize <= 0) fsize = 12;  // "/F 0 Tf" = auto-size: viewer floor
+    if (colorops.empty()) colorops = "0 g\n";
+    std::string text = syn_text_decode(doc->dict_get(an, "Contents")->s);
+    bool any_text = false;
+    double tpad = 2 + bw;
+    double avail = rx1 - rx0 - 2 * tpad;
+    if (!text.empty() && avail > fsize * 0.3) {
+      ObjPtr fdict = syn_resolve_da_font(doc, fname);
+      auto pf = load_font(doc, fdict);
+      int q = 0;  // /Q quadding: 0 left / 1 center / 2 right (12.7.3.3)
+      ObjPtr qo = doc->dict_get(an, "Q");
+      if (qo->is(ObjType::Int) || qo->is(ObjType::Real)) q = (int)qo->num();
+      // greedy word wrap at the measured substitute-font advances
+      std::vector<std::string> lines;
+      std::string cur;
+      double curw = 0;
+      auto flush_line = [&]() {
+        while (!cur.empty() && cur.back() == ' ') cur.pop_back();
+        lines.push_back(cur);
+        cur.clear();
+        curw = 0;
+      };
+      size_t i = 0;
+      while (i < text.size()) {
+        char c = text[i];
+        if (c == '\r' || c == '\n') {
+          if (c == '\r' && i + 1 < text.size() && text[i + 1] == '\n') i++;
+          flush_line();
+          i++;
+          continue;
+        }
+        size_t j = i;
+        if (c == ' ') {
+          j = i + 1;
+        } else {
+          while (j < text.size() && text[j] != ' ' && text[j] != '\r' &&
+                 text[j] != '\n')
+            j++;
+        }
+        std::string word = text.substr(i, j - i);
+        double ww = syn_text_width(pf.get(), word, fsize);
+        if (!cur.empty() && word != " " && curw + ww > avail) flush_line();
+        if (!(cur.empty() && word == " ")) {  // no leading spaces
+          cur += word;
+          curw += ww;
+        }
+        i = j;
+      }
+      if (!cur.empty()) flush_line();
+      double lh = fsize * 1.15;
+      double y = ry1 - tpad - fsize * 0.85;  // first baseline (~ascent)
+      std::string ts;
+      for (auto& ln : lines) {
+        if (y < ry0 + tpad - 0.01) break;  // overflow clips at /Rect
+        if (!ln.empty()) {
+          double lwid = syn_text_width(pf.get(), ln, fsize);
+          double x = rx0 + tpad;
+          if (q == 1) x = rx0 + (rx1 - rx0 - lwid) / 2;
+          else if (q == 2) x = rx1 - tpad - lwid;
+          ts += "1 0 0 1 ";
+          syn_num(&ts, x); syn_num(&ts, y);
+          ts += "Tm\n(";
+          syn_escape(&ts, ln);
+          ts += ") Tj\n";
+        }
+        y -= lh;
+      }
+      if (!ts.empty()) {
+        s += "BT\n/SynF ";
+        syn_num(&s, fsize);
+        s += "Tf\n" + colorops + ts + "ET\n";
+        auto fres = std::make_shared<Object>();
+        fres->type = ObjType::Dict;
+        fres->dict["SynF"] = fdict;
+        syn_ensure_res(res_out)->dict["Font"] = fres;
+        any_text = true;
+      }
+    }
+    if (!bg && bw <= 0 && !any_text) return false;
+  } else if (sub == "Stamp") {
+    // rubber stamp without /AP: rounded-rect banner with the camel-case
+    // /Name as spaced uppercase text ("NotApproved" -> "NOT APPROVED"),
+    // colored by the standard-name family like viewers' stamp artwork
+    ObjPtr nm = doc->dict_get(an, "Name");
+    std::string name = nm->is(ObjType::Name) ? nm->s : "Draft";
+    std::string txt;
+    for (char c : name) {
+      if (isupper((unsigned char)c) && !txt.empty() && txt.back() != ' ')
+        txt += ' ';
+      txt += (char)toupper((unsigned char)c);
+    }
+    double rw = rx1 - rx0, rh = ry1 - ry0;
+    if (rw < 8 || rh < 8) return false;
+    double cr, cg, cb;
+    if (!syn_get_rgb(doc, an, "C", &cr, &cg, &cb)) {
+      static const char* kGreen[] = {"Approved", "Final", "Completed",
+                                     "Confirmed"};
+      static const char* kRed[] = {"NotApproved", "Void", "Rejected",
+                                   "Cancelled"};
+      cr = 0.04; cg = 0.25; cb = 0.6;  // default: annotation blue
+      for (const char* g : kGreen)
+        if (name == g) { cr = 0.0; cg = 0.45; cb = 0.1; }
+      for (const char* rr : kRed)
+        if (name == rr) { cr = 0.7; cg = 0.05; cb = 0.05; }
+    }
+    char cbuf[96];
+    snprintf(cbuf, sizeof cbuf, "%.3f %.3f %.3f RG\n%.3f %.3f %.3f rg\n",
+             cr, cg, cb, cr, cg, cb);
+    s += cbuf;
+    double blw = std::max(1.0, std::min(rw, rh) * 0.06);
+    double x0 = rx0 + blw / 2, y0 = ry0 + blw / 2;
+    double x1 = rx1 - blw / 2, y1 = ry1 - blw / 2;
+    double r = std::min({(x1 - x0) / 4, (y1 - y0) / 4, rh * 0.2});
+    const double kp = 0.55228474983;
+    syn_num(&s, blw);
+    s += "w\n";
+    syn_num(&s, x0 + r); syn_num(&s, y0); s += "m\n";
+    syn_num(&s, x1 - r); syn_num(&s, y0); s += "l\n";
+    syn_num(&s, x1 - r + r * kp); syn_num(&s, y0);
+    syn_num(&s, x1); syn_num(&s, y0 + r - r * kp);
+    syn_num(&s, x1); syn_num(&s, y0 + r); s += "c\n";
+    syn_num(&s, x1); syn_num(&s, y1 - r); s += "l\n";
+    syn_num(&s, x1); syn_num(&s, y1 - r + r * kp);
+    syn_num(&s, x1 - r + r * kp); syn_num(&s, y1);
+    syn_num(&s, x1 - r); syn_num(&s, y1); s += "c\n";
+    syn_num(&s, x0 + r); syn_num(&s, y1); s += "l\n";
+    syn_num(&s, x0 + r - r * kp); syn_num(&s, y1);
+    syn_num(&s, x0); syn_num(&s, y1 - r + r * kp);
+    syn_num(&s, x0); syn_num(&s, y1 - r); s += "c\n";
+    syn_num(&s, x0); syn_num(&s, y0 + r); s += "l\n";
+    syn_num(&s, x0); syn_num(&s, y0 + r - r * kp);
+    syn_num(&s, x0 + r - r * kp); syn_num(&s, y0);
+    syn_num(&s, x0 + r); syn_num(&s, y0); s += "c\nh\nS\n";
+    if (!txt.empty()) {
+      ObjPtr fdict = syn_resolve_da_font(doc, "Helvetica-Bold");
+      auto pf = load_font(doc, fdict);
+      double unit = syn_text_width(pf.get(), txt, 1.0);
+      double aw = (x1 - x0) - 2 * (blw + r * 0.4);
+      double ah = (y1 - y0) - 2 * blw;
+      double fs = ah * 0.55;
+      if (unit > 0 && unit * fs > aw) fs = aw / unit;
+      if (fs > 1 && unit > 0) {
+        double tw = unit * fs;
+        s += "BT\n/SynF ";
+        syn_num(&s, fs);
+        s += "Tf\n1 0 0 1 ";
+        syn_num(&s, (x0 + x1) / 2 - tw / 2);
+        syn_num(&s, (y0 + y1) / 2 - fs * 0.36);
+        s += "Tm\n(";
+        syn_escape(&s, txt);
+        s += ") Tj\nET\n";
+        auto fres = std::make_shared<Object>();
+        fres->type = ObjType::Dict;
+        fres->dict["SynF"] = fdict;
+        syn_ensure_res(res_out)->dict["Font"] = fres;
+      }
+    }
   } else {
     return false;
   }
@@ -2647,9 +2952,10 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
   // fitz renders annotations by default in get_pixmap (the reference's
   // render path, pdf_image_segmentation.py:3651 uses the default), so
   // stamps / FreeText / widget appearances are part of the page pixels a
-  // parity build must produce. Annotations WITHOUT an /AP (where viewers
-  // synthesize an appearance from /Subtype properties) are a documented
-  // degrade: nothing is painted (see PARITY.md).
+  // parity build must produce. Annotations WITHOUT an /AP get a
+  // synthesized appearance (synth_annot_appearance above) for the
+  // geometry/markup/FreeText/Stamp subtypes; AP-less Widget field
+  // appearances are the remaining documented degrade (see PARITY.md).
   ObjPtr annots = doc_->dict_get(pg, "Annots");
   if (annots->is(ObjType::Array)) {
     for (auto& aref : annots->arr) {

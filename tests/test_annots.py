@@ -331,3 +331,82 @@ def test_synth_polygon(tmp_path):
     c = arr[117, 150]  # triangle centroid (page ~(150,183))
     assert c[1] > 180 and c[0] < 80
     assert (arr[117, 60] > 240).all()  # outside the triangle, inside rect
+
+
+def test_synth_freetext_text_background_border(tmp_path):
+    """FreeText without /AP: /C background filled, default 1pt black
+    border, /Contents laid out with the /DA color+size (12.5.6.6)."""
+    annot = (b"<< /Type /Annot /Subtype /FreeText /Rect [50 200 250 260] "
+             b"/C [1 1 0] /DA (0 0 1 rg /Helv 14 Tf) "
+             b"/Contents (Hello) >>")
+    p = tmp_path / "ft.pdf"
+    p.write_bytes(_pdf(_annot_page([annot])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    # background: yellow away from the text (right half, lower band)
+    bg = arr[80:95, 180:240]
+    assert (bg[..., 0] > 200).all() and (bg[..., 1] > 200).all()
+    assert (bg[..., 2] < 100).all()
+    # text: blue ink in the first-line band near the left edge
+    band = arr[42:58, 52:140]
+    blue = (band[..., 2].astype(int) - band[..., 0].astype(int)) > 80
+    assert blue.any(), "no blue /DA-colored text ink"
+    # border: black frame at the rect edge (page x=50 -> col 50)
+    assert (arr[70, 50] < 100).all()
+    # outside stays white
+    assert (arr[70, 40] > 240).all()
+
+
+def test_synth_freetext_wraps_and_centers(tmp_path):
+    """Long /Contents word-wraps to multiple lines inside /Rect; /Q 1
+    centers each line."""
+    words = b"lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    annot = (b"<< /Type /Annot /Subtype /FreeText /Rect [60 120 240 260] "
+             b"/DA (0 g /Helv 12 Tf) /Q 1 /BS << /W 0 >> "
+             b"/Contents (" + words + b") >>")
+    p = tmp_path / "ftw.pdf"
+    p.write_bytes(_pdf(_annot_page([annot])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    ink = (arr[..., 0] < 128)
+    rows = np.where(ink.any(axis=1))[0]
+    cols = np.where(ink.any(axis=0))[0]
+    assert len(rows) > 0, "no text ink at all"
+    # multiple lines: ink spans well beyond one 12pt line height
+    assert rows.max() - rows.min() > 20, (rows.min(), rows.max())
+    # /Q 1: ink is horizontally centered on the rect center (col 150)
+    centroid = cols.mean()
+    assert abs(centroid - 150) < 15, centroid
+    # stays inside /Rect (cols 60..240, rows 40..180)
+    assert cols.min() >= 60 and cols.max() <= 240
+    assert rows.min() >= 40 and rows.max() <= 180
+
+
+def test_synth_stamp_banner(tmp_path):
+    """Stamp without /AP: rounded green banner for /Approved with the
+    spaced-uppercase name as text; corners stay unpainted (rounded)."""
+    annot = (b"<< /Type /Annot /Subtype /Stamp /Rect [60 100 240 160] "
+             b"/Name /Approved >>")
+    p = tmp_path / "st.pdf"
+    p.write_bytes(_pdf(_annot_page([annot])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    # top border band: green stroke (page y~158 -> device row ~142)
+    top = arr[140:146, 130:170]
+    green = (top[..., 1].astype(int) - top[..., 0].astype(int)) > 40
+    assert green.any(), "no green border stroke"
+    # text ink somewhere in the central band
+    mid = arr[160:182, 80:220]
+    assert ((mid[..., 1].astype(int) - mid[..., 0].astype(int)) > 40).any()
+    # rounded corner: the /Rect corner itself stays white
+    assert (arr[198, 62] > 240).all()
+    assert (arr[142, 62] > 240).all()
+
+
+def test_synth_stamp_camelcase_and_color_families(tmp_path):
+    """/NotApproved renders red; camel-case name still produces ink."""
+    annot = (b"<< /Type /Annot /Subtype /Stamp /Rect [40 100 260 160] "
+             b"/Name /NotApproved >>")
+    p = tmp_path / "st2.pdf"
+    p.write_bytes(_pdf(_annot_page([annot])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    ink = arr[138:202, 40:262]
+    red = (ink[..., 0].astype(int) - ink[..., 1].astype(int)) > 40
+    assert red.any(), "no red stamp ink"

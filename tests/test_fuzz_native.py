@@ -252,6 +252,14 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
             (b"<< /Type /Annot /Subtype /Polygon /Rect [0 0 300 300] "
              b"/Vertices [150 250 250 150 50 150] /C [0 0 0] "
              b"/IC [0 1 0] >>"),
+            # AP-less text-bearing subtypes: /DA parsing, word wrap,
+            # substitute-font layout, camel-case stamp banner
+            (b"<< /Type /Annot /Subtype /FreeText /Rect [50 180 250 260] "
+             b"/C [1 1 0] /DA (0 0 1 rg /Helv 11 Tf) /Q 1 "
+             b"/Contents (lorem ipsum dolor sit amet consectetur "
+             b"adipiscing\\nelit sed do eiusmod) >>"),
+            (b"<< /Type /Annot /Subtype /Stamp /Rect [60 100 240 160] "
+             b"/Name /NotApproved >>"),
         ]
         data = _pdf(_annot_page(annots, extra_objs=forms,
                                 contents=b"0.5 g 0 0 300 300 re f\n"))
