@@ -7,6 +7,7 @@ hand-assembled; the /Rect<->/BBox/Matrix fitting assertions are computed
 independently from the PDF 32000-1 12.5.5 algorithm in the test body.
 """
 import io
+import os
 
 import numpy as np
 
@@ -410,3 +411,70 @@ def test_synth_stamp_camelcase_and_color_families(tmp_path):
     ink = arr[138:202, 40:262]
     red = (ink[..., 0].astype(int) - ink[..., 1].astype(int)) > 40
     assert red.any(), "no red stamp ink"
+
+
+def test_annotations_flow_through_pipeline(tmp_path):
+    """E2E: a page whose figure region carries AP-less annotations
+    (Highlight over the chart, a FreeText note, a red /NotApproved
+    stamp) runs the full pipeline; the synthesized annotation ink is
+    part of the rendered crop pixels, like fitz get_pixmap's default."""
+    from synapta_tpu.config import PipelineConfig
+    from synapta_tpu.llm.fake import DisabledClient
+    from synapta_tpu.pipeline import VisualSegmentationPipeline
+
+    # 612x792 page: a boxed "chart" (drawings) above a caption line,
+    # non-embedded Helvetica (substitute-font path), three AP-less annots
+    # overlapping the figure region
+    contents = (
+        b"1 w 0 G 100 420 400 260 re S\n"
+        b"120 440 m 180 560 l 260 500 l 340 620 l 420 520 l S\n"
+        b"BT /F1 11 Tf 100 395 Td (Figure 3.1 Annotated trend chart) Tj ET\n"
+    )
+    annots = [
+        (b"<< /Type /Annot /Subtype /Highlight /Rect [120 500 300 560] "
+         b"/C [1 1 0] /QuadPoints [120 560 300 560 120 500 300 500] >>"),
+        (b"<< /Type /Annot /Subtype /FreeText /Rect [310 430 470 470] "
+         b"/DA (0 0 1 rg /Helv 10 Tf) /Contents (check this spike) >>"),
+        (b"<< /Type /Annot /Subtype /Stamp /Rect [350 580 490 640] "
+         b"/Name /NotApproved >>"),
+    ]
+    refs = b" ".join(b"%d 0 R" % (6 + k) for k in range(len(annots)))
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+         b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R "
+         b"/Annots [" + refs + b"] >>"),
+        _stream(b"", contents),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ] + annots
+    p = tmp_path / "annotbook.pdf"
+    p.write_bytes(_pdf(objs))
+
+    out = str(tmp_path / "annot_out")
+    pipe = VisualSegmentationPipeline(
+        book_id="annotbook", pdf_path=str(p), output_dir=out,
+        config=PipelineConfig(use_vision_llm=False, pages_per_batch=1),
+        llm_client=DisabledClient(), resume=False,
+    )
+    segs = pipe.process()
+    pipe.close()
+    assert pipe.stats.errors == 0
+    assert len(segs) >= 1
+    # the crop covering the chart contains the synthesized annotation ink
+    from PIL import Image
+
+    found_yellow = found_red = False
+    for f in os.listdir(out):
+        if not f.endswith(".png"):
+            continue
+        arr = np.asarray(Image.open(os.path.join(out, f)).convert("RGB"))
+        r = arr[..., 0].astype(int)
+        g = arr[..., 1].astype(int)
+        b = arr[..., 2].astype(int)
+        if ((r > 180) & (g > 180) & (b < 120)).any():
+            found_yellow = True
+        if (((r - g) > 60) & ((r - b) > 60) & (r > 100)).any():
+            found_red = True
+    assert found_yellow, "highlight ink missing from crops"
+    assert found_red, "stamp ink missing from crops"
