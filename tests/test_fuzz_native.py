@@ -340,14 +340,17 @@ def test_cascaded_flate_bomb_contained(tmp_path):
     p.write_bytes(pdf)
     probe = tmp_path / "bomb_probe.py"
     probe.write_text(
-        "import resource, sys\n"
+        "import os, resource, sys\n"
         "from synapta_tpu.io.ingest import open_pdf\n"
         "d = open_pdf(sys.argv[1])\n"
         "arr = d.render(0, dpi=72)\n"
         "assert arr is not None and arr.shape == (792, 612, 3), arr\n"
         "peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss"
         " / 1024\n"
-        "assert peak_mb < 800, f'peak RSS {peak_mb:.0f}MB'\n"
+        "# sanitizer builds (SPDF_NATIVE_SO override) carry shadow-memory\n"
+        "# overhead; the tight RSS bar is for the production engine\n"
+        "bar = 2400 if os.environ.get('SPDF_NATIVE_SO') else 800\n"
+        "assert peak_mb < bar, f'peak RSS {peak_mb:.0f}MB'\n"
         "print('BOMBOK')\n"
     )
     env = dict(os.environ)
