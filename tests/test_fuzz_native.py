@@ -342,15 +342,19 @@ def test_cascaded_flate_bomb_contained(tmp_path):
     probe.write_text(
         "import os, resource, sys\n"
         "from synapta_tpu.io.ingest import open_pdf\n"
+        "def rss():\n"
+        "    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss/1024\n"
+        "base_mb = rss()  # post-import baseline: interpreter + numpy +\n"
+        "                 # engine .so, which vary with env/build, are not\n"
+        "                 # what the bomb guard bounds\n"
         "d = open_pdf(sys.argv[1])\n"
         "arr = d.render(0, dpi=72)\n"
         "assert arr is not None and arr.shape == (792, 612, 3), arr\n"
-        "peak_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss"
-        " / 1024\n"
+        "delta_mb = rss() - base_mb\n"
         "# sanitizer builds (SPDF_NATIVE_SO override) carry shadow-memory\n"
-        "# overhead; the tight RSS bar is for the production engine\n"
-        "bar = 2400 if os.environ.get('SPDF_NATIVE_SO') else 800\n"
-        "assert peak_mb < bar, f'peak RSS {peak_mb:.0f}MB'\n"
+        "# overhead; the tight bar is for the production engine\n"
+        "bar = 2400 if os.environ.get('SPDF_NATIVE_SO') else 700\n"
+        "assert delta_mb < bar, f'render RSS delta {delta_mb:.0f}MB'\n"
         "print('BOMBOK')\n"
     )
     env = dict(os.environ)
@@ -361,7 +365,7 @@ def test_cascaded_flate_bomb_contained(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run(
         [sys.executable, str(probe), str(p)],
-        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=240, env=env, cwd=REPO,
     )
     assert r.returncode == 0, (
         f"bomb guard failed (rc={r.returncode}); "
