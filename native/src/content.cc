@@ -2357,9 +2357,10 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
 // get_pixmap (the reference render path, pdf_image_segmentation.py:3651)
 // shows them. We emit a content-stream string directly in PAGE space
 // (no 12.5.5 form mapping needed) for the standard geometry/markup
-// subtypes plus FreeText (/DA-styled, wrapped, quadded text) and Stamp
-// (rounded banner with the /Name as text); Widget field appearances
-// stay a documented degrade.
+// subtypes, FreeText (/DA-styled, wrapped, quadded text), Stamp
+// (rounded banner with the /Name as text), and Widget fields (/MK
+// decoration, /Tx value text, /Btn check marks); exotic field types
+// (choice lists, signatures) stay a documented degrade.
 // ---------------------------------------------------------------------------
 
 static void syn_num(std::string* s, double v) {
@@ -2545,6 +2546,16 @@ static bool syn_get_rgb(Document* doc, const ObjPtr& an, const char* key,
     *r = *g = *b = v[0];
   }
   return true;
+}
+
+// AcroForm field attribute with 12.7.3.1 inheritance via /Parent
+static ObjPtr field_inherited(Document* doc, ObjPtr an, const char* key) {
+  for (int d = 0; d < 8 && an->is(ObjType::Dict); d++) {
+    ObjPtr v = doc->dict_get(an, key);
+    if (!v->is(ObjType::Null)) return v;
+    an = doc->dict_get(an, "Parent");
+  }
+  return make_null();
 }
 
 // Returns false when the subtype isn't synthesizable or carries no ink.
@@ -2877,6 +2888,91 @@ static bool synth_annot_appearance(Document* doc, const ObjPtr& an,
         syn_ensure_res(res_out)->dict["Font"] = fres;
       }
     }
+  } else if (sub == "Widget") {
+    // AcroForm field widget without /AP: /MK decoration + the field's
+    // /V value rendered like a viewer's NeedAppearances regeneration
+    // (12.7.3.3) — text fields and checkbox/radio buttons
+    bool bg = false, bc = false;
+    ObjPtr mk = doc->dict_get(an, "MK");
+    if (mk->is(ObjType::Dict)) {
+      bg = syn_color(doc, mk, "BG", false, &s);
+      if (bg) {
+        syn_num(&s, rx0); syn_num(&s, ry0);
+        syn_num(&s, rx1 - rx0); syn_num(&s, ry1 - ry0);
+        s += "re\nf\n";
+      }
+      bc = syn_color(doc, mk, "BC", true, &s);
+      if (bc && bw > 0 && rx1 - rx0 > bw * 2 && ry1 - ry0 > bw * 2) {
+        syn_num(&s, bw);
+        s += "w\n";
+        syn_num(&s, rx0 + bw / 2); syn_num(&s, ry0 + bw / 2);
+        syn_num(&s, rx1 - rx0 - bw); syn_num(&s, ry1 - ry0 - bw);
+        s += "re\nS\n";
+      } else {
+        bc = false;
+      }
+    }
+    ObjPtr ft = field_inherited(doc, an, "FT");
+    ObjPtr v = field_inherited(doc, an, "V");
+    bool value_ink = false;
+    if (ft->is(ObjType::Name) && ft->s == "Tx" && v->is(ObjType::String) &&
+        !v->s.empty()) {
+      std::string da, fname, colorops;
+      double fsize = 0;
+      ObjPtr dao = field_inherited(doc, an, "DA");
+      if (!dao->is(ObjType::String)) {  // AcroForm-level default /DA
+        ObjPtr root = doc->dict_get(doc->trailer(), "Root");
+        dao = doc->dict_get(doc->dict_get(root, "AcroForm"), "DA");
+      }
+      if (dao->is(ObjType::String))
+        syn_parse_da(dao->s, &fname, &fsize, &colorops);
+      double rh = ry1 - ry0;
+      if (fsize <= 0)  // "0 Tf" auto-size: fit the field height
+        fsize = std::min(12.0, std::max(4.0, rh * 0.66));
+      if (colorops.empty()) colorops = "0 g\n";
+      std::string text = syn_text_decode(v->s);
+      for (char& c : text)  // single-line presentation like viewers
+        if (c == '\r' || c == '\n') c = ' ';
+      ObjPtr fdict = syn_resolve_da_font(doc, fname);
+      auto pf = load_font(doc, fdict);
+      int q = 0;
+      ObjPtr qo = field_inherited(doc, an, "Q");
+      if (qo->is(ObjType::Int) || qo->is(ObjType::Real)) q = (int)qo->num();
+      double tpad = 2 + bw;
+      double lwid = syn_text_width(pf.get(), text, fsize);
+      double x = rx0 + tpad;
+      if (q == 1) x = rx0 + (rx1 - rx0 - lwid) / 2;
+      else if (q == 2) x = rx1 - tpad - lwid;
+      s += "BT\n/SynF ";
+      syn_num(&s, fsize);
+      s += "Tf\n" + colorops + "1 0 0 1 ";
+      syn_num(&s, x);
+      syn_num(&s, (ry0 + ry1) / 2 - fsize * 0.36);
+      s += "Tm\n(";
+      syn_escape(&s, text);
+      s += ") Tj\nET\n";
+      auto fres = std::make_shared<Object>();
+      fres->type = ObjType::Dict;
+      fres->dict["SynF"] = fdict;
+      syn_ensure_res(res_out)->dict["Font"] = fres;
+      value_ink = true;
+    } else if (ft->is(ObjType::Name) && ft->s == "Btn" &&
+               v->is(ObjType::Name) && v->s != "Off") {
+      // checked box / selected radio: a check-mark stroke
+      double rw = rx1 - rx0, rh = ry1 - ry0;
+      if (rw < 3 || rh < 3) return false;
+      s += "0 G\n";
+      syn_num(&s, std::max(1.0, std::min(rw, rh) * 0.12));
+      s += "w\n";
+      syn_num(&s, rx0 + rw * 0.22); syn_num(&s, ry0 + rh * 0.52);
+      s += "m\n";
+      syn_num(&s, rx0 + rw * 0.44); syn_num(&s, ry0 + rh * 0.26);
+      s += "l\n";
+      syn_num(&s, rx0 + rw * 0.78); syn_num(&s, ry0 + rh * 0.74);
+      s += "l\nS\n";
+      value_ink = true;
+    }
+    if (!bg && !bc && !value_ink) return false;
   } else {
     return false;
   }
@@ -2954,8 +3050,8 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
   // stamps / FreeText / widget appearances are part of the page pixels a
   // parity build must produce. Annotations WITHOUT an /AP get a
   // synthesized appearance (synth_annot_appearance above) for the
-  // geometry/markup/FreeText/Stamp subtypes; AP-less Widget field
-  // appearances are the remaining documented degrade (see PARITY.md).
+  // geometry/markup/FreeText/Stamp/Widget subtypes; AP-less choice and
+  // signature fields are the remaining documented degrade (PARITY.md).
   ObjPtr annots = doc_->dict_get(pg, "Annots");
   if (annots->is(ObjType::Array)) {
     for (auto& aref : annots->arr) {

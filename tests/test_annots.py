@@ -478,3 +478,55 @@ def test_annotations_flow_through_pipeline(tmp_path):
             found_red = True
     assert found_yellow, "highlight ink missing from crops"
     assert found_red, "stamp ink missing from crops"
+
+
+def test_synth_widget_text_field_and_checkbox(tmp_path):
+    """AP-less Widget fields: a /Tx field renders /MK decoration and its
+    /V value via /DA; a checked /Btn renders a check mark."""
+    annots = [
+        (b"<< /Type /Annot /Subtype /Widget /FT /Tx /Rect [50 220 250 250] "
+         b"/V (Jordan Smith) /DA (0 0 1 rg /Helv 0 Tf) "
+         b"/MK << /BG [0.9 0.9 0.9] /BC [0 0 0] >> /BS << /W 1 >> >>"),
+        (b"<< /Type /Annot /Subtype /Widget /FT /Btn /Rect [100 100 130 130] "
+         b"/V /Yes /MK << /BC [0 0 0] >> /BS << /W 1 >> >>"),
+    ]
+    p = tmp_path / "wid.pdf"
+    p.write_bytes(_pdf(_annot_page(annots)))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    # text field: gray background band inside the rect
+    band = arr[55:75, 180:240]
+    assert ((band > 215) & (band < 245)).all(), "no /MK /BG fill"
+    # blue /DA-colored value text near the left
+    txt = arr[52:78, 52:170]
+    assert ((txt[..., 2].astype(int) - txt[..., 0].astype(int)) > 80).any()
+    # border stroke at the rect edge
+    assert (arr[65, 50] < 100).all()
+    # checkbox: black check ink inside, border at edge
+    inner = arr[175:195, 105:128]
+    assert (inner < 100).any(), "no check-mark ink"
+    assert (arr[185, 100] < 100).all()
+    # unchecked sibling would paint nothing: outside stays white
+    assert (arr[65, 40] > 240).all()
+
+
+def test_synth_widget_inherits_from_parent_and_acroform(tmp_path):
+    """Field /FT //V inherited through /Parent; /DA from the AcroForm."""
+    parent = (b"<< /FT /Tx /V (inherited value) /T (root) "
+              b"/Kids [6 0 R] >>")
+    annot = (b"<< /Type /Annot /Subtype /Widget /Parent 5 0 R "
+             b"/Rect [60 150 260 180] >>")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R /AcroForm << /DA (0 g /Helv 10 Tf) "
+        b"/Fields [5 0 R] >> >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 300 300] "
+         b"/Resources << >> /Contents 4 0 R /Annots [6 0 R] >>"),
+        _stream(b"", b""),
+        parent,
+        annot,
+    ]
+    p = tmp_path / "widp.pdf"
+    p.write_bytes(_pdf(objs))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    ink = arr[120:150, 60:260]
+    assert (ink < 100).any(), "inherited /V text not rendered"

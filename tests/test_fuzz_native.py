@@ -260,6 +260,11 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
              b"adipiscing\\nelit sed do eiusmod) >>"),
             (b"<< /Type /Annot /Subtype /Stamp /Rect [60 100 240 160] "
              b"/Name /NotApproved >>"),
+            (b"<< /Type /Annot /Subtype /Widget /FT /Tx /Rect "
+             b"[50 50 250 80] /V (fuzzed value) /DA (0 g /Helv 0 Tf) "
+             b"/MK << /BG [0.9] /BC [0] >> >>"),
+            (b"<< /Type /Annot /Subtype /Widget /FT /Btn /Rect "
+             b"[260 50 290 80] /V /Yes /MK << /BC [0] >> >>"),
         ]
         data = _pdf(_annot_page(annots, extra_objs=forms,
                                 contents=b"0.5 g 0 0 300 300 re f\n"))
