@@ -2360,7 +2360,7 @@ void Interp::run_stream(const std::string& content, const ObjPtr& resources) {
 // subtypes, FreeText (/DA-styled, wrapped, quadded text), Stamp
 // (rounded banner with the /Name as text), and Widget fields (/MK
 // decoration, /Tx value text, /Btn check marks); exotic field types
-// (choice lists, signatures) stay a documented degrade.
+// (signatures) stay a documented degrade; /Ch presents like /Tx.
 // ---------------------------------------------------------------------------
 
 static void syn_num(std::string* s, double v) {
@@ -2914,9 +2914,12 @@ static bool synth_annot_appearance(Document* doc, const ObjPtr& an,
     }
     ObjPtr ft = field_inherited(doc, an, "FT");
     ObjPtr v = field_inherited(doc, an, "V");
+    // /Ch (choice) fields present their selection like text; a
+    // multi-select /V array shows its first entry (viewer convention)
+    if (v->is(ObjType::Array) && !v->arr.empty()) v = doc->resolve(v->arr[0]);
     bool value_ink = false;
-    if (ft->is(ObjType::Name) && ft->s == "Tx" && v->is(ObjType::String) &&
-        !v->s.empty()) {
+    if (ft->is(ObjType::Name) && (ft->s == "Tx" || ft->s == "Ch") &&
+        v->is(ObjType::String) && !v->s.empty()) {
       std::string da, fname, colorops;
       double fsize = 0;
       ObjPtr dao = field_inherited(doc, an, "DA");

@@ -530,3 +530,15 @@ def test_synth_widget_inherits_from_parent_and_acroform(tmp_path):
     arr = open_pdf(str(p)).render(0, dpi=72)
     ink = arr[120:150, 60:260]
     assert (ink < 100).any(), "inherited /V text not rendered"
+
+
+def test_synth_widget_choice_field(tmp_path):
+    """AP-less /Ch field renders its selected /V (array takes the
+    first entry) like a text field."""
+    annot = (b"<< /Type /Annot /Subtype /Widget /FT /Ch "
+             b"/Rect [60 150 260 180] /V [(Equities) (Bonds)] "
+             b"/DA (0 g /Helv 10 Tf) >>")
+    p = tmp_path / "widc.pdf"
+    p.write_bytes(_pdf(_annot_page([annot])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    assert (arr[120:150, 60:260] < 100).any(), "choice value not rendered"
