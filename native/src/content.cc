@@ -2960,7 +2960,14 @@ static bool synth_annot_appearance(Document* doc, const ObjPtr& an,
       syn_ensure_res(res_out)->dict["Font"] = fres;
       value_ink = true;
     } else if (ft->is(ObjType::Name) && ft->s == "Btn" &&
-               v->is(ObjType::Name) && v->s != "Off") {
+               v->is(ObjType::Name) && v->s != "Off" &&
+               // radio groups: /V lives on the parent field while each kid
+               // widget carries its own /AS on-state — only the kid whose
+               // /AS names the selected state gets ink (MuPDF's
+               // pdf_appearance.c keys on/off per widget the same way).
+               // A widget without /AS (plain checkbox) keeps /V semantics.
+               (!doc->dict_get(an, "AS")->is(ObjType::Name) ||
+                doc->dict_get(an, "AS")->s == v->s)) {
       // checked box / selected radio: a check-mark stroke
       double rw = rx1 - rx0, rh = ry1 - ry0;
       if (rw < 3 || rh < 3) return false;
@@ -2974,6 +2981,45 @@ static bool synth_annot_appearance(Document* doc, const ObjPtr& an,
       syn_num(&s, rx0 + rw * 0.78); syn_num(&s, ry0 + rh * 0.74);
       s += "l\nS\n";
       value_ink = true;
+    } else if (ft->is(ObjType::Name) && ft->s == "Sig" &&
+               v->is(ObjType::Dict)) {
+      // signed signature field without /AP: viewers regenerate a
+      // placeholder appearance from the signature dict (MuPDF
+      // pdf_appearance.c draws the signer /Name plus details); render
+      // the /Name (or "Signed") shrink-to-fit so a signed field is
+      // visibly inked rather than blank. Unsigned fields (/V absent)
+      // correctly stay at MK decoration only.
+      std::string text = "Signed";
+      ObjPtr nm = doc->dict_get(v, "Name");
+      if (nm->is(ObjType::String) && !nm->s.empty())
+        text = syn_text_decode(nm->s);
+      for (char& c : text)
+        if (c == '\r' || c == '\n') c = ' ';
+      double rw = rx1 - rx0, rh = ry1 - ry0;
+      if (rw >= 4 && rh >= 4) {
+        ObjPtr fdict = syn_resolve_da_font(doc, "");
+        auto pf = load_font(doc, fdict);
+        double fsize = std::min(12.0, std::max(4.0, rh * 0.55));
+        double lwid = syn_text_width(pf.get(), text, fsize);
+        double avail = rw - 4;
+        if (lwid > avail && lwid > 0) {  // shrink-to-fit like viewers
+          fsize = std::max(4.0, fsize * avail / lwid);
+          lwid = syn_text_width(pf.get(), text, fsize);
+        }
+        s += "BT\n/SynF ";
+        syn_num(&s, fsize);
+        s += "Tf\n0 g\n1 0 0 1 ";
+        syn_num(&s, rx0 + std::max(2.0, (rw - lwid) / 2));
+        syn_num(&s, (ry0 + ry1) / 2 - fsize * 0.36);
+        s += "Tm\n(";
+        syn_escape(&s, text);
+        s += ") Tj\nET\n";
+        auto fres = std::make_shared<Object>();
+        fres->type = ObjType::Dict;
+        fres->dict["SynF"] = fdict;
+        syn_ensure_res(res_out)->dict["Font"] = fres;
+        value_ink = true;
+      }
     }
     if (!bg && !bc && !value_ink) return false;
   } else {
@@ -3053,8 +3099,8 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
   // stamps / FreeText / widget appearances are part of the page pixels a
   // parity build must produce. Annotations WITHOUT an /AP get a
   // synthesized appearance (synth_annot_appearance above) for the
-  // geometry/markup/FreeText/Stamp/Widget subtypes; AP-less choice and
-  // signature fields are the remaining documented degrade (PARITY.md).
+  // geometry/markup/FreeText/Stamp subtypes and all Widget field types
+  // (text, choice, checkbox/radio, signature).
   ObjPtr annots = doc_->dict_get(pg, "Annots");
   if (annots->is(ObjType::Array)) {
     for (auto& aref : annots->arr) {
@@ -3264,9 +3310,10 @@ std::vector<uint8_t> decode_image_rgb_obj(Document* doc, const ObjPtr& xo,
                           ? doc->resolve(filter->arr.back())->s
                           : filter->s;
   if (fname == "JBIG2Decode") {
-    // MMR-coded generic regions decode for real (jbig2.cc — the MMR
-    // payload is CCITT G4, cross-validated against PIL's encoder);
-    // arithmetic/symbol-dict content falls back to the neutral plate.
+    // MMR and arithmetic generic regions plus symbol-dictionary/text
+    // regions decode for real (jbig2.cc — MMR cross-validated against
+    // PIL's G4 encoder, arithmetic against a first-party spec encoder);
+    // refinement/halftone regions fall back to the neutral plate.
     std::string globals;
     ObjPtr parms = doc->dict_get(xo, "DecodeParms");
     if (parms->is(ObjType::Array) && !parms->arr.empty())

@@ -311,7 +311,10 @@ static const size_t kMaxDecodedStream = (size_t)256 << 20;
 
 std::string flate_decode(const std::string& in) {
   std::string out;
-  out.reserve(in.size() * 4 + 64);
+  // clamp the upfront reserve at the ceiling: a cascaded [/Fl /Fl] bomb
+  // whose inner stage decodes near kMaxDecodedStream would otherwise make
+  // this line alone reserve ~4x the cap before the loop's guard runs
+  out.reserve(std::min(in.size() * 4 + 64, kMaxDecodedStream));
   z_stream zs;
   memset(&zs, 0, sizeof(zs));
   if (inflateInit(&zs) != Z_OK) return out;

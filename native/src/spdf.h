@@ -183,8 +183,9 @@ std::string ccitt_decode(const std::string& in, int k, int columns, int rows,
 std::vector<uint8_t> dct_decode_rgb(const uint8_t* data, size_t size,
                                     int* w, int* h);
 
-// JBIG2 (PDF-embedded, MMR generic-region subset) -> 8-bit gray.
-// Empty on unsupported content (arithmetic coding, symbol dicts).
+// JBIG2 (PDF-embedded) -> 8-bit gray. Decodes MMR and arithmetic
+// generic regions, arithmetic symbol dictionaries + text regions.
+// Empty on unsupported content (refinement/halftone regions).
 std::vector<uint8_t> jbig2_decode_gray(const std::string& data,
                                        const std::string& globals,
                                        int* w, int* h);

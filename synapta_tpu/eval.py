@@ -154,7 +154,7 @@ def evaluate_scanned(pages: int = 2, seed: int = 1) -> Dict:
         cers.append(cer(ref, hyp))
     wall = pipe.stats.wall_s
     return {
-        "pages": pages,
+        "scanned_pages": pages,
         "scanned_detected": detected,
         "scanned_ocr_cer": round(float(np.mean(cers)), 4),
         "scanned_wall_s": round(wall, 2),
@@ -168,6 +168,9 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--scanned", action="store_true",
                     help="also run the scanned-page OCR fixture")
+    ap.add_argument("--scanned-pages", type=int, default=None,
+                    help="page count for the scanned fixture "
+                    "(default: min(--pages, 4))")
     args = ap.parse_args()
     os.environ.setdefault("SYNAPTA_LOG_LEVEL", "WARNING")
     from synapta_tpu.utils.jaxsetup import setup_jax
@@ -175,5 +178,8 @@ if __name__ == "__main__":
     setup_jax()
     out = evaluate_book(args.pages, args.seed)
     if args.scanned:
-        out.update(evaluate_scanned())
+        # scanned keys are all "scanned_"-prefixed so the merged JSON line
+        # stays self-consistent (the clean run's "pages" is not clobbered)
+        n = args.scanned_pages if args.scanned_pages else min(args.pages, 4)
+        out.update(evaluate_scanned(pages=n))
     print(json.dumps(out))

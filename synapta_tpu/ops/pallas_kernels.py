@@ -179,10 +179,10 @@ def fused_edge_stats(
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                         memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(

@@ -542,3 +542,45 @@ def test_synth_widget_choice_field(tmp_path):
     p.write_bytes(_pdf(_annot_page([annot])))
     arr = open_pdf(str(p)).render(0, dpi=72)
     assert (arr[120:150, 60:260] < 100).any(), "choice value not rendered"
+
+def test_synth_widget_radio_group_keys_on_as(tmp_path):
+    """Radio group: /V lives on the parent field, each kid widget carries
+    its own /AS on-state — only the kid whose /AS equals /V is painted
+    (MuPDF pdf_appearance.c keys on/off per widget)."""
+    parent = b"<< /FT /Btn /V /Opt2 /T (grp) /Kids [6 0 R 7 0 R] >>"
+    kid1 = (b"<< /Type /Annot /Subtype /Widget /Parent 5 0 R /AS /Opt1 "
+            b"/Rect [60 100 90 130] >>")
+    kid2 = (b"<< /Type /Annot /Subtype /Widget /Parent 5 0 R /AS /Opt2 "
+            b"/Rect [160 100 190 130] >>")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R /AcroForm << /Fields [5 0 R] >> >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 300 300] "
+         b"/Resources << >> /Contents 4 0 R /Annots [6 0 R 7 0 R] >>"),
+        _stream(b"", b""),
+        parent,
+        kid1,
+        kid2,
+    ]
+    p = tmp_path / "radio.pdf"
+    p.write_bytes(_pdf(objs))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    unselected = arr[170:200, 60:90]
+    selected = arr[170:200, 160:190]
+    assert (unselected > 240).all(), "unselected radio kid painted a check"
+    assert (selected < 100).any(), "selected radio kid missing its check"
+
+
+def test_synth_widget_signature_field(tmp_path):
+    """AP-less /Sig fields: a signed field (dict /V) renders the signer
+    /Name as a fitted placeholder; an unsigned field paints nothing."""
+    sig = b"<< /Type /Sig /Filter /Adobe.PPKLite /Name (Avery Quinn) >>"
+    signed = (b"<< /Type /Annot /Subtype /Widget /FT /Sig "
+              b"/Rect [50 150 250 200] /V 5 0 R >>")
+    unsigned = (b"<< /Type /Annot /Subtype /Widget /FT /Sig "
+                b"/Rect [50 60 250 110] >>")
+    p = tmp_path / "sig.pdf"
+    p.write_bytes(_pdf(_annot_page([signed, unsigned], extra_objs=[sig])))
+    arr = open_pdf(str(p)).render(0, dpi=72)
+    assert (arr[100:150, 50:250] < 100).any(), "signer name not rendered"
+    assert (arr[190:240, 50:250] > 240).all(), "unsigned field painted ink"
