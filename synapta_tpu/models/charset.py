@@ -5,11 +5,23 @@ from __future__ import annotations
 # (Round-1 shipped a duplicate '%' as the final symbol — the intended
 # per-mille sign — which left class 6 unreachable from encode(); fixed to
 # '‰' and the recognizer retrained, ADVICE round-1 item 3.)
+#
+# Round 4 (VERDICT item 1): finance textbooks are written in Greek and
+# math notation — the reference's PaddleOCR reads "βp = 1.2" natively
+# (ref pdf_image_segmentation.py:1088–1126) while this charset had zero
+# Greek/math glyphs, so the recognizer could never emit them. Extension
+# is APPEND-ONLY: every pre-existing char keeps its class id, so old
+# checkpoints warm-start with a padded CTC head (train.py --pad-head).
+GREEK_LOWER = "αβγδεζηθικλμνξοπρστυφχψω"
+GREEK_UPPER = "ΓΔΘΛΞΠΣΦΨΩ"  # forms distinct from Latin capitals
+MATH = "≤≥≠≈√∞∂∑∏∫·′"
+SUPERSCRIPTS = "¹²³½"
 CHARS = (
     " !\"#$%&'()*+,-./0123456789:;<=>?@"
     "ABCDEFGHIJKLMNOPQRSTUVWXYZ[\\]^_`"
     "abcdefghijklmnopqrstuvwxyz{|}~"
     "€£¥°±×÷–—‘’“”•‰"
+    + GREEK_LOWER + GREEK_UPPER + MATH + SUPERSCRIPTS
 )
 
 BLANK = 0
@@ -17,10 +29,35 @@ CHAR_TO_ID = {c: i + 1 for i, c in enumerate(CHARS)}
 ID_TO_CHAR = {i + 1: c for i, c in enumerate(CHARS)}
 NUM_CLASSES = len(CHARS) + 1  # + blank
 
+# Homoglyph folding: codepoints foreign producers emit for glyphs the
+# charset already models under a canonical id (micro sign vs Greek mu,
+# increment vs Delta, minus sign vs hyphen-minus, ...). Applied in
+# encode() so training labels and eval references agree on one id per
+# visual form — the recognizer sees pixels, not codepoints.
+FOLD = str.maketrans({
+    "µ": "μ",   # micro sign -> Greek mu
+    "∆": "Δ",   # increment -> Greek Delta
+    "Ω": "Ω",   # ohm sign -> Greek Omega
+    "−": "-",   # minus sign -> hyphen-minus
+    "‒": "–",   # figure dash -> en dash
+    "∕": "/",   # division slash
+    "⋅": "·",   # dot operator -> middle dot
+    "∙": "·",   # bullet operator -> middle dot
+    "ϵ": "ε",   # lunate epsilon
+    "ϕ": "φ",   # phi symbol
+    "ϑ": "θ",   # theta symbol
+    " ": " ",   # no-break space
+})
+
+
+def fold(text: str) -> str:
+    """Canonicalize homoglyph codepoints to their charset form."""
+    return text.translate(FOLD)
+
 
 def encode(text: str, max_len: int) -> tuple[list[int], int]:
     """Text -> (padded id list, true length); unknown chars are dropped."""
-    ids = [CHAR_TO_ID[c] for c in text if c in CHAR_TO_ID][:max_len]
+    ids = [CHAR_TO_ID[c] for c in fold(text) if c in CHAR_TO_ID][:max_len]
     n = len(ids)
     return ids + [0] * (max_len - n), n
 

@@ -157,20 +157,33 @@ def render_det_page(
             pts = [(x0 + w * t / 6.0,
                     y0 + h * rng.random()) for t in range(7)]
             c.polyline(pts, width=float(rng.uniform(0.8, 1.6)))
-    n_lines = int(rng.integers(6, 22))
+    # dense-paragraph mode (40%): full-width lines at tight leading — the
+    # scanned-textbook distribution where round-3's sparse training pages
+    # left the probability map weak (measured ~0.1-0.3 on true lines of
+    # the make_scanned_book fixture -> fragmented word boxes, missed rows)
+    dense = rng.random() < 0.4
+    n_lines = int(rng.integers(24, 40)) if dense else int(rng.integers(6, 22))
     y = rng.uniform(8, 24)
     for _ in range(n_lines):
         if y > ph - 16:
             break
-        tiny = rng.random() < 0.25
-        sz = float(rng.uniform(5, 8)) if tiny else float(rng.uniform(8, 16))
-        text = fit_text(random_text(rng), 40 if not tiny else 8)
-        x = rng.uniform(6, pw * 0.5)
+        tiny = (not dense) and rng.random() < 0.25
+        if dense:
+            sz = float(rng.uniform(6, 10))
+            # long full-width prose lines (2-3 generator draws joined)
+            text = fit_text(
+                " ".join(random_text(rng) for _ in range(3)), 72
+            )
+            x = rng.uniform(6, 20)
+        else:
+            sz = float(rng.uniform(5, 8)) if tiny else float(rng.uniform(8, 16))
+            text = fit_text(random_text(rng), 40 if not tiny else 8)
+            x = rng.uniform(6, pw * 0.5)
         bb = c.text(x, y, text, size=sz, bold=bool(rng.random() < 0.2),
                     record=False)
         if bb is not None:
             boxes_pdf.append(bb)
-        y += sz * rng.uniform(1.3, 2.6)
+        y += sz * (rng.uniform(1.15, 1.5) if dense else rng.uniform(1.3, 2.6))
     doc = Document(data=book.tobytes())
     scale = size / pw
     page = doc.render(0, dpi=72.0 * scale)
@@ -182,19 +195,43 @@ def render_det_page(
     canvas[: min(size, gray.shape[0]), : min(size, gray.shape[1])] = gray[
         :size, :size
     ]
-    # scanned-style degradation (30%): grey paper, noise, mild skew —
-    # the domain where this detector earns its keep over the heuristic
-    if rng.random() < 0.3:
+    # scanned-style degradation (50%; always for dense pages): grey paper,
+    # noise, skew, JPEG ringing — the domain where this detector earns its
+    # keep over the heuristic. Matches make_scanned_book's pipeline
+    # (grey bg 235, sigma-5 noise, 0.004 row-shift skew, JPEG embedding).
+    skew_shift = None
+    if dense or rng.random() < 0.5:
         canvas = canvas * rng.uniform(0.82, 0.95) + rng.uniform(0.02, 0.08)
+        if rng.random() < 0.6:  # scanner skew: integer row shifts
+            slope = rng.uniform(-0.012, 0.012)
+            skew_shift = (np.arange(size) * slope).astype(int)
+            for r in range(size):
+                if skew_shift[r]:
+                    canvas[r] = np.roll(canvas[r], skew_shift[r])
+        if rng.random() < 0.5:  # JPEG round trip (block artifacts)
+            from PIL import Image as _I
+            import io as _io
+
+            bio = _io.BytesIO()
+            _I.fromarray((canvas * 255).astype(np.uint8)).save(
+                bio, format="JPEG", quality=int(rng.integers(70, 92))
+            )
+            bio.seek(0)
+            canvas = np.asarray(_I.open(bio)).astype(np.float32) / 255.0
         canvas = np.clip(
             canvas + rng.normal(0, rng.uniform(0.01, 0.04), canvas.shape), 0, 1
         ).astype(np.float32)
-    px_boxes = [
-        [b[0] * scale, b[1] * scale, b[2] * scale, b[3] * scale]
-        for b in boxes_pdf
-        if b[2] > b[0] and b[3] > b[1] and b[0] * scale < size
-        and b[1] * scale < size
-    ]
+    px_boxes = []
+    for b in boxes_pdf:
+        if not (b[2] > b[0] and b[3] > b[1] and b[0] * scale < size
+                and b[1] * scale < size):
+            continue
+        x0, y0, x1, y1 = (v * scale for v in b)
+        if skew_shift is not None:  # labels follow the row-shifted glyphs
+            yc = min(max(int((y0 + y1) / 2), 0), size - 1)
+            x0 += skew_shift[yc]
+            x1 += skew_shift[yc]
+        px_boxes.append([x0, y0, x1, y1])
     return canvas, px_boxes
 
 
@@ -369,10 +406,16 @@ class DBLineDetector:
             component_stats_device,
             connected_components,
         )
+        from synapta_tpu.ops.filters import dilate, erode
 
         out = self.model.apply({"params": params}, gray[..., None])
         prob = jax.nn.sigmoid(out[..., 0])
         mask = (prob > self.prob_thresh).astype(jnp.float32)
+        # horizontal closing: the shrunk-text map goes quiet in word gaps
+        # (they ARE background in the DB target), so close gaps up to
+        # ~1.5x the typical half-res line height before CC — standard DB
+        # box-forming merges word fragments into line boxes the same way
+        mask = erode(dilate(mask, 1, 9), 1, 9)
         labels = connected_components(mask, max_iters=10)
         stats = component_stats_device(labels, k=128)
         return jnp.stack(

@@ -128,6 +128,31 @@ def evaluate(model, params, rng, n_batches=4, batch=64) -> float:
     return total / max(count, 1)
 
 
+def pad_params(old_params, new_params):
+    """Warm-start across an APPEND-ONLY charset extension: every leaf of
+    the old checkpoint is copied into the freshly initialized tree; leaves
+    whose shapes grew (the CTC head's Dense kernel/bias gaining classes)
+    are copied into the overlapping slice, leaving fresh init in the new
+    tail. Valid only because charset extension preserves old class ids."""
+    import jax.tree_util as jtu
+
+    flat_old = dict(jtu.tree_flatten_with_path(old_params)[0])
+    new_leaves, treedef = jtu.tree_flatten_with_path(new_params)
+    out = []
+    for path, leaf in new_leaves:
+        old = flat_old.get(path)
+        if old is None or old.shape == leaf.shape:
+            out.append(np.asarray(old) if old is not None else leaf)
+            continue
+        if len(old.shape) != len(leaf.shape):
+            raise ValueError(f"rank mismatch at {path}")
+        merged = np.array(leaf)
+        sl = tuple(slice(0, min(a, b)) for a, b in zip(old.shape, leaf.shape))
+        merged[sl] = np.asarray(old)[sl]
+        out.append(merged)
+    return jtu.tree_unflatten(treedef, out)
+
+
 def save_params(params, path: str = WEIGHTS_PATH) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "wb") as f:
@@ -135,14 +160,22 @@ def save_params(params, path: str = WEIGHTS_PATH) -> None:
 
 
 def load_params(path: str = WEIGHTS_PATH, height=32, width=384):
-    template = jax.eval_shape(
-        lambda: init_params(jax.random.PRNGKey(0), height, width)
-    )
-    template = jax.tree.map(
-        lambda s: np.zeros(s.shape, s.dtype), template
-    )
+    """Template-free restore. A checkpoint older than the current charset
+    has a narrower CTC head; it is padded to NUM_CLASSES with zero kernel
+    columns and -1e4 bias so the new classes can never win the argmax —
+    the checkpoint behaves exactly as it did before the extension."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        params = serialization.msgpack_restore(f.read())
+    head = params.get("Dense_0", {})
+    k = head.get("kernel")
+    if k is not None and k.shape[-1] < NUM_CLASSES:
+        pad = NUM_CLASSES - k.shape[-1]
+        head["kernel"] = np.concatenate(
+            [np.asarray(k), np.zeros((k.shape[0], pad), k.dtype)], axis=-1
+        )
+        b = np.asarray(head["bias"])
+        head["bias"] = np.concatenate([b, np.full((pad,), -1e4, b.dtype)])
+    return params
 
 
 def train(
@@ -159,7 +192,12 @@ def train(
     setup_jax()
     model = create_model()
     if init_from:
-        params = load_params(init_from)
+        # template-free restore: the checkpoint may predate a charset
+        # extension, so its head is narrower than the current model's —
+        # pad_params copies it into a fresh init (append-only class ids)
+        with open(init_from, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        params = pad_params(raw, init_params(jax.random.PRNGKey(seed)))
     else:
         params = init_params(jax.random.PRNGKey(seed))
     tx = optax.adamw(

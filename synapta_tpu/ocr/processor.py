@@ -42,14 +42,14 @@ class TPUOCR:
         self.params = load_params(path)
         self.model = Recognizer()
         # line detection backend: "heuristic" (ink morphology, exact on
-        # clean renders, default) or "db" (trainable DB-style model,
+        # clean renders), "db" (trainable DB-style model,
         # models/detector.py — the PaddleOCR-DBNet parity path for
-        # degraded/scanned inputs)
+        # degraded/scanned inputs), or "auto" (heuristic except crops
+        # flagged scanned-like by the caller via db_mask)
         self._db_detector = None
-        if getattr(cfg, "line_detector", "heuristic") == "db":
-            from synapta_tpu.models.detector import DBLineDetector
-
-            self._db_detector = DBLineDetector(det_size=cfg.crop_size)
+        self._det_mode = getattr(cfg, "line_detector", "auto")
+        if self._det_mode == "db":
+            self._db_detector = self.db_detector
 
         def _decode(p, x):
             # tiles arrive uint8 (4x less tunnel H2D than f32); normalize
@@ -83,6 +83,15 @@ class TPUOCR:
             self._decode = jax.jit(_decode)
 
     # ---------------------------------------------------------------- lines
+
+    @property
+    def db_detector(self):
+        """Lazily-built DB line detector (weights load on first use)."""
+        if self._db_detector is None:
+            from synapta_tpu.models.detector import DBLineDetector
+
+            self._db_detector = DBLineDetector(det_size=self.cfg.crop_size)
+        return self._db_detector
 
     def _line_tile(self, crop: np.ndarray, box: List[int],
                    ctx=None) -> np.ndarray:
@@ -215,8 +224,13 @@ class TPUOCR:
         crops: np.ndarray,
         render_ctx: Optional[Sequence] = None,
         line_boxes=None,
+        db_mask: Optional[Sequence[bool]] = None,
     ):
         """Cut + normalize every text-line tile for one crop batch.
+
+        ``db_mask``: per-crop flags from the caller marking scanned-like
+        crops; in "auto"/"db" mode those crops re-detect through the
+        trainable DB model, overriding the fused heuristic boxes.
 
         Returns (tiles list, owners list, boxes list) — the host-side half
         of recognition, separable so callers can POOL tiles from several
@@ -229,10 +243,20 @@ class TPUOCR:
             ]
         else:
             per_crop_boxes = (
-                self._db_detector.detect_lines(crops)
-                if self._db_detector is not None
-                else detect_lines(crops)
+                detect_lines(crops) if self._det_mode != "db"
+                else self.db_detector.detect_lines(crops)
             )
+        if (
+            db_mask is not None
+            and self._det_mode in ("auto", "db")
+            and any(db_mask)
+        ):
+            idx = [i for i, m in enumerate(db_mask) if m and i < crops.shape[0]]
+            if idx:
+                db_boxes = self.db_detector.detect_lines(crops[np.array(idx)])
+                for j, i in enumerate(idx):
+                    if db_boxes[j]:  # keep heuristic boxes on a dry miss
+                        per_crop_boxes[i] = db_boxes[j]
         from synapta_tpu.utils.profiler import TIMERS
 
         tiles, owners, boxes_flat, parts = [], [], [], []
@@ -477,7 +501,8 @@ class TPUOCR:
         metas = []
         for it in items:
             tiles, owners, boxes_flat, parts = self.collect_tiles(
-                it["crops"], it.get("render_ctx"), it.get("line_boxes")
+                it["crops"], it.get("render_ctx"), it.get("line_boxes"),
+                it.get("db_mask"),
             )
             spans.append((len(all_tiles), len(all_tiles) + len(tiles)))
             all_tiles.extend(tiles)
@@ -525,6 +550,7 @@ class TPUOCR:
         sizes: Optional[Sequence[tuple]] = None,
         render_ctx: Optional[Sequence] = None,
         line_boxes=None,
+        db_mask: Optional[Sequence[bool]] = None,
     ) -> List[OCRResult]:
         """(B, H, W, 3) uint8 crop batch -> one OCRResult per crop.
 
@@ -535,11 +561,12 @@ class TPUOCR:
         native-resolution line tiles.
         ``line_boxes``: optional (B, K, 5) device box tensor from the fused
         analysis pass — skips the separate line-detection dispatch.
+        ``db_mask``: per-crop scanned-like flags (DB detector override).
         """
         from synapta_tpu.utils.profiler import TIMERS
 
         tiles, owners, boxes_flat, parts = self.collect_tiles(
-            crops, render_ctx, line_boxes
+            crops, render_ctx, line_boxes, db_mask
         )
         recs: List[Dict] = []
         if tiles:

@@ -280,18 +280,26 @@ class VisualSegmentationPipeline:
             chunk_meta, feat_parts = self._analyze_sync(analyze_pending)
         regions, canvases, dims, pngs, keep, ctxs = prepared
         cb = self.cfg.ocr.crop_batch
+        # scanned-like crops (full-page embedded rasters) route through
+        # the trainable DB line detector instead of the fused heuristic
+        # boxes — OCRConfig.line_detector "auto" (VERDICT r3 item 1b)
+        scan_mask = [self._scanned_like(r) for r in regions]
         items: List[dict] = []
         reals: List[int] = []
         for chunk, real, chunk_sizes, boxes, start in chunk_meta:
             chunk_ctx = None
             if ctxs is not None:
                 chunk_ctx = ctxs[start : start + real] + [None] * (cb - real)
+            chunk_mask = scan_mask[start : start + real] + [False] * (
+                cb - real
+            )
             items.append(
                 {
                     "crops": chunk,
                     "sizes": chunk_sizes,
                     "render_ctx": chunk_ctx,
                     "line_boxes": boxes,
+                    "db_mask": chunk_mask if any(chunk_mask) else None,
                 }
             )
             reals.append(real)
@@ -300,6 +308,18 @@ class VisualSegmentationPipeline:
                 items, submit=self._feed_pool.submit
             )
         return prepared, feat_parts, ocr_state, reals
+
+    def _scanned_like(self, region) -> bool:
+        """Pre-OCR scanned-page signal: an embedded raster covering most
+        of the page (make_scanned_book pages measure ~0.69 of page area;
+        charts/photos sit well below scanned_area_frac)."""
+        if self.cfg.ocr.line_detector not in ("auto", "db"):
+            return False
+        if region.extraction_method != "embedded_image":
+            return False
+        bb = region.bbox
+        page_area = max(bb.page_width * bb.page_height, 1.0)
+        return bb.area() / page_area >= self.cfg.ocr.scanned_area_frac
 
     def _enrich_finish(self, state) -> None:
         """Pipeline stage 3 for one batch: materialize recognition, gate +
@@ -387,25 +407,6 @@ class VisualSegmentationPipeline:
                 )
                 self.stats.errors += 1
 
-    def _device_pass(self, canvases: np.ndarray, dims: List[tuple],
-                     ctxs: Optional[List[Any]] = None):
-        """Run features + OCR over fixed-size padded chunks and reassemble
-        full-batch views."""
-        from synapta_tpu.ops.features import device_analyze
-
-        # PHASED execution: the tunnel charges ~2s to swap device
-        # executables, so run ALL analyze chunks back-to-back (one program),
-        # then ALL recognition batches (the other program) — never
-        # alternating per chunk. process() groups several super-batches so
-        # the two phases alternate once per GROUP.
-        chunk_meta, feat_parts = self._analyze_stage(canvases, dims)
-        ocr_results = self._ocr_stage(chunk_meta, dims, ctxs)
-        feats = {
-            k: np.concatenate([p[k] for p in feat_parts])
-            for k in feat_parts[0]
-        }
-        return feats, ocr_results
-
     def _analyze_dispatch(self, canvases: np.ndarray, dims: List[tuple]):
         """Enqueue the fused analyze pass for every fixed-shape chunk and
         return the pending device handles WITHOUT materializing — JAX
@@ -454,27 +455,6 @@ class VisualSegmentationPipeline:
             feat_parts.append({k: v[:real] for k, v in f.items()})
             chunk_meta.append((chunk, real, chunk_sizes, boxes, start))
         return chunk_meta, feat_parts
-
-    def _analyze_stage(self, canvases: np.ndarray, dims: List[tuple]):
-        return self._analyze_sync(self._analyze_dispatch(canvases, dims))
-
-    def _ocr_stage(self, chunk_meta, dims, ctxs) -> List[OCRResult]:
-        cb = self.cfg.ocr.crop_batch
-        ocr_results: List[OCRResult] = []
-        for chunk, real, chunk_sizes, boxes, start in chunk_meta:
-            with TIMERS.stage("ocr"):
-                chunk_ctx = None
-                if ctxs is not None:
-                    chunk_ctx = ctxs[start : start + real] + [None] * (cb - real)
-                ocr_results.extend(
-                    self.ocr.process_batch(
-                        chunk,
-                        sizes=chunk_sizes,
-                        render_ctx=chunk_ctx,
-                        line_boxes=boxes,
-                    )[:real]
-                )
-        return ocr_results
 
     def _snap_pixels(self, pixels: Optional[np.ndarray]):
         """Copy ring-view pixels for deferred LLM reads. No-op when the

@@ -422,3 +422,296 @@ def jbig2_pdf(stream: bytes, w: int, h: int,
         objs.append(b"<< /Length " + str(len(globals_stream)).encode() +
                     b" >>\nstream\n" + globals_stream + b"\nendstream")
     return _pdf(objs)
+
+
+# -------------------------------------------------- Huffman encoding (B.*)
+#
+# First-party encoder for the T.88 Huffman path, mirroring the arithmetic
+# half above: standard tables B.1-B.15 transcribed independently of
+# native/src/jbig2.cc (the table VALUES are necessarily the same spec
+# constants — the shared-artifact residual risk PARITY.md documents for
+# the MQ Qe table), canonical assignment per B.3, symbol dictionaries
+# with collective bitmaps (6.5.9), text regions with run-coded symbol ID
+# tables (7.4.3.1.7).
+
+class BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        for i in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self) -> None:
+        if self.nbits:
+            self.out.append(self.acc << (8 - self.nbits))
+            self.acc = 0
+            self.nbits = 0
+
+    def write_bytes(self, b: bytes) -> None:
+        assert self.nbits == 0, "write_bytes requires byte alignment"
+        self.out += b
+
+    def tobytes(self) -> bytes:
+        self.align()
+        return bytes(self.out)
+
+
+class HuffEnc:
+    """Canonical prefix-code table: lines = [(preflen, rangelen, rangelow,
+    kind)] with kind 0 normal / 1 lower-range / 2 OOB."""
+
+    def __init__(self, lines) -> None:
+        self.lines = lines
+        maxlen = max(l[0] for l in lines)
+        cnt = [0] * (maxlen + 1)
+        for l in lines:
+            if l[0] > 0:
+                cnt[l[0]] += 1
+        fc = 0
+        cur = [0] * (maxlen + 1)
+        for ln in range(1, maxlen + 1):
+            fc = (fc + cnt[ln - 1]) << 1
+            cur[ln] = fc
+        self.codes = []
+        for l in lines:
+            if l[0] > 0:
+                self.codes.append(cur[l[0]])
+                cur[l[0]] += 1
+            else:
+                self.codes.append(None)
+
+    def encode(self, bw: BitWriter, value) -> None:
+        if value is None:  # OOB
+            for (pl, rl, lo, kind), code in zip(self.lines, self.codes):
+                if kind == 2:
+                    bw.write(code, pl)
+                    return
+            raise AssertionError("table has no OOB line")
+        for (pl, rl, lo, kind), code in zip(self.lines, self.codes):
+            if kind == 2 or pl == 0:
+                continue
+            if rl == 32:
+                if kind == 1 and value <= lo:
+                    bw.write(code, pl)
+                    bw.write(lo - value, 32)
+                    return
+                if kind == 0 and value >= lo:
+                    bw.write(code, pl)
+                    bw.write(value - lo, 32)
+                    return
+            elif lo <= value < lo + (1 << rl):
+                bw.write(code, pl)
+                if rl:
+                    bw.write(value - lo, rl)
+                return
+        raise AssertionError(f"value {value} not encodable")
+
+
+# standard tables used by the fixtures (preflen, rangelen, rangelow, kind)
+HUFF_B1 = HuffEnc([(1, 4, 0, 0), (2, 8, 16, 0), (3, 16, 272, 0),
+                   (3, 32, 65808, 0)])
+HUFF_B2 = HuffEnc([(1, 0, 0, 0), (2, 0, 1, 0), (3, 0, 2, 0), (4, 3, 3, 0),
+                   (5, 6, 11, 0), (6, 32, 75, 0), (6, 0, 0, 2)])
+HUFF_B3 = HuffEnc([(8, 8, -256, 0), (1, 0, 0, 0), (2, 0, 1, 0),
+                   (3, 0, 2, 0), (4, 3, 3, 0), (5, 6, 11, 0),
+                   (8, 32, -257, 1), (7, 32, 75, 0), (6, 0, 0, 2)])
+HUFF_B4 = HuffEnc([(1, 0, 1, 0), (2, 0, 2, 0), (3, 0, 3, 0), (4, 3, 4, 0),
+                   (5, 6, 12, 0), (5, 32, 76, 0)])
+HUFF_B5 = HuffEnc([(7, 8, -255, 0), (1, 0, 1, 0), (2, 0, 2, 0),
+                   (3, 0, 3, 0), (4, 3, 4, 0), (5, 6, 12, 0),
+                   (7, 32, -256, 1), (6, 32, 76, 0)])
+HUFF_B6 = HuffEnc([(5, 10, -2048, 0), (4, 9, -1024, 0), (4, 8, -512, 0),
+                   (4, 7, -256, 0), (5, 6, -128, 0), (5, 5, -64, 0),
+                   (4, 5, -32, 0), (2, 7, 0, 0), (3, 7, 128, 0),
+                   (3, 8, 256, 0), (4, 9, 512, 0), (4, 10, 1024, 0),
+                   (6, 32, -2049, 1), (6, 32, 2048, 0)])
+HUFF_B8 = HuffEnc([(8, 3, -15, 0), (9, 1, -7, 0), (8, 1, -5, 0),
+                   (9, 0, -3, 0), (7, 0, -2, 0), (4, 0, -1, 0),
+                   (2, 1, 0, 0), (5, 0, 2, 0), (6, 0, 3, 0), (3, 4, 4, 0),
+                   (6, 1, 20, 0), (4, 4, 22, 0), (4, 5, 38, 0),
+                   (5, 6, 70, 0), (5, 7, 134, 0), (6, 7, 262, 0),
+                   (7, 8, 390, 0), (6, 10, 646, 0), (9, 32, -16, 1),
+                   (9, 32, 1670, 0), (2, 0, 0, 2)])
+HUFF_B11 = HuffEnc([(1, 0, 1, 0), (2, 1, 2, 0), (4, 0, 4, 0), (4, 1, 5, 0),
+                    (5, 1, 7, 0), (5, 2, 9, 0), (6, 2, 13, 0),
+                    (7, 2, 17, 0), (7, 3, 21, 0), (7, 4, 29, 0),
+                    (7, 5, 45, 0), (7, 6, 77, 0), (7, 32, 141, 0)])
+
+
+def _pack_rows(bm: np.ndarray) -> bytes:
+    """Pack a 0/1 bitmap into MSB-first rows (1 = black)."""
+    h, w = bm.shape
+    rowbytes = (w + 7) // 8
+    out = bytearray(rowbytes * h)
+    for y in range(h):
+        for x in range(w):
+            if bm[y, x]:
+                out[y * rowbytes + x // 8] |= 0x80 >> (x % 8)
+    return bytes(out)
+
+
+def _g4_bytes(bm: np.ndarray) -> bytes:
+    """Raw CCITT G4 (MMR) payload for a 0/1 bitmap via PIL TIFF."""
+    import io as _io
+    import struct as _struct
+
+    from PIL import Image
+
+    img = Image.fromarray(np.where(bm, 0, 255).astype(np.uint8)).convert("1")
+    bio = _io.BytesIO()
+    img.save(bio, format="TIFF", compression="group4")
+    b = bio.getvalue()
+    assert b[:2] == b"II"
+    u16 = lambda o: _struct.unpack_from("<H", b, o)[0]  # noqa: E731
+    u32 = lambda o: _struct.unpack_from("<I", b, o)[0]  # noqa: E731
+    ifd = u32(4)
+    tags = {}
+    for i in range(u16(ifd)):
+        off = ifd + 2 + i * 12
+        tag, typ = u16(off), u16(off + 2)
+        tags[tag] = u16(off + 8) if typ == 3 else u32(off + 8)
+    return b[tags[273]: tags[273] + tags[279]]
+
+
+def huff_symbol_dict_segment(symbols, num: int = 1, page: int = 0,
+                             mmr: bool = False, sel_dh: int = 0,
+                             sel_dw: int = 0, refs=(),
+                             custom_dh: "HuffEnc" = None):
+    """Huffman symbol dictionary (SDHUFF=1) exporting all `symbols`;
+    collective bitmaps uncompressed (BMSIZE=0) or MMR. sel_dh/sel_dw pick
+    the standard table pair (0: B.4/B.2, 1: B.5/B.3); sel_dh=3 uses
+    `custom_dh`, whose type-53 segment must be listed first in `refs`."""
+    t_dh = {0: HUFF_B4, 1: HUFF_B5, 3: custom_dh}.get(sel_dh)
+    t_dw = {0: HUFF_B2, 1: HUFF_B3}.get(sel_dw)
+    assert t_dh is not None and t_dw is not None
+    flags = 1 | (sel_dh << 2) | (sel_dw << 4)  # SDHUFFBMSIZE=0 -> B.1
+    # B.2 (sel 0) encodes only non-negative width deltas -> widths must
+    # be non-decreasing within a height class (B.3 handles negatives)
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (symbols[i].shape[0],
+                                  symbols[i].shape[1], i))
+    bw = BitWriter()
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = symbols[order[i]].shape[0]
+        t_dh.encode(bw, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        cls = []
+        while i < len(order) and symbols[order[i]].shape[0] == h:
+            w = symbols[order[i]].shape[1]
+            t_dw.encode(bw, w - symwidth)
+            symwidth = w
+            cls.append(symbols[order[i]])
+            i += 1
+        t_dw.encode(bw, None)  # OOB ends the height class
+        coll = np.concatenate(cls, axis=1)
+        if mmr:
+            payload = _g4_bytes(coll)
+            HUFF_B1.encode(bw, len(payload))
+            bw.align()
+            bw.write_bytes(payload)
+        else:
+            HUFF_B1.encode(bw, 0)
+            bw.align()
+            bw.write_bytes(_pack_rows(coll))
+    # export all new symbols: run of 0 non-exported, then all exported
+    HUFF_B1.encode(bw, 0)
+    HUFF_B1.encode(bw, len(symbols))
+    data = (struct.pack(">H", flags) +
+            struct.pack(">II", len(symbols), len(symbols)) + bw.tobytes())
+    return segment(num, 0, page, data, refs=refs), order
+
+
+def huff_text_region_segment(w: int, h: int, instances, symbols,
+                             num: int = 2, page: int = 1, refs=(1,),
+                             refcorner: int = 1, transposed: bool = False,
+                             dsoffset: int = 0, x: int = 0, y: int = 0
+                             ) -> bytes:
+    """Huffman text region (SBHUFF=1, SBSTRIPS=1) placing `instances` =
+    [(sym_id, s, t)]. Standard tables: FS B.6, DS B.8, DT B.11. Symbol
+    IDs get equal-length canonical codes via a single 1-bit run code."""
+    nsyms = len(symbols)
+    advance = [(b.shape[0] - 1) if transposed else (b.shape[1] - 1)
+               for b in symbols]
+    rinfo = struct.pack(">IIII", w, h, x, y) + bytes([0])  # op = OR
+    flags = 1 | (refcorner << 4)  # SBHUFF=1, SBSTRIPS=1
+    if transposed:
+        flags |= 0x40
+    flags |= (dsoffset & 0x1F) << 10
+    hflags = 0  # FS sel 0 (B.6), DS sel 0 (B.8), DT sel 0 (B.11)
+    symlen = 1
+    while (1 << symlen) < nsyms:
+        symlen += 1
+
+    bw = BitWriter()
+    # 7.4.3.1.7 symbol ID code table: 35 x 4-bit run-code lengths. Every
+    # symbol gets code length `symlen`, announced via run code `symlen`
+    # which is the only run code in use -> its canonical code is the
+    # single bit 0.
+    for rc in range(35):
+        bw.write(1 if rc == symlen else 0, 4)
+    for _ in range(nsyms):
+        bw.write(0, 1)  # run code `symlen` once per symbol
+    bw.align()
+
+    strips: dict = {}
+    for sym_id, s, t in instances:
+        strips.setdefault(t, []).append((sym_id, s, t))
+    # B.11's value space starts at 1: emit initial STRIPT value 1 (i.e.
+    # STRIPT = -1) and let the first strip delta re-reach its T.
+    HUFF_B11.encode(bw, 1)
+    stript = -1
+    firsts = 0
+    for st_t in sorted(strips):
+        HUFF_B11.encode(bw, st_t - stript)
+        stript = st_t
+        row = sorted(strips[st_t], key=lambda inst: inst[1])
+        curs = None
+        for sym_id, s, t in row:
+            if curs is None:
+                HUFF_B6.encode(bw, s - firsts)
+                firsts = s
+                curs = s
+            else:
+                HUFF_B8.encode(bw, s - curs - dsoffset)
+                curs = s
+            bw.write(sym_id, symlen)
+            curs += advance[sym_id]
+        HUFF_B8.encode(bw, None)  # OOB ends the strip
+    data = (rinfo + struct.pack(">H", flags) + struct.pack(">H", hflags) +
+            struct.pack(">I", len(instances)) + bw.tobytes())
+    return segment(num, 6, page, data, refs=refs)
+
+
+def custom_table_segment(lines, htlow: int, hthigh: int, num: int = 10,
+                         page: int = 0, htoob: bool = False,
+                         htps: int = 8, htrs: int = 8,
+                         lower_len: int = 8, upper_len: int = 8,
+                         oob_len: int = 8) -> bytes:
+    """Custom code table segment (type 53, B.2 form). `lines` =
+    [(preflen, rangelen)] covering [htlow, hthigh) contiguously."""
+    data = bytearray()
+    data.append((1 if htoob else 0) | ((htps - 1) << 1) | ((htrs - 1) << 4))
+    data += struct.pack(">ii", htlow, hthigh)
+    bw = BitWriter()
+    cur = htlow
+    for preflen, rangelen in lines:
+        bw.write(preflen, htps)
+        bw.write(rangelen, htrs)
+        cur += 1 << rangelen
+    assert cur >= hthigh, "lines must cover [htlow, hthigh)"
+    bw.write(lower_len, htps)
+    bw.write(upper_len, htps)
+    if htoob:
+        bw.write(oob_len, htps)
+    return segment(num, 53, page, bytes(data) + bw.tobytes())

@@ -97,10 +97,13 @@ def test_db_backend_through_processor():
 
 @needs_det_weights
 def test_trained_detector_finds_lines():
+    """VERDICT r3 item 1b bar: recall >= 0.9 at IoU 0.5 (was 0.8 @ 0.3,
+    'far below the repo's parity standard') over mixed sparse/dense
+    degraded synthetic pages."""
     rng = np.random.default_rng(3)
     det = DBLineDetector()
     recalls = []
-    for _ in range(4):
+    for _ in range(6):
         canvas, truth = render_det_page(rng, 512)
         rgb = np.repeat(
             (canvas[..., None] * 255).astype(np.uint8), 3, axis=-1
@@ -112,5 +115,43 @@ def test_trained_detector_finds_lines():
             t for t in truth
             if (t[2] - t[0]) >= 6 and 5 <= (t[3] - t[1]) <= 64
         ]
-        recalls.append(_recall_iou(pred, truth_px))
-    assert float(np.mean(recalls)) >= 0.8, recalls
+        recalls.append(_recall_iou(pred, truth_px, iou_thresh=0.5))
+    assert float(np.mean(recalls)) >= 0.9, recalls
+
+
+@needs_det_weights
+def test_db_routes_scanned_fixture():
+    """The production 'auto' routing sends scanned-like crops through
+    the DB detector and holds the scanned CER bar (VERDICT r3 item 1b:
+    'scanned eval runs through the DB detector')."""
+    from synapta_tpu.config import PipelineConfig
+    from synapta_tpu.models.train import WEIGHTS_PATH
+
+    if not os.path.exists(WEIGHTS_PATH):
+        pytest.skip("recognizer weights not trained")
+    import tempfile
+
+    from synapta_tpu.eval import norm_text
+    from synapta_tpu.io.pdf_writer import make_scanned_book
+    from synapta_tpu.llm.fake import DisabledClient
+    from synapta_tpu.models.train import cer
+    from synapta_tpu.pipeline import VisualSegmentationPipeline
+
+    tmp = tempfile.mkdtemp(prefix="synapta_dbroute_")
+    pdf = os.path.join(tmp, "scan.pdf")
+    truths, expected = make_scanned_book(pdf, pages=1, seed=2)
+    cfg = PipelineConfig(use_vision_llm=False)
+    assert cfg.ocr.line_detector == "auto"  # the production default
+    pipe = VisualSegmentationPipeline(
+        book_id="dbroute", pdf_path=pdf,
+        output_dir=os.path.join(tmp, "out"), use_mermaid=False,
+        config=cfg, llm_client=DisabledClient(), resume=False,
+    )
+    segs = pipe.process()
+    # the scanned crop must have been flagged for DB routing...
+    assert pipe.ocr._db_detector is not None, "DB detector never selected"
+    # ...and the CER bar holds through it
+    s = next(s for s in segs if s.page_no == 1)
+    hyp = norm_text(s.ocr_result.raw_text.replace("\n", " "))
+    ref = norm_text(expected[0].replace("\n", " "))
+    assert cer(ref, hyp) <= 0.05

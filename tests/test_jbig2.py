@@ -164,18 +164,18 @@ def test_symbol_dict_in_globals(tmp_path):
 
 
 def test_unsupported_subsets_degrade_to_plate(tmp_path):
-    """Huffman-coded symbol dictionaries and halftone regions are
+    """Refinement/aggregate symbol coding and halftone regions are
     outside the supported subset: the image degrades to the documented
     neutral plate, never silent blankness or garbage."""
     import struct
 
     W = H = 40
-    # SDHUFF=1 symbol dictionary
-    sd_huff = (struct.pack(">H", 1) + struct.pack(">II", 1, 1))
+    # SDREFAGG=1 symbol dictionary (refinement/aggregate coding)
+    sd_refagg = (struct.pack(">H", 2) + struct.pack(">II", 1, 1))
     from tests.jbig2fixtures import segment
 
     stream = (page_info_segment(W, H, num=0) +
-              segment(1, 0, 1, sd_huff))
+              segment(1, 0, 1, sd_refagg))
     rgb = _decode(tmp_path, stream, W, H)
     assert rgb is not None and (rgb == 200).all()
     # halftone region (type 22)
@@ -212,3 +212,138 @@ def test_arithmetic_page_renders_ink(tmp_path):
     d = open_pdf(str(p))
     arr = d.render(0, dpi=72)
     assert (np.asarray(arr) < 128).sum() > 100
+
+
+# ----------------------------------------------------------- Huffman path
+
+def test_huff_symbol_text_region_roundtrip(tmp_path):
+    """Huffman symbol dictionary (uncompressed collective bitmaps) +
+    Huffman text region: pixel-exact round-trip with standard tables
+    B.1/B.2/B.4 (dict) and B.6/B.8/B.11 (text)."""
+    from tests.jbig2fixtures import (
+        huff_symbol_dict_segment,
+        huff_text_region_segment,
+    )
+
+    syms = _glyphs()
+    seg_sd, order = huff_symbol_dict_segment(syms, num=1, page=1)
+    export = [syms[i] for i in order]
+    W, H = 120, 90
+    instances = []
+    for strip in range(3):
+        t = 20 + strip * 18
+        s = 5 + strip * 3
+        for k in range(4):
+            sid = (strip * 4 + k) % len(export)
+            instances.append((sid, s, t))
+            s += export[sid].shape[1] + 4
+    seg_tr = huff_text_region_segment(W, H, instances, export, num=2,
+                                      refs=(1,), refcorner=1)
+    stream = page_info_segment(W, H, num=0) + seg_sd + seg_tr
+    rgb = _decode(tmp_path, stream, W, H)
+    assert rgb is not None and rgb.shape == (H, W, 3)
+    expect = _expected_page(export, instances, W, H, 1, False)
+    assert (_ink(rgb) == expect).all()
+
+
+@pytest.mark.parametrize("refcorner", [0, 1, 2, 3])
+@pytest.mark.parametrize("transposed", [False, True])
+def test_huff_text_region_corners(refcorner, transposed, tmp_path):
+    """Huffman text regions place pixel-exactly under every reference
+    corner and both orientations (same contract as the arithmetic path)."""
+    from tests.jbig2fixtures import (
+        huff_symbol_dict_segment,
+        huff_text_region_segment,
+    )
+
+    syms = _glyphs()
+    seg_sd, order = huff_symbol_dict_segment(syms, num=1, page=1)
+    export = [syms[i] for i in order]
+    W, H = 110, 80
+    instances = []
+    s = 6
+    for i in range(5):
+        sid = i % len(export)
+        instances.append((sid, s, 30))
+        s += export[sid].shape[0 if transposed else 1] + 5
+    seg_tr = huff_text_region_segment(
+        W, H, instances, export, num=2, refs=(1,), refcorner=refcorner,
+        transposed=transposed, dsoffset=2)
+    stream = page_info_segment(W, H, num=0) + seg_sd + seg_tr
+    rgb = _decode(tmp_path, stream, W, H)
+    expect = _expected_page(export, instances, W, H, refcorner, transposed)
+    assert (_ink(rgb) == expect).all()
+
+
+def test_huff_symbol_dict_mmr_collective(tmp_path):
+    """Huffman symbol dictionary with MMR-coded (CCITT G4) collective
+    bitmaps — cross-validated against PIL's independent G4 encoder."""
+    from tests.jbig2fixtures import (
+        huff_symbol_dict_segment,
+        huff_text_region_segment,
+    )
+
+    syms = _glyphs()
+    seg_sd, order = huff_symbol_dict_segment(syms, num=1, page=1, mmr=True)
+    export = [syms[i] for i in order]
+    W, H = 100, 60
+    instances = [(i % len(export), 6 + 18 * i, 30) for i in range(5)]
+    seg_tr = huff_text_region_segment(W, H, instances, export, num=2,
+                                      refs=(1,), refcorner=1)
+    stream = page_info_segment(W, H, num=0) + seg_sd + seg_tr
+    rgb = _decode(tmp_path, stream, W, H)
+    expect = _expected_page(export, instances, W, H, 1, False)
+    assert (_ink(rgb) == expect).all()
+
+
+def test_huff_dict_in_globals(tmp_path):
+    """Huffman symbol dictionary resident in the PDF JBIG2Globals stream
+    (shared-dictionary layout) feeds a per-image Huffman text region."""
+    from tests.jbig2fixtures import (
+        huff_symbol_dict_segment,
+        huff_text_region_segment,
+    )
+
+    syms = _glyphs()
+    seg_sd, order = huff_symbol_dict_segment(syms, num=1, page=1)
+    export = [syms[i] for i in order]
+    W, H = 100, 60
+    instances = [(i % len(export), 6 + 18 * i, 30) for i in range(5)]
+    seg_tr = huff_text_region_segment(W, H, instances, export, num=2,
+                                      refs=(1,), refcorner=1)
+    stream = page_info_segment(W, H, num=0) + seg_tr
+    rgb = _decode(tmp_path, stream, W, H, globals_stream=seg_sd)
+    expect = _expected_page(export, instances, W, H, 1, False)
+    assert (_ink(rgb) == expect).all()
+
+
+def test_huff_custom_table_segment(tmp_path):
+    """A custom code table segment (type 53, Annex B.2 form) drives the
+    symbol dictionary's DH decoding (selector 3)."""
+    from tests.jbig2fixtures import (
+        HuffEnc,
+        custom_table_segment,
+        huff_symbol_dict_segment,
+        huff_text_region_segment,
+    )
+
+    # custom DH table over [0, 16): 2/2/2/3-bit prefixes + 4-bit range
+    # lines (Kraft-complete: 3/4 + 1/8 + 2/16 = 1)
+    lines = [(2, 2), (2, 2), (2, 2), (3, 2)]
+    seg_tab = custom_table_segment(lines, 0, 16, num=8, page=0,
+                                   htps=4, htrs=4, lower_len=4,
+                                   upper_len=4)
+    enc = HuffEnc([(2, 2, 0, 0), (2, 2, 4, 0), (2, 2, 8, 0), (3, 2, 12, 0),
+                   (4, 32, -1, 1), (4, 32, 16, 0)])
+    syms = _glyphs()
+    seg_sd, order = huff_symbol_dict_segment(
+        syms, num=1, page=1, sel_dh=3, refs=(8,), custom_dh=enc)
+    export = [syms[i] for i in order]
+    W, H = 100, 60
+    instances = [(i % len(export), 6 + 18 * i, 30) for i in range(5)]
+    seg_tr = huff_text_region_segment(W, H, instances, export, num=2,
+                                      refs=(1,), refcorner=1)
+    stream = (page_info_segment(W, H, num=0) + seg_tab + seg_sd + seg_tr)
+    rgb = _decode(tmp_path, stream, W, H)
+    expect = _expected_page(export, instances, W, H, 1, False)
+    assert (_ink(rgb) == expect).all()
