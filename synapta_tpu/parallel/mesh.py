@@ -38,11 +38,14 @@ def init_distributed(coordinator: Optional[str] = None,
     the single-process degenerate case (no coordinator configured) —
     callers need no branches; the meshes work identically either way.
 
-    VALIDATION STATUS (honest): this environment exposes one host and one
-    chip, so only the single-process degenerate path and the argument
-    plumbing are unit-tested (tests/test_parallel.py). The
-    jax.distributed.initialize call itself follows the documented API and
-    has not been exercised against a real pod from here.
+    VALIDATION STATUS: exercised for real by
+    tests/test_parallel.py::test_two_process_cpu_cluster — two OS
+    processes (4 virtual CPU devices each, gloo collectives) join through
+    this function into one 8-device cluster, build the global dp x tp
+    mesh, and run the sharded inference + train steps with results
+    matching a single-process run. Real multi-chip TPU pods remain
+    unavailable from this environment; the coordinator handshake, global
+    device view, and cross-process collectives are what this validates.
     """
     import os
 
