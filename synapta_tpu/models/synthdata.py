@@ -185,7 +185,7 @@ def random_text(rng: np.random.Generator) -> str:
             s += ", " + _formula(rng)
         return s
     kind = (kind - 0.16) / 0.84 if kind >= 0.16 else kind  # renormalize
-    if kind < 0.10:
+    if kind < 0.14:
         # bare axis-tick tokens (chart y/x labels): SHORT digit or
         # letter+digit strings that appear tiny on charts and upscale
         # blurry — paired with the tiny-glyph blur augmentation below

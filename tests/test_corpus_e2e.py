@@ -68,15 +68,16 @@ def test_matplotlib_book(tmp_path, fonttype):
     assert len(with_caption) >= 3
     # OCR accuracy on a genuinely external producer: matplotlib typeset
     # this text (its own layout, its own font subset); the known labels
-    # must come back readable. Tolerant bar: >= 4 of 6 keywords across
-    # the book (Type3 bitmap glyphs read slightly worse than TrueType).
+    # must come back readable. VERDICT r3 item 1 bar: ALL 6 of 6
+    # keywords (was a tolerant 4-of-6 — the STIX/oblique foreign-font
+    # training closed the Type3 gap).
     all_text = " ".join(
         (s.ocr_result.raw_text or "").lower() for s in segs
     )
     keywords = ["revenue", "cost", "portfolio weights", "stocks",
                 "bonds", "figure"]
     found = [k for k in keywords if k in all_text]
-    assert len(found) >= 4, (found, all_text[:400])
+    assert len(found) == 6, (found, all_text[:400])
 
 
 def test_pil_image_book(tmp_path):
