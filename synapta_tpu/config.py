@@ -244,9 +244,16 @@ class PipelineConfig:
     use_vision_llm: bool = True                # False -> pure-local fallback path
     use_local_cv: bool = True                  # old-algo local feature extraction
     api_key_env: str = "MISTRAL_API_KEY"       # never hard-code keys (ref leaked one at :2707)
-    pages_per_batch: int = 64                  # pages per super-batch; large so
-                                               # device executables run many chunks
-                                               # back-to-back (tunnel swap ~2s)
+    pages_per_batch: int = 32                  # pages per super-batch. Round-4
+                                               # A/B: 32 beats 64 by ~9% on the
+                                               # 1000-page bench (34.0 vs 31.1
+                                               # pages/s) and by ~12% on scanned
+                                               # books — the round-1 ~2s
+                                               # executable-swap cost that
+                                               # justified 64 no longer holds on
+                                               # the tunnel, so smaller batches
+                                               # win via deeper prepare/device
+                                               # overlap in the depth-2 pipeline
     data_devices: Optional[int] = None         # cap for the data-parallel mesh
                                                # (None = all available chips)
     loader_workers: int = 0                    # prepare (detect+render) worker

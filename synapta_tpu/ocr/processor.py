@@ -86,11 +86,13 @@ class TPUOCR:
 
     @property
     def db_detector(self):
-        """Lazily-built DB line detector (weights load on first use)."""
+        """Lazily-bound DB line detector (process-wide singleton: the
+        weights and the jitted boxes program load once)."""
         if self._db_detector is None:
-            from synapta_tpu.models.detector import DBLineDetector
+            from synapta_tpu.models.detector import get_line_detector
 
-            self._db_detector = DBLineDetector(det_size=self.cfg.crop_size)
+            self._db_detector = get_line_detector(
+                det_size=self.cfg.crop_size)
         return self._db_detector
 
     def _line_tile(self, crop: np.ndarray, box: List[int],
@@ -225,12 +227,16 @@ class TPUOCR:
         render_ctx: Optional[Sequence] = None,
         line_boxes=None,
         db_mask: Optional[Sequence[bool]] = None,
+        db_override: Optional[Dict[int, list]] = None,
     ):
         """Cut + normalize every text-line tile for one crop batch.
 
         ``db_mask``: per-crop flags from the caller marking scanned-like
         crops; in "auto"/"db" mode those crops re-detect through the
         trainable DB model, overriding the fused heuristic boxes.
+        ``db_override``: {crop_idx: boxes} precomputed by the caller (the
+        pipeline batches ONE DB dispatch per super-batch) — takes
+        precedence over db_mask, no device work here.
 
         Returns (tiles list, owners list, boxes list) — the host-side half
         of recognition, separable so callers can POOL tiles from several
@@ -246,7 +252,11 @@ class TPUOCR:
                 detect_lines(crops) if self._det_mode != "db"
                 else self.db_detector.detect_lines(crops)
             )
-        if (
+        if db_override:
+            for i, boxes in db_override.items():
+                if boxes and i < len(per_crop_boxes):
+                    per_crop_boxes[i] = boxes
+        elif (
             db_mask is not None
             and self._det_mode in ("auto", "db")
             and any(db_mask)
@@ -502,7 +512,7 @@ class TPUOCR:
         for it in items:
             tiles, owners, boxes_flat, parts = self.collect_tiles(
                 it["crops"], it.get("render_ctx"), it.get("line_boxes"),
-                it.get("db_mask"),
+                it.get("db_mask"), it.get("db_override"),
             )
             spans.append((len(all_tiles), len(all_tiles) + len(tiles)))
             all_tiles.extend(tiles)

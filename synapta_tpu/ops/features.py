@@ -251,6 +251,9 @@ def extract_crop_features(
     from synapta_tpu.ops.color import gray_quarter_host
 
     gray, rgb_q = gray_quarter_host(np.asarray(rgb))
+    # eighth-res color, same diet as device_analyze_dispatch (k-means is
+    # the only color consumer; ref sampled <= 5000 px, :1582)
+    rgb_q = np.ascontiguousarray(rgb_q[:, ::2, ::2])
     out = dict(_core_features(gray, rgb_q, line_kernel, grid_kernel))
     out.update(
         _component_censuses(
@@ -500,8 +503,11 @@ def device_analyze_dispatch(rgb, sizes=None, mesh=None):
     unpack later with unpack_analysis(np.asarray(packed), B).
 
     rgb: (B, H, W, 3) uint8 HOST numpy. The host converts it to
-    (gray u8, quarter-res RGB) before transfer — 2.4x less H2D over the
-    ~40MB/s tunnel (see ops/color.gray_quarter_host)."""
+    (gray u8, eighth-res RGB) before transfer — the only color consumer
+    is dominant_colors, whose reference sampled <= 5000 px anyway (ref
+    :1582; 64x64 = 4096 here), so color crosses at 1/64 of full res and
+    total H2D drops another ~40% vs the quarter-res diet (the tunnel
+    moves ~40MB/s and its sends burn the 1-core host's CPU)."""
     import numpy as np
 
     from synapta_tpu.ops.color import gray_quarter_host
@@ -512,6 +518,7 @@ def device_analyze_dispatch(rgb, sizes=None, mesh=None):
     else:
         sizes = jnp.asarray(sizes, jnp.int32)
     gray, rgb_q = gray_quarter_host(np.asarray(rgb))
+    rgb_q = np.ascontiguousarray(rgb_q[:, ::2, ::2])
     # the flag enters the lru_cache KEY so toggling SYNAPTA_PALLAS_EDGE
     # mid-process (A/B harnesses) picks the right compiled path
     return _analyze_fn_for(mesh, _pallas_wanted())(gray, rgb_q, sizes)

@@ -282,24 +282,36 @@ class VisualSegmentationPipeline:
         cb = self.cfg.ocr.crop_batch
         # scanned-like crops (full-page embedded rasters) route through
         # the trainable DB line detector instead of the fused heuristic
-        # boxes — OCRConfig.line_detector "auto" (VERDICT r3 item 1b)
+        # boxes — OCRConfig.line_detector "auto" (VERDICT r3 item 1b).
+        # ONE batched DB dispatch covers the whole super-batch (a
+        # per-chunk dispatch would pay the tunnel's executable-swap cost
+        # once per 16 crops instead of once per batch).
         scan_mask = [self._scanned_like(r) for r in regions]
+        overrides: Dict[int, list] = {}
+        if any(scan_mask):
+            flagged = [i for i, m in enumerate(scan_mask) if m]
+            db_boxes = self.ocr.db_detector.detect_lines(
+                canvases[np.array(flagged)]
+            )
+            overrides = {i: b for i, b in zip(flagged, db_boxes) if b}
         items: List[dict] = []
         reals: List[int] = []
         for chunk, real, chunk_sizes, boxes, start in chunk_meta:
             chunk_ctx = None
             if ctxs is not None:
                 chunk_ctx = ctxs[start : start + real] + [None] * (cb - real)
-            chunk_mask = scan_mask[start : start + real] + [False] * (
-                cb - real
-            )
+            chunk_over = {
+                i - start: overrides[i]
+                for i in range(start, start + real)
+                if i in overrides
+            }
             items.append(
                 {
                     "crops": chunk,
                     "sizes": chunk_sizes,
                     "render_ctx": chunk_ctx,
                     "line_boxes": boxes,
-                    "db_mask": chunk_mask if any(chunk_mask) else None,
+                    "db_override": chunk_over or None,
                 }
             )
             reals.append(real)
