@@ -183,7 +183,7 @@ def _mutants(data: bytes, rng: random.Random, out_dir: str, tag: str,
 @pytest.mark.parametrize(
     "base",
     ["ttf_book", "cff", "type1", "enc", "pil_images", "ccitt", "rich",
-     "jbig2", "jbig2_arith", "annots"],
+     "jbig2", "jbig2_arith", "jbig2_huff", "annots"],
 )
 def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
     rng = random.Random(20260818)
@@ -265,6 +265,17 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
              b"/MK << /BG [0.9] /BC [0] >> >>"),
             (b"<< /Type /Annot /Subtype /Widget /FT /Btn /Rect "
              b"[260 50 290 80] /V /Yes /MK << /BC [0] >> >>"),
+            # round-4 synthesis surfaces: /AS-keyed radio, /Ch choice,
+            # signed /Sig placeholder (indirect sig dict lands at 8 0 R
+            # == forms[0]; mutations exercise the dict-type guards)
+            (b"<< /Type /Annot /Subtype /Widget /FT /Btn /Rect "
+             b"[260 90 290 120] /V /Opt2 /AS /Opt1 >>"),
+            (b"<< /Type /Annot /Subtype /Widget /FT /Ch /Rect "
+             b"[50 90 200 115] /V [(Equities) (Bonds)] "
+             b"/DA (0 g /Helv 9 Tf) >>"),
+            (b"<< /Type /Annot /Subtype /Widget /FT /Sig /Rect "
+             b"[50 120 220 150] /V << /Type /Sig /Name (Fuzz Signer) >> "
+             b">>"),
         ]
         data = _pdf(_annot_page(annots, extra_objs=forms,
                                 contents=b"0.5 g 0 0 300 300 re f\n"))
@@ -272,7 +283,7 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
         from tests.test_ccitt import _jbig2_pdf, _textlike
 
         data = _jbig2_pdf(_textlike(96, 160, 11), mmr=True)
-    else:  # jbig2_arith: MQ generic region + symbol dict + text region
+    elif base == "jbig2_arith":  # MQ generic region + symbol dict + text
         import numpy as np
 
         from tests.jbig2fixtures import (generic_region_segment,
@@ -291,6 +302,33 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
         stream = (page_info_segment(160, 96, num=0) + seg_sd + seg_tr +
                   generic_region_segment(_textlike(96, 160, 7), num=3,
                                          tpgdon=True))
+        data = jbig2_pdf(stream, 160, 96)
+    else:  # jbig2_huff: Huffman dict (custom DH table, MMR collective)
+        # + Huffman text region — the round-4 decoder surface (bit
+        # readers, canonical assignment, table segment parsing,
+        # collective-bitmap splitting, run-coded symbol IDs)
+        import numpy as np
+
+        from tests.jbig2fixtures import (HuffEnc, custom_table_segment,
+                                         huff_symbol_dict_segment,
+                                         huff_text_region_segment,
+                                         jbig2_pdf, page_info_segment)
+
+        syms = [(np.random.default_rng(i).random((8, 6 + i)) > 0.5)
+                .astype(np.uint8) for i in range(3)]
+        seg_tab = custom_table_segment([(2, 2), (2, 2), (2, 2), (3, 2)],
+                                       0, 16, num=8, page=0, htps=4,
+                                       htrs=4, lower_len=4, upper_len=4)
+        enc = HuffEnc([(2, 2, 0, 0), (2, 2, 4, 0), (2, 2, 8, 0),
+                       (3, 2, 12, 0), (4, 32, -1, 1), (4, 32, 16, 0)])
+        seg_sd, order = huff_symbol_dict_segment(
+            syms, num=1, page=1, mmr=True, sel_dh=3, refs=(8,),
+            custom_dh=enc)
+        export = [syms[i] for i in order]
+        seg_tr = huff_text_region_segment(
+            120, 60, [(i % 3, 8 + 20 * i, 30) for i in range(4)],
+            export, num=2, refs=(1,), refcorner=1)
+        stream = page_info_segment(160, 96, num=0) + seg_tab + seg_sd + seg_tr
         data = jbig2_pdf(stream, 160, 96)
 
     out = tmp_path / "cases"
