@@ -3238,6 +3238,10 @@ bool ContentEngine::run(int page_index, PageContent* out, DisplayList* dl) {
       ai.flush_span();
     }
   }
+  // one-time per-primitive paint bounds so region renders (the pipeline
+  // renders each detected region twice at different DPIs) replay only
+  // the content that can touch their clip (raster.cc culling)
+  compute_display_bounds(dl);
   return true;
 }
 

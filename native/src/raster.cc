@@ -729,7 +729,18 @@ void draw_glyph_run(Canvas* cv, const RenderGlyphRun& gr, GlyphCache* cache,
   // the 1/32-phase bitmap builds are pure overhead (bench: 21.0 vs 22.8
   // pages/s), while phase rounding costs OCR CER 0.025 -> 0.038.
   static const bool use_cache = getenv("SPDF_GLYPH_CACHE") != nullptr;
+  // per-instance cull: a line of body text often straddles the render
+  // canvas edge — the run survives the list-level bounds check but most
+  // of its glyphs still cannot ink a pixel (margin: 2 device px of AA)
+  const float gmargin = (float)(2.0 / cv->scale);
+  const float gx0 = (float)cv->off_x - gmargin;
+  const float gy0 = (float)cv->off_y - gmargin;
+  const float gx1 = (float)(cv->off_x + cv->w / cv->scale) + gmargin;
+  const float gy1 = (float)(cv->off_y + cv->h / cv->scale) + gmargin;
   for (const auto& gi : gr.glyph_insts) {
+    if (gi.bx1 >= gi.bx0 &&
+        (gi.bx1 < gx0 || gi.bx0 > gx1 || gi.by1 < gy0 || gi.by0 > gy1))
+      continue;
     // glyph -> device affine
     float A = (float)(gi.a * cv->scale);
     float B = (float)(gi.b * cv->scale);
@@ -1171,6 +1182,102 @@ static void draw_tiled_fill(
       });
 }
 
+// ---------------------------------------------------------------------------
+// display-list bounds (region-render culling)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline Rect rect_clamp(const Rect& b, const Rect& clip) {
+  Rect r;
+  r.x0 = std::max(b.x0, clip.x0);
+  r.y0 = std::max(b.y0, clip.y0);
+  r.x1 = std::min(b.x1, clip.x1);
+  r.y1 = std::min(b.y1, clip.y1);
+  return r;  // may come out invalid (= paints nothing / never culled)
+}
+
+}  // namespace
+
+// One pass after extraction: conservative page-space paint bounds per
+// primitive. The pipeline renders every detected region twice (fitted-DPI
+// analysis canvas + 150-DPI output crop, synapta_tpu/io/loader.py) with a
+// clip a fraction of the page; before this pass each render replayed the
+// FULL page display list (every body-text glyph built edges, every path
+// sorted crossings) only for the scanline clip to discard the work.
+// Bounds are conservative: strokes inflate by the full line width
+// (covers caps/joins/min-width widening), glyph instances transform the
+// outline bbox corners, images transform the unit square. Validity
+// doubles as the cull gate — an invalid rect (empty path, never-computed
+// sub-list) is never culled, so unknown always renders.
+void compute_display_bounds(DisplayList* dl) {
+  for (auto& rp : dl->paths) {
+    Rect b;
+    for (auto& sp : rp.subpaths)
+      for (auto& p : sp) b.grow(p.first, p.second);
+    if (rp.stroke && b.valid()) {
+      double inf = std::max(1.0, (double)rp.line_width);
+      b.x0 -= inf;
+      b.y0 -= inf;
+      b.x1 += inf;
+      b.y1 += inf;
+    }
+    rp.bounds = b.valid() ? rect_clamp(b, rp.clip) : b;
+  }
+  // font-unit outline bbox per distinct glyph (shared across instances)
+  std::unordered_map<const Glyph*, Rect> glyph_bb;
+  for (auto& gr : dl->glyphs) {
+    Rect rb;
+    for (auto& gi : gr.glyph_insts) {
+      auto it = glyph_bb.find(gi.glyph);
+      if (it == glyph_bb.end()) {
+        Rect fb;
+        if (gi.glyph)
+          for (auto& c : gi.glyph->contours)
+            for (auto& p : c) fb.grow(p.first, p.second);
+        it = glyph_bb.emplace(gi.glyph, fb).first;
+      }
+      const Rect& fb = it->second;
+      if (!fb.valid()) continue;  // empty glyph: instance stays invalid
+      Rect ib;
+      const double xs[2] = {fb.x0, fb.x1}, ys[2] = {fb.y0, fb.y1};
+      for (int i = 0; i < 2; i++)
+        for (int j = 0; j < 2; j++)
+          ib.grow(gi.a * xs[i] + gi.c * ys[j] + gi.e,
+                  gi.b * xs[i] + gi.d * ys[j] + gi.f);
+      gi.bx0 = (float)ib.x0;
+      gi.by0 = (float)ib.y0;
+      gi.bx1 = (float)ib.x1;
+      gi.by1 = (float)ib.y1;
+      rb.grow(ib.x0, ib.y0);
+      rb.grow(ib.x1, ib.y1);
+    }
+    gr.bounds = rb.valid() ? rect_clamp(rb, gr.clip) : rb;
+  }
+  for (auto& ri : dl->images) {
+    Rect b;
+    const double us[2] = {0.0, 1.0};
+    for (int i = 0; i < 2; i++)
+      for (int j = 0; j < 2; j++) {
+        double x, y;
+        ri.img_to_page.apply(us[i], us[j], &x, &y);
+        b.grow(x, y);
+      }
+    ri.bounds = rect_clamp(b, ri.clip);
+  }
+  for (auto& sh : dl->shadings) {
+    if (sh.clip_path.empty()) {
+      // `sh` operator paints the whole clip region
+      sh.bounds = sh.clip;
+      continue;
+    }
+    Rect b;
+    for (auto& sp : sh.clip_path)
+      for (auto& p : sp) b.grow(p.first, p.second);
+    sh.bounds = b.valid() ? rect_clamp(b, sh.clip) : b;
+  }
+}
+
 std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
                                double scale, const double* clip_pts,
                                int* out_w, int* out_h, uint8_t bg) {
@@ -1251,10 +1358,26 @@ std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
     return it->second.empty() ? nullptr : &it->second;
   };
 
+  // Region-render culling: skip primitives whose page-space bounds miss
+  // the canvas. The margin (2 device px in pts) covers antialiasing
+  // bleed and sub-px widening; invalid bounds (never computed) always
+  // render. Blend modes / soft masks only act where a primitive paints,
+  // so a primitive that cannot touch the canvas cannot change it.
+  const double cull_margin = 2.0 / cv.scale;
+  const double can_x0 = cv.off_x - cull_margin;
+  const double can_y0 = cv.off_y - cull_margin;
+  const double can_x1 = cv.off_x + cv.w / cv.scale + cull_margin;
+  const double can_y1 = cv.off_y + cv.h / cv.scale + cull_margin;
+  auto culled = [&](const Rect& b) {
+    return b.valid() && (b.x1 < can_x0 || b.x0 > can_x1 || b.y1 < can_y0 ||
+                         b.y0 > can_y1);
+  };
+
   for (size_t i = 0; i < dl.order_kind.size(); i++) {
     int kind = dl.order_kind[i], idx = dl.order_index[i];
     if (kind == 0) {
       const RenderPath& rp = dl.paths[idx];
+      if (culled(rp.bounds)) continue;
       cv.bm = rp.blend_mode;
       cv.smask = mask_plane(rp.smask);
       if (rp.fill) {
@@ -1271,16 +1394,19 @@ std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
       }
     } else if (kind == 1) {
       const RenderGlyphRun& gr = dl.glyphs[idx];
+      if (culled(gr.bounds)) continue;
       cv.bm = gr.blend_mode;
       cv.smask = mask_plane(gr.smask);
       draw_glyph_run(&cv, gr, &glyph_cache, doc ? doc->gen_id : 0);
     } else if (kind == 2) {
       const RenderImage& ri = dl.images[idx];
+      if (culled(ri.bounds)) continue;
       cv.bm = ri.blend_mode;
       cv.smask = mask_plane(ri.smask);
       blit_image(&cv, doc, ri, &img_cache);
     } else {
       const RenderShading& sh = dl.shadings[idx];
+      if (culled(sh.bounds)) continue;
       cv.bm = sh.blend_mode;
       cv.smask = mask_plane(sh.smask);
       draw_shading(&cv, sh);

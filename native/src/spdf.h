@@ -455,6 +455,9 @@ struct RenderPath {
   Matrix tile_to_page;                   // pattern space -> page pts
   int blend_mode = 0;                    // ExtGState /BM
   std::shared_ptr<SoftMaskSpec> smask;   // ExtGState /SMask (null = none)
+  // Conservative page-space paint bounds (compute_display_bounds);
+  // invalid (default) = unknown, never culled.
+  Rect bounds;
 };
 
 struct RenderGlyphRun {
@@ -467,12 +470,17 @@ struct RenderGlyphRun {
   struct GlyphInst {
     const Glyph* glyph = nullptr;
     float a, b, c, d, e, f;  // font units -> page pts (top-left origin)
+    // page-space outline bounds of this instance (compute_display_bounds);
+    // the raster skips instances that miss the render canvas, so a
+    // region render pays only for the glyphs it can actually ink
+    float bx0 = 1e30f, by0 = 1e30f, bx1 = -1e30f, by1 = -1e30f;
   };
   std::vector<GlyphInst> glyph_insts;
   float rgb[3] = {0, 0, 0};
   Rect clip;
   int blend_mode = 0;
   std::shared_ptr<SoftMaskSpec> smask;
+  Rect bounds;  // union of instance bounds ∩ clip (invalid = never cull)
 };
 
 struct RenderImage {
@@ -492,6 +500,7 @@ struct RenderImage {
   float const_alpha = 1.0f;  // ExtGState /ca at placement time
   int blend_mode = 0;
   std::shared_ptr<SoftMaskSpec> smask;
+  Rect bounds;  // page-space placement bounds (invalid = never cull)
 };
 
 // Axial/radial shading paint (ShadingType 2/3): the `sh` operator and
@@ -522,6 +531,7 @@ struct RenderShading {
   int blend_mode = 0;
   std::shared_ptr<SoftMaskSpec> smask;
   float const_alpha = 1.0f;  // ExtGState /ca at paint time
+  Rect bounds;  // page-space paint bounds (invalid = never cull)
 };
 
 struct DisplayList {
@@ -543,6 +553,15 @@ class ContentEngine {
  private:
   Document* doc_;
 };
+
+// Fill the per-primitive page-space `bounds` fields of a display list
+// (one pass after extraction; raster.cc). rasterize() then replays only
+// primitives whose bounds can touch the render canvas — the pipeline's
+// region renders (loader.py renders every region twice: fitted-DPI
+// canvas + 150-DPI crop) stop paying for the rest of the page. Lists
+// that never ran this pass (tile cells, soft-mask groups) keep invalid
+// bounds and are never culled.
+void compute_display_bounds(DisplayList* dl);
 
 // Host-side JPEG2000 decoder hook. The embedding process may register a
 // callback (spdf_set_jpx_decoder) that decodes a raw JPX codestream into a
