@@ -11,12 +11,21 @@
 // code assignment (B.3), the standard tables B.1-B.15, custom code
 // table segments (type 53, B.2 form), Huffman symbol dictionaries with
 // uncompressed/MMR collective bitmaps (6.5.9), and Huffman text regions
-// with run-coded symbol ID tables (7.4.3.1.7). Refinement coding and
-// halftone regions still return failure so the caller keeps the
-// documented neutral-plate degrade (never silent blankness). Standard
-// tables B.1-B.6, B.8, B.11, B.14 are fixture-verified round-trip;
-// the remaining transcriptions carry the PARITY.md-documented
-// shared-constants residual risk (same as the MQ Qe table).
+// with run-coded symbol ID tables (7.4.3.1.7). Standard tables B.1-B.6,
+// B.8, B.11, B.14 are fixture-verified round-trip; the remaining
+// transcriptions carry the PARITY.md-documented shared-constants
+// residual risk (same as the MQ Qe table).
+//
+// Round-4 (cont.) adds REFINEMENT coding (6.3: generic refinement
+// templates 0/1 with TPGRON; symbol dictionaries with SDREFAGG=1 and
+// REFAGGNINST=1; text-region refined instances; page refinement
+// segments 40/42/43) and HALFTONE regions (6.6/6.7: pattern
+// dictionaries, Gray-coded bitplanes, skewed-grid pattern stamping).
+// Remaining documented degrades (all return failure -> the caller keeps
+// the neutral plate, never silent blankness): Huffman + refinement
+// combinations, REFAGGNINST > 1 aggregates, HENABLESKIP, and the
+// single-coder multi-plane MMR halftone form — none of which a known
+// embedded-PDF producer emits.
 //
 // The MQ coder implements the T.88 Annex E software-conventions
 // procedures (INITDEC/DECODE/BYTEIN) with the standard 47-entry Qe
@@ -588,6 +597,70 @@ bool decode_generic(MQDecoder& mq, std::vector<uint8_t>& gbcx, int tmpl,
   return true;
 }
 
+// ---------------------------------------------------- refinement decoding
+
+// Generic refinement region decoding (T.88 6.3.5). The context mixes
+// pixels of the bitmap being decoded (coding layer) with pixels of the
+// reference bitmap shifted by (GRREFERENCEDX, GRREFERENCEDY). Bit order
+// is MSB-first: coding pixels then reference pixels, with template 0
+// carrying one adaptive pixel in each layer (A1 coding, A2 reference).
+// Layouts cross-checked against the spec figures; like the Qe table
+// they are also exercised only against the first-party encoder in
+// tests/jbig2fixtures.py (PARITY.md shared-constants caveat).
+//
+//   GRTEMPLATE 0 (13-bit): coding (0,-1) (1,-1) (-1,0) A1;
+//     reference (0,-1) (1,-1) (-1,0) (0,0) (1,0) (-1,1) (0,1) (1,1) A2.
+//     TPGRON pseudo-context 0x0020 (reference centre pixel set).
+//   GRTEMPLATE 1 (10-bit): coding (-1,-1) (0,-1) (1,-1) (-1,0);
+//     reference (0,-1) (-1,0) (0,0) (1,0) (0,1) (1,1).
+//     TPGRON pseudo-context 0x0008.
+//
+// With TPGRON, an LTP row decodes only the pixels whose 3x3 reference
+// neighbourhood is non-uniform; uniform neighbourhoods copy through
+// (T.88 6.3.5.6). grcx: caller-owned 1<<13 context array (shared across
+// a symbol dictionary's refinements per 6.5.8.2.1).
+bool decode_refinement(MQDecoder& mq, std::vector<uint8_t>& grcx, int tmpl,
+                       const int8_t at[4], bool tpgron, const Bitmap& ref,
+                       int dx, int dy, Bitmap* out) {
+  const TPix c0[4] = {{0, -1}, {1, -1}, {-1, 0}, {at[0], at[1]}};
+  const TPix r0[9] = {{0, -1}, {1, -1}, {-1, 0}, {0, 0},   {1, 0},
+                      {-1, 1}, {0, 1},  {1, 1},  {at[2], at[3]}};
+  const TPix c1[4] = {{-1, -1}, {0, -1}, {1, -1}, {-1, 0}};
+  const TPix r1[6] = {{0, -1}, {-1, 0}, {0, 0}, {1, 0}, {0, 1}, {1, 1}};
+  const TPix* cp = tmpl ? c1 : c0;
+  const TPix* rp = tmpl ? r1 : r0;
+  const int nc = 4;
+  const int nr = tmpl ? 6 : 9;
+  const uint16_t tpgr_cx = tmpl ? 0x0008 : 0x0020;
+  int ltp = 0;
+  for (int y = 0; y < out->h; y++) {
+    if (tpgron) ltp ^= mq.decode(&grcx[tpgr_cx]);
+    for (int x = 0; x < out->w; x++) {
+      const int rx = x - dx, ry = y - dy;
+      if (ltp) {
+        int s = 0;
+        for (int j = -1; j <= 1; j++)
+          for (int i = -1; i <= 1; i++) s += ref.get(rx + i, ry + j);
+        if (s == 0) {
+          out->px[(size_t)y * out->w + x] = 0;
+          continue;
+        }
+        if (s == 9) {
+          out->px[(size_t)y * out->w + x] = 1;
+          continue;
+        }
+      }
+      uint32_t cxv = 0;
+      for (int i = 0; i < nc; i++)
+        cxv = (cxv << 1) | out->get(x + cp[i].dx, y + cp[i].dy);
+      for (int i = 0; i < nr; i++)
+        cxv = (cxv << 1) | ref.get(rx + rp[i].dx, ry + rp[i].dy);
+      out->px[(size_t)y * out->w + x] = (uint8_t)mq.decode(&grcx[cxv]);
+    }
+  }
+  return true;
+}
+
 // ------------------------------------------------------------- region info
 
 struct RegionInfo {
@@ -622,9 +695,16 @@ struct Jbig2State {
   std::vector<std::pair<uint32_t, std::vector<Bitmap>>> sym_dicts;
   // seg_num -> custom Huffman code table (segment type 53)
   std::vector<std::pair<uint32_t, HuffTable>> tables;
+  // seg_num -> patterns from that pattern dictionary segment (type 16)
+  std::vector<std::pair<uint32_t, std::vector<Bitmap>>> pat_dicts;
 
   const std::vector<Bitmap>* find_dict(uint32_t seg) const {
     for (auto& d : sym_dicts)
+      if (d.first == seg) return &d.second;
+    return nullptr;
+  }
+  const std::vector<Bitmap>* find_patterns(uint32_t seg) const {
+    for (auto& d : pat_dicts)
       if (d.first == seg) return &d.second;
     return nullptr;
   }
@@ -805,7 +885,11 @@ bool decode_symbol_dict(const uint8_t* seg, uint32_t dlen,
   bool sdhuff = flags & 1;
   bool sdrefagg = flags & 2;
   int sdtemplate = (flags >> 10) & 3;
-  if (sdrefagg) return false;  // refinement/aggregate subset
+  int sdrtemplate = (flags >> 12) & 1;
+  // Huffman + refinement/aggregation is outside the decoded subset
+  // (no known embedded-PDF producer emits it); arithmetic SDREFAGG with
+  // REFAGGNINST == 1 is handled below.
+  if (sdhuff && sdrefagg) return false;
   if (sdhuff)
     return decode_symbol_dict_huff(seg, dlen, flags, refs, seg_num, st);
   size_t p = 2;
@@ -814,6 +898,12 @@ bool decode_symbol_dict(const uint8_t* seg, uint32_t dlen,
   if (p + (size_t)n_at * 2 > dlen) return false;
   for (int i = 0; i < n_at * 2; i++) at[i] = (int8_t)seg[p + i];
   p += (size_t)n_at * 2;
+  int8_t rat[4] = {0};
+  if (sdrefagg && sdrtemplate == 0) {  // SDRAT (7.4.4.1.3)
+    if (p + 4 > dlen) return false;
+    for (int i = 0; i < 4; i++) rat[i] = (int8_t)seg[p + i];
+    p += 4;
+  }
   if (p + 8 > dlen) return false;
   uint32_t num_ex = rd32be(seg + p);
   uint32_t num_new = rd32be(seg + p + 4);
@@ -831,8 +921,18 @@ bool decode_symbol_dict(const uint8_t* seg, uint32_t dlen,
 
   MQDecoder mq;
   mq.init(seg + p, dlen - p);
-  IntCtx iadh, iadw, iaex, iaai;
+  IntCtx iadh, iadw, iaex, iaai, iardx, iardy;
   std::vector<uint8_t> gbcx(1u << 16, 0);
+  std::vector<uint8_t> grcx;
+  std::vector<uint8_t> iaid_cx;
+  int sdcodelen = 0;  // SBSYMCODELEN = ceil(log2(insyms + new)) (6.5.8.2.3)
+  if (sdrefagg) {
+    size_t total = insyms.size() + num_new;
+    while (((size_t)1 << sdcodelen) < total) sdcodelen++;
+    if (sdcodelen == 0) sdcodelen = 1;
+    iaid_cx.assign((size_t)1 << (sdcodelen + 1), 0);
+    grcx.assign(1u << 13, 0);
+  }
 
   std::vector<Bitmap> newsyms(num_new);
   uint32_t decoded = 0;
@@ -854,8 +954,30 @@ bool decode_symbol_dict(const uint8_t* seg, uint32_t dlen,
       if (area > kMaxSymArea) return false;
       Bitmap& b = newsyms[decoded];
       if (!b.alloc(symwidth, hcheight, 0)) return false;
-      if (!decode_generic(mq, gbcx, sdtemplate, at, false, &b))
-        return false;
+      if (!sdrefagg) {
+        if (!decode_generic(mq, gbcx, sdtemplate, at, false, &b))
+          return false;
+      } else {
+        // 6.5.8.2: each new symbol refines an already-known one.
+        // REFAGGNINST > 1 (aggregate text region) is outside the
+        // decoded subset — no mainstream encoder emits it.
+        int32_t nrefs;
+        if (!decode_int(mq, iaai, &nrefs)) return false;
+        if (nrefs != 1) return false;
+        uint32_t id = decode_iaid(mq, iaid_cx, sdcodelen);
+        int32_t rdx, rdy;
+        if (!decode_int(mq, iardx, &rdx) || !decode_int(mq, iardy, &rdy))
+          return false;
+        const Bitmap* refb = nullptr;
+        if (id < insyms.size())
+          refb = insyms[id];
+        else if (id - insyms.size() < decoded)
+          refb = &newsyms[id - insyms.size()];
+        if (!refb) return false;
+        if (!decode_refinement(mq, grcx, sdrtemplate, rat, false, *refb,
+                               rdx, rdy, &b))
+          return false;
+      }
       decoded++;
     }
   }
@@ -1070,9 +1192,11 @@ bool decode_text_region(const uint8_t* seg, uint32_t dlen,
     return decode_text_region_huff(seg, dlen, p, flags, hflags, refs, st,
                                    out, ri);
   }
-  if (sbrefine && sbrtemplate == 0) {
+  int8_t rat[4] = {0};
+  if (sbrefine && sbrtemplate == 0) {  // SBRAT (7.4.3.1.2)
     if (p + 4 > dlen) return false;
-    p += 4;  // SBRAT, only needed if refinement instances occur
+    for (int i = 0; i < 4; i++) rat[i] = (int8_t)seg[p + i];
+    p += 4;
   }
   if (p + 4 > dlen) return false;
   uint32_t num_instances = rd32be(seg + p);
@@ -1096,8 +1220,10 @@ bool decode_text_region(const uint8_t* seg, uint32_t dlen,
 
   MQDecoder mq;
   mq.init(seg + p, dlen - p);
-  IntCtx iadt, iafs, iads, iait, iari;
+  IntCtx iadt, iafs, iads, iait, iari, iardw, iardh, iardx, iardy;
   std::vector<uint8_t> iaid_cx((size_t)1 << (codelen + 1), 0);
+  std::vector<uint8_t> grcx;
+  if (sbrefine) grcx.assign(1u << 13, 0);
 
   int32_t stript;
   if (!decode_int(mq, iadt, &stript)) return false;
@@ -1133,13 +1259,162 @@ bool decode_text_region(const uint8_t* seg, uint32_t dlen,
       if (sbrefine) {
         int32_t r;
         if (!decode_int(mq, iari, &r)) return false;
-        if (r != 0) return false;  // refinement instance: unsupported
+        if (r != 0) {
+          // refined instance (6.4.11): the placed bitmap is a
+          // refinement of the dictionary symbol, possibly resized
+          int32_t rdw, rdh, rdx, rdy;
+          if (!decode_int(mq, iardw, &rdw) ||
+              !decode_int(mq, iardh, &rdh) ||
+              !decode_int(mq, iardx, &rdx) ||
+              !decode_int(mq, iardy, &rdy))
+            return false;
+          int64_t nw = (int64_t)syms[id]->w + rdw;
+          int64_t nh = (int64_t)syms[id]->h + rdh;
+          if (nw < 1 || nh < 1 || nw > kMaxSymDim || nh > kMaxSymDim)
+            return false;
+          Bitmap rb;
+          if (!rb.alloc((int)nw, (int)nh, 0)) return false;
+          // floor(RDW/2) / floor(RDH/2) per 6.4.11.3 (signed floor)
+          int gdx = (rdw >= 0 ? rdw / 2 : (rdw - 1) / 2) + rdx;
+          int gdy = (rdh >= 0 ? rdh / 2 : (rdh - 1) / 2) + rdy;
+          if (!decode_refinement(mq, grcx, sbrtemplate, rat, false,
+                                 *syms[id], gdx, gdy, &rb))
+            return false;
+          place_symbol(out, rb, transposed, refcorner, ti, &curs,
+                       sbcombop);
+          ninstances++;
+          continue;
+        }
       }
       place_symbol(out, *syms[id], transposed, refcorner, ti, &curs,
                    sbcombop);
       ninstances++;
     }
   }
+  return true;
+}
+
+// ------------------------------------------- pattern dict + halftone (6.7)
+
+// Pattern dictionary (segment type 16, T.88 6.7.5): one collective
+// bitmap of (GRAYMAX+1) side-by-side HDPW x HDPH cells, generic-decoded
+// with AT1 = (-HDPW, 0), then split into the patterns.
+bool decode_pattern_dict(const uint8_t* seg, uint32_t dlen,
+                         uint32_t seg_num, Jbig2State* st) {
+  if (dlen < 7) return false;
+  uint8_t pflags = seg[0];
+  bool hdmmr = pflags & 1;
+  int hdtemplate = (pflags >> 1) & 3;
+  int hdpw = seg[1], hdph = seg[2];
+  uint32_t graymax = rd32be(seg + 3);
+  // AT coordinates are int8, so HDPW must fit; real halftone cells are
+  // tiny (4x4 .. 32x32)
+  if (hdpw < 1 || hdph < 1 || hdpw > 127 || hdph > 127 || graymax > 255)
+    return false;
+  int collw = (int)(graymax + 1) * hdpw;
+  Bitmap coll;
+  if (!coll.alloc(collw, hdph, 0)) return false;
+  if (hdmmr) {
+    std::string payload((const char*)seg + 7, dlen - 7);
+    std::string rows = ccitt_decode(payload, -1, collw, hdph,
+                                    /*black_is_1=*/false,
+                                    /*byte_align=*/false);
+    size_t rowbytes = ((size_t)collw + 7) / 8;
+    if (rows.size() < rowbytes * (size_t)hdph) return false;
+    for (int y = 0; y < hdph; y++) {
+      const uint8_t* row = (const uint8_t*)rows.data() + rowbytes * y;
+      for (int x = 0; x < collw; x++)
+        if ((row[x / 8] >> (7 - x % 8)) & 1)
+          coll.px[(size_t)y * collw + x] = 1;
+    }
+  } else {
+    int8_t at[8] = {(int8_t)-hdpw, 0, -3, -1, 2, -2, -2, -2};
+    MQDecoder mq;
+    mq.init(seg + 7, dlen - 7);
+    std::vector<uint8_t> gbcx(1u << 16, 0);
+    if (!decode_generic(mq, gbcx, hdtemplate, at, false, &coll))
+      return false;
+  }
+  std::vector<Bitmap> pats(graymax + 1);
+  for (uint32_t k = 0; k <= graymax; k++) {
+    if (!pats[k].alloc(hdpw, hdph, 0)) return false;
+    for (int y = 0; y < hdph; y++)
+      for (int x = 0; x < hdpw; x++)
+        pats[k].px[(size_t)y * hdpw + x] =
+            coll.px[(size_t)y * collw + (size_t)k * hdpw + x];
+  }
+  st->pat_dicts.emplace_back(seg_num, std::move(pats));
+  return true;
+}
+
+// Halftone region (types 20/22/23, T.88 6.6.5): a grayscale image is
+// decoded as Gray-coded bitplanes (Annex C.5, MSB first, one shared
+// arithmetic coder + context set), then each cell stamps the pattern
+// selected by its gray value along the skewed grid. HENABLESKIP and the
+// single-coder multi-plane MMR form are outside the decoded subset.
+bool decode_halftone_region(const uint8_t* seg, uint32_t dlen,
+                            const std::vector<uint32_t>& refs,
+                            Jbig2State* st, Bitmap* out, RegionInfo* ri) {
+  if (!read_region_info(seg, dlen, ri) || dlen < 18 + 20) return false;
+  uint8_t hflags = seg[17];
+  bool hmmr = hflags & 1;
+  int htemplate = (hflags >> 1) & 3;
+  bool henableskip = hflags & 8;
+  int hcombop = (hflags >> 4) & 7;
+  int hdefpixel = (hflags >> 7) & 1;
+  size_t p = 18;
+  uint32_t hgw = rd32be(seg + p), hgh = rd32be(seg + p + 4);
+  int32_t hgx = (int32_t)rd32be(seg + p + 8);
+  int32_t hgy = (int32_t)rd32be(seg + p + 12);
+  uint16_t hrx = rd16be(seg + p + 16), hry = rd16be(seg + p + 18);
+  p += 20;
+  if (hmmr || henableskip) return false;
+  if (hgw < 1 || hgh < 1 || (int64_t)hgw * hgh > (int64_t)16 << 20)
+    return false;
+  const std::vector<Bitmap>* pats = nullptr;
+  for (uint32_t r : refs) {
+    const std::vector<Bitmap>* d = st->find_patterns(r);
+    if (d) {
+      pats = d;
+      break;
+    }
+  }
+  if (!pats || pats->empty()) return false;
+
+  int bits = 0;  // bits per gray value = ceil(log2(HNUMPATS))
+  while (((size_t)1 << bits) < pats->size()) bits++;
+
+  MQDecoder mq;
+  mq.init(seg + p, dlen - p);
+  std::vector<uint8_t> gbcx(1u << 16, 0);
+  int8_t at[8] = {(int8_t)(htemplate <= 1 ? 3 : 2), -1, -3, -1,
+                  2,                                -2, -2, -2};
+  const size_t ncell = (size_t)hgw * hgh;
+  std::vector<uint8_t> prevbit(ncell, 0);
+  std::vector<uint16_t> grayval(ncell, 0);
+  for (int j = bits - 1; j >= 0; j--) {
+    Bitmap plane;
+    if (!plane.alloc((int)hgw, (int)hgh, 0)) return false;
+    if (!decode_generic(mq, gbcx, htemplate, at, false, &plane))
+      return false;
+    for (size_t i = 0; i < ncell; i++) {
+      uint8_t bit =
+          j == bits - 1 ? plane.px[i] : (uint8_t)(plane.px[i] ^ prevbit[i]);
+      grayval[i] |= (uint16_t)bit << j;
+      prevbit[i] = bit;
+    }
+  }
+
+  if (!out->alloc((int)ri->w, (int)ri->h, (uint8_t)hdefpixel))
+    return false;
+  for (uint32_t m = 0; m < hgh; m++)
+    for (uint32_t n = 0; n < hgw; n++) {
+      int x = (int)((hgx + (int64_t)m * hry + (int64_t)n * hrx) >> 8);
+      int y = (int)((hgy + (int64_t)m * hrx - (int64_t)n * hry) >> 8);
+      uint16_t g = grayval[(size_t)m * hgw + n];
+      if (g >= pats->size()) g = (uint16_t)(pats->size() - 1);  // clamp
+      compose(out, (*pats)[g], x, y, hcombop <= 4 ? hcombop : 4);
+    }
   return true;
 }
 
@@ -1255,10 +1530,54 @@ bool process_segments(const uint8_t* d, size_t n, Jbig2State* st) {
       HuffTable t;
       if (!parse_table_segment(seg, dlen, &t)) return false;
       st->tables.emplace_back(seg_num, std::move(t));
-    } else if (type == 16 || type == 20 || type == 22 || type == 23 ||
-               type == 40 || type == 42 || type == 43) {
-      // pattern dict / halftone / refinement regions: unsupported subset
-      return false;
+    } else if (type == 16) {  // pattern dictionary
+      if (!decode_pattern_dict(seg, dlen, seg_num, st)) return false;
+    } else if (type == 20 || type == 22 || type == 23) {  // halftone region
+      Bitmap region;
+      RegionInfo ri;
+      if (!decode_halftone_region(seg, dlen, refs, st, &region, &ri))
+        return false;
+      if (page.bm.px.empty()) {
+        if (!page.bm.alloc((int)(ri.x + ri.w), (int)(ri.y + ri.h), 0))
+          return false;
+      }
+      compose(&page.bm, region, (int)ri.x, (int)ri.y, ri.op);
+    } else if (type == 40 || type == 42 || type == 43) {
+      // generic refinement region (7.4.7): refines the page content
+      // under its region box (the embedded-PDF case; intermediate-
+      // region refinement never occurs in single-page embedded streams)
+      RegionInfo ri;
+      if (!read_region_info(seg, dlen, &ri) || dlen < 18) return false;
+      uint8_t rflags = seg[17];
+      int tmpl = rflags & 1;
+      bool tpgron = rflags & 2;
+      size_t q = 18;
+      int8_t rat[4] = {0};
+      if (tmpl == 0) {
+        if (q + 4 > dlen) return false;
+        for (int i = 0; i < 4; i++) rat[i] = (int8_t)seg[q + i];
+        q += 4;
+      }
+      if (page.bm.px.empty()) {
+        if (!page.bm.alloc((int)(ri.x + ri.w), (int)(ri.y + ri.h), 0))
+          return false;
+      }
+      Bitmap refbm;
+      if (!refbm.alloc((int)ri.w, (int)ri.h, 0)) return false;
+      for (uint32_t yy = 0; yy < ri.h; yy++)
+        for (uint32_t xx = 0; xx < ri.w; xx++)
+          refbm.px[(size_t)yy * ri.w + xx] =
+              page.bm.get((int)(ri.x + xx), (int)(ri.y + yy));
+      Bitmap region;
+      if (!region.alloc((int)ri.w, (int)ri.h, 0)) return false;
+      MQDecoder mq;
+      mq.init(seg + q, dlen - q);
+      std::vector<uint8_t> grcx(1u << 13, 0);
+      if (!decode_refinement(mq, grcx, tmpl, rat, tpgron, refbm, 0, 0,
+                             &region))
+        return false;
+      // refinement of the page REPLACEs the referenced pixels (7.4.7.6)
+      compose(&page.bm, region, (int)ri.x, (int)ri.y, 4);
     }
     // other types (end-of-page/stripe/file, extensions): skip
     p += dlen;

@@ -336,12 +336,19 @@ def text_region_segment(w: int, h: int, instances, symbols,
                         num: int = 2, page: int = 1, refs=(1,),
                         refcorner: int = 1, transposed: bool = False,
                         logsbstrips: int = 0, dsoffset: int = 0,
-                        x: int = 0, y: int = 0) -> bytes:
+                        x: int = 0, y: int = 0,
+                        sbrefine: bool = False, rtemplate: int = 0,
+                        rat=None) -> bytes:
     """Arithmetic text region placing `instances` = [(sym_id, s, t)]
     where (s, t) is the symbol's reference-corner coordinate per the
     chosen refcorner/transposed mode. Instances are grouped into strips
     by t (quantized by SBSTRIPS). `symbols` is the dictionary's export
-    list (the decoder's CURS advance needs each symbol's extent)."""
+    list (the decoder's CURS advance needs each symbol's extent).
+
+    With sbrefine=True, 6-tuples (sym_id, s, t, bitmap, rdx, rdy) place
+    `bitmap` as a refinement of symbol sym_id (6.4.11): RDW/RDH are the
+    size deltas, (rdx, rdy) the extra offsets on top of floor(RDW/2),
+    floor(RDH/2)."""
     nsyms = len(symbols)
     advance = [(b.shape[0] - 1) if transposed else (b.shape[1] - 1)
                for b in symbols]
@@ -351,6 +358,13 @@ def text_region_segment(w: int, h: int, instances, symbols,
     if transposed:
         flags |= 0x40
     flags |= (dsoffset & 0x1F) << 10
+    ratb = b""
+    if sbrefine:
+        flags |= 2
+        flags |= rtemplate << 15
+        if rtemplate == 0:
+            r = list(rat if rat is not None else NOMINAL_REF_AT)
+            ratb = b"".join(struct.pack("bb", ax, ay) for ax, ay in r)
     codelen = 1
     while (1 << codelen) < nsyms:
         codelen += 1
@@ -358,13 +372,17 @@ def text_region_segment(w: int, h: int, instances, symbols,
     mq = MQEncoder()
     iadt, iafs, iads, iait = (new_int_ctx(), new_int_ctx(), new_int_ctx(),
                               new_int_ctx())
+    iari, iardw, iardh, iardx, iardy = (new_int_ctx(), new_int_ctx(),
+                                        new_int_ctx(), new_int_ctx(),
+                                        new_int_ctx())
     iaid_cx = bytearray(1 << (codelen + 1))
+    grcx = bytearray(1 << 13)
 
     # group into strips: strip t = (t // sbstrips) * sbstrips
     strips: dict = {}
-    for sym_id, s, t in instances:
-        strips.setdefault((t // sbstrips) * sbstrips, []).append(
-            (sym_id, s, t))
+    for inst in instances:
+        t = inst[2]
+        strips.setdefault((t // sbstrips) * sbstrips, []).append(inst)
     stript = 0
     encode_int(mq, iadt, 0)  # initial STRIPT = -0 * SBSTRIPS
     firsts = 0
@@ -375,7 +393,8 @@ def text_region_segment(w: int, h: int, instances, symbols,
         stript = st_t
         row = sorted(strips[st_t], key=lambda inst: inst[1])
         curs = None
-        for sym_id, s, t in row:
+        for inst in row:
+            sym_id, s, t = inst[0], inst[1], inst[2]
             if curs is None:
                 encode_int(mq, iafs, s - firsts)
                 firsts = s
@@ -386,9 +405,27 @@ def text_region_segment(w: int, h: int, instances, symbols,
             if sbstrips > 1:
                 encode_int(mq, iait, t - stript)
             encode_iaid(mq, iaid_cx, codelen, sym_id)
+            if sbrefine and len(inst) == 6:
+                bm, rdx, rdy = inst[3], inst[4], inst[5]
+                ref = symbols[sym_id]
+                rdw = bm.shape[1] - ref.shape[1]
+                rdh = bm.shape[0] - ref.shape[0]
+                encode_int(mq, iari, 1)
+                encode_int(mq, iardw, rdw)
+                encode_int(mq, iardh, rdh)
+                encode_int(mq, iardx, rdx)
+                encode_int(mq, iardy, rdy)
+                gdx = (rdw >> 1) + rdx  # python >> floors
+                gdy = (rdh >> 1) + rdy
+                encode_refinement(mq, grcx, bm, ref, gdx, gdy, rtemplate)
+                curs += (bm.shape[0] - 1) if transposed else (
+                    bm.shape[1] - 1)
+                continue
+            if sbrefine:
+                encode_int(mq, iari, 0)
             curs += advance[sym_id]
         encode_int(mq, iads, None)  # OOB ends the strip
-    data = (rinfo + struct.pack(">H", flags) +
+    data = (rinfo + struct.pack(">H", flags) + ratb +
             struct.pack(">I", len(instances)) + mq.finish())
     return segment(num, 6, page, data, refs=refs)  # immediate text region
 
@@ -715,3 +752,229 @@ def custom_table_segment(lines, htlow: int, hthigh: int, num: int = 10,
     if htoob:
         bw.write(oob_len, htps)
     return segment(num, 53, page, bytes(data) + bw.tobytes())
+
+
+# ------------------------------------------- refinement encoding (6.3)
+
+# Refinement templates in the spec's context bit order (MSB first):
+# coding-layer pixels then reference-layer pixels; template 0 carries
+# one adaptive pixel per layer (A1 coding, A2 reference). Mirrors
+# decode_refinement in native/src/jbig2.cc but transcribed independently
+# from the T.88 6.3.5.3 figures.
+REF_TEMPLATES = {
+    0: ([(0, -1), (1, -1), (-1, 0), "A1"],
+        [(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+         (-1, 1), (0, 1), (1, 1), "A2"],
+        0x0020),
+    1: ([(-1, -1), (0, -1), (1, -1), (-1, 0)],
+        [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)],
+        0x0008),
+}
+
+NOMINAL_REF_AT = [(-1, -1), (-1, -1)]
+
+
+def encode_refinement(mq: MQEncoder, grcx: bytearray, bm: np.ndarray,
+                      ref: np.ndarray, dx: int = 0, dy: int = 0,
+                      template: int = 0, at=None,
+                      tpgron: bool = False) -> None:
+    """Encode `bm` as a generic refinement of `ref` shifted by (dx, dy)
+    (T.88 6.3.5). grcx: caller-owned 1<<13 context bytearray. With
+    TPGRON, rows where every non-uniform-reference pixel needs coding
+    anyway emit LTP transitions exactly like the decoder consumes them:
+    a pixel whose 3x3 reference neighbourhood is uniform MUST then equal
+    that neighbourhood (the encoder asserts this; pick inputs
+    accordingly or keep tpgron=False)."""
+    cod, refl, tpgr_cx = REF_TEMPLATES[template]
+    a1, a2 = list(at if at is not None else NOMINAL_REF_AT)
+    cod = [a1 if p == "A1" else p for p in cod]
+    refl = [a2 if p == "A2" else p for p in refl]
+    h, w = bm.shape
+    rh, rw = ref.shape
+
+    def cur(x, y):
+        if x < 0 or y < 0 or x >= w or y >= h:
+            return 0
+        return int(bm[y, x])
+
+    def rget(x, y):
+        if x < 0 or y < 0 or x >= rw or y >= rh:
+            return 0
+        return int(ref[y, x])
+
+    ltp = 0
+    for y in range(h):
+        if tpgron:
+            # LTP on for rows where typical prediction is sound (all
+            # uniform-neighbourhood pixels equal their neighbourhood);
+            # here: turn it on for every such row to exercise the path.
+            want = 1
+            for x in range(w):
+                s = sum(rget(x - dx + i, y - dy + j)
+                        for j in (-1, 0, 1) for i in (-1, 0, 1))
+                if (s == 0 and bm[y, x]) or (s == 9 and not bm[y, x]):
+                    want = 0
+                    break
+            sltp = ltp ^ want
+            mq.encode(grcx, tpgr_cx, sltp)
+            ltp = want
+        for x in range(w):
+            if ltp:
+                s = sum(rget(x - dx + i, y - dy + j)
+                        for j in (-1, 0, 1) for i in (-1, 0, 1))
+                if s == 0 or s == 9:
+                    assert int(bm[y, x]) == (1 if s == 9 else 0)
+                    continue
+            cx = 0
+            for px, py in cod:
+                cx = (cx << 1) | cur(x + px, y + py)
+            for px, py in refl:
+                cx = (cx << 1) | rget(x - dx + px, y - dy + py)
+            mq.encode(grcx, cx, int(bm[y, x]))
+
+
+def refinement_region_segment(target: np.ndarray, num: int = 3,
+                              page: int = 1, x: int = 0, y: int = 0,
+                              reference: np.ndarray = None,
+                              template: int = 0, at=None,
+                              tpgron: bool = False) -> bytes:
+    """Generic refinement region segment (type 40/42/43): refines the
+    page content under the region box into `target`. `reference` is
+    what the page holds there when the segment executes (the caller
+    composed it with earlier segments)."""
+    h, w = target.shape
+    assert reference is not None and reference.shape == (h, w)
+    rinfo = struct.pack(">IIII", w, h, x, y) + bytes([0])
+    rflags = (1 if tpgron else 0) << 1 | template
+    atb = b""
+    if template == 0:
+        a = list(at if at is not None else NOMINAL_REF_AT)
+        atb = b"".join(struct.pack("bb", ax, ay) for ax, ay in a)
+    mq = MQEncoder()
+    grcx = bytearray(1 << 13)
+    encode_refinement(mq, grcx, target, reference, 0, 0, template,
+                      at, tpgron)
+    data = rinfo + bytes([rflags]) + atb + mq.finish()
+    return segment(num, 42, page, data)  # immediate refinement region
+
+
+def symbol_dict_refagg_segment(new_syms, insym_shapes, num: int = 2,
+                               page: int = 0, refs=(1,),
+                               template: int = 0, rtemplate: int = 0,
+                               rat=None) -> bytes:
+    """Symbol dictionary with SDREFAGG=1: every new symbol is a
+    refinement (REFAGGNINST == 1) of an already-known one.
+    `new_syms` = [(bitmap, ref_id, rdx, rdy, ref_bitmap)] where ref_id
+    indexes input symbols then earlier new symbols, and ref_bitmap is
+    that symbol's pixels (the encoder needs them for context).
+    `insym_shapes` = count of input symbols imported from `refs`.
+    Exports only the new symbols. Symbols must be pre-sorted by height
+    (height-class coding)."""
+    flags = 2 | (template << 10) | (rtemplate << 12)  # SDHUFF=0 SDREFAGG=1
+    at = NOMINAL_AT[template]
+    atb = b"".join(struct.pack("bb", ax, ay) for ax, ay in at)
+    ratb = b""
+    if rtemplate == 0:
+        r = list(rat if rat is not None else NOMINAL_REF_AT)
+        ratb = b"".join(struct.pack("bb", ax, ay) for ax, ay in r)
+    num_new = len(new_syms)
+    total = insym_shapes + num_new
+    codelen = 1
+    while (1 << codelen) < total:
+        codelen += 1
+
+    mq = MQEncoder()
+    iadh, iadw, iaex, iaai = (new_int_ctx(), new_int_ctx(), new_int_ctx(),
+                              new_int_ctx())
+    iardx, iardy = new_int_ctx(), new_int_ctx()
+    iaid_cx = bytearray(1 << (codelen + 1))
+    grcx = bytearray(1 << 13)
+
+    hcheight = 0
+    i = 0
+    while i < num_new:
+        h = new_syms[i][0].shape[0]
+        encode_int(mq, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < num_new and new_syms[i][0].shape[0] == h:
+            bm, ref_id, rdx, rdy, ref_bm = new_syms[i]
+            w = bm.shape[1]
+            encode_int(mq, iadw, w - symwidth)
+            symwidth = w
+            encode_int(mq, iaai, 1)  # REFAGGNINST
+            encode_iaid(mq, iaid_cx, codelen, ref_id)
+            encode_int(mq, iardx, rdx)
+            encode_int(mq, iardy, rdy)
+            encode_refinement(mq, grcx, bm, ref_bm, rdx, rdy, rtemplate)
+            i += 1
+        encode_int(mq, iadw, None)
+    # export only the new symbols: skip the inputs, export the rest
+    encode_int(mq, iaex, insym_shapes)
+    encode_int(mq, iaex, num_new)
+    data = (struct.pack(">H", flags) + atb + ratb +
+            struct.pack(">II", num_new, num_new) + mq.finish())
+    return segment(num, 0, page, data, refs=refs)
+
+
+# --------------------------------------- pattern dict + halftone (6.7)
+
+def pattern_dict_segment(patterns, num: int = 1, page: int = 0,
+                         template: int = 0, mmr: bool = False) -> bytes:
+    """Pattern dictionary (type 16): `patterns` = list of equal-shape
+    uint8 0/1 arrays; encodes the collective bitmap with
+    AT1 = (-HDPW, 0) per 6.7.5 (or MMR/G4 when mmr=True — PIL's
+    independent G4 encoder, cross-validating ccitt.cc)."""
+    hdph, hdpw = patterns[0].shape
+    for p in patterns:
+        assert p.shape == (hdph, hdpw)
+    coll = np.concatenate(patterns, axis=1)
+    if mmr:
+        payload = _g4_bytes(coll)
+    else:
+        at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)][: 4 if template == 0
+                                                       else 1]
+        mq = MQEncoder()
+        gbcx = bytearray(1 << 16)
+        encode_generic(mq, gbcx, coll, template, at, tpgdon=False)
+        payload = mq.finish()
+    data = (bytes([(1 if mmr else 0) | (template << 1)]) +
+            bytes([hdpw, hdph]) +
+            struct.pack(">I", len(patterns) - 1) + payload)
+    return segment(num, 16, page, data)
+
+
+def halftone_region_segment(grayvals: np.ndarray, patterns,
+                            w: int, h: int, num: int = 2, page: int = 1,
+                            refs=(1,), x: int = 0, y: int = 0,
+                            gx: int = 0, gy: int = 0,
+                            rx: int = 256, ry: int = 0,
+                            combop: int = 0, defpixel: int = 0,
+                            template: int = 0) -> bytes:
+    """Halftone region (type 20/22/23): encodes `grayvals` (HGH, HGW)
+    as Gray-coded bitplanes (C.5, MSB first, one shared coder+contexts)
+    selecting from `patterns`. Grid: cell (m, n) lands at
+    ((gx + m*ry + n*rx) >> 8, (gy + m*rx - n*ry) >> 8)."""
+    hgh, hgw = grayvals.shape
+    npats = len(patterns)
+    assert grayvals.max() < npats
+    bits = 0
+    while (1 << bits) < npats:
+        bits += 1
+    at = [(3 if template <= 1 else 2, -1), (-3, -1), (2, -2),
+          (-2, -2)][: 4 if template == 0 else 1]
+    mq = MQEncoder()
+    gbcx = bytearray(1 << 16)
+    # gray-code planes: g_{J-1} = bit_{J-1}; g_j = bit_j XOR g_{j+1}
+    prev = None
+    for j in range(bits - 1, -1, -1):
+        bit = (grayvals >> j) & 1
+        plane = bit if prev is None else (bit ^ prev)
+        encode_generic(mq, gbcx, plane.astype(np.uint8), template, at,
+                       tpgdon=False)
+        prev = bit
+    rinfo = struct.pack(">IIII", w, h, x, y) + bytes([0])
+    hflags = (template << 1) | (combop << 4) | (defpixel << 7)
+    data = (rinfo + bytes([hflags]) +
+            struct.pack(">IIiiHH", hgw, hgh, gx, gy, rx, ry) + mq.finish())
+    return segment(num, 22, page, data, refs=refs)

@@ -183,7 +183,7 @@ def _mutants(data: bytes, rng: random.Random, out_dir: str, tag: str,
 @pytest.mark.parametrize(
     "base",
     ["ttf_book", "cff", "type1", "enc", "pil_images", "ccitt", "rich",
-     "jbig2", "jbig2_arith", "jbig2_huff", "annots"],
+     "jbig2", "jbig2_arith", "jbig2_huff", "jbig2_refine", "annots"],
 )
 def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
     rng = random.Random(20260818)
@@ -302,6 +302,57 @@ def test_corrupt_pdfs_never_crash_or_hang(base, tmp_path):
         stream = (page_info_segment(160, 96, num=0) + seg_sd + seg_tr +
                   generic_region_segment(_textlike(96, 160, 7), num=3,
                                          tpgdon=True))
+        data = jbig2_pdf(stream, 160, 96)
+    elif base == "jbig2_refine":
+        # round-4 refinement/halftone surface: refagg symbol dict,
+        # refined text-region instances, page refinement segment,
+        # pattern dict + halftone region (gray bitplanes, skewed grid)
+        import numpy as np
+
+        from tests.jbig2fixtures import (halftone_region_segment,
+                                         jbig2_pdf, page_info_segment,
+                                         pattern_dict_segment,
+                                         refinement_region_segment,
+                                         symbol_dict_refagg_segment,
+                                         symbol_dict_segment,
+                                         text_region_segment)
+        from tests.test_ccitt import _textlike
+
+        syms = [(np.random.default_rng(i).random((8, 6 + i)) > 0.5)
+                .astype(np.uint8) for i in range(3)]
+        seg_sd, order = symbol_dict_segment(syms, num=1, page=1)
+        base_syms = [syms[i] for i in order]
+        enc = []
+        for i, b in enumerate(base_syms):
+            t = b.copy()
+            t[0, 0] ^= 1
+            enc.append((t, i, (i % 3) - 1, i % 2, b))
+        seg_ref = symbol_dict_refagg_segment(enc, insym_shapes=3, num=2,
+                                             page=1, refs=(1,))
+        export = [e[0] for e in enc]
+        ref0 = export[0]
+        rbm = np.zeros((ref0.shape[0] + 2, ref0.shape[1] + 1), np.uint8)
+        rbm[1:1 + ref0.shape[0], : ref0.shape[1]] = ref0
+        seg_tr = text_region_segment(
+            120, 60, [(0, 8, 30, rbm, 1, -1), (1, 40, 30), (2, 70, 30)],
+            export, num=3, refs=(2,), sbrefine=True)
+        basebm = _textlike(40, 60, 13).astype(np.uint8)
+        tgt = basebm.copy()
+        tgt[5:15, 5:25] ^= 1
+        seg_gen = None
+        from tests.jbig2fixtures import generic_region_segment
+
+        seg_gen = generic_region_segment(basebm, num=4, x=0, y=36)
+        seg_rr = refinement_region_segment(tgt, num=5, x=0, y=36,
+                                           reference=basebm, tpgron=True)
+        pats = [np.ones((4, 4), np.uint8) * (k % 2) for k in range(4)]
+        seg_pd = pattern_dict_segment(pats, num=6, page=1)
+        grid = np.arange(12, dtype=np.uint16).reshape(3, 4) % 4
+        seg_ht = halftone_region_segment(grid, pats, 40, 20, num=7,
+                                         refs=(6,), x=110, y=70,
+                                         rx=4 * 256 + 32, ry=16)
+        stream = (page_info_segment(160, 96, num=0) + seg_sd + seg_ref +
+                  seg_tr + seg_gen + seg_rr + seg_pd + seg_ht)
         data = jbig2_pdf(stream, 160, 96)
     else:  # jbig2_huff: Huffman dict (custom DH table, MMR collective)
         # + Huffman text region — the round-4 decoder surface (bit

@@ -164,26 +164,29 @@ def test_symbol_dict_in_globals(tmp_path):
 
 
 def test_unsupported_subsets_degrade_to_plate(tmp_path):
-    """Refinement/aggregate symbol coding and halftone regions are
-    outside the supported subset: the image degrades to the documented
-    neutral plate, never silent blankness or garbage."""
+    """The remaining out-of-subset forms (Huffman + refinement/aggregate
+    dictionaries, MMR and HENABLESKIP halftone regions) degrade to the
+    documented neutral plate, never silent blankness or garbage."""
     import struct
 
     W = H = 40
-    # SDREFAGG=1 symbol dictionary (refinement/aggregate coding)
-    sd_refagg = (struct.pack(">H", 2) + struct.pack(">II", 1, 1))
     from tests.jbig2fixtures import segment
 
+    # SDHUFF=1 + SDREFAGG=1 symbol dictionary (Huffman refinement)
+    sd_huffref = (struct.pack(">H", 3) + struct.pack(">II", 1, 1))
     stream = (page_info_segment(W, H, num=0) +
-              segment(1, 0, 1, sd_refagg))
+              segment(1, 0, 1, sd_huffref))
     rgb = _decode(tmp_path, stream, W, H)
     assert rgb is not None and (rgb == 200).all()
-    # halftone region (type 22)
+    # halftone regions: HMMR=1 and HENABLESKIP=1 forms
     rinfo = struct.pack(">IIII", W, H, 0, 0) + bytes([0])
-    stream = (page_info_segment(W, H, num=0) +
-              segment(1, 22, 1, rinfo + b"\x00" * 8))
-    rgb = _decode(tmp_path, stream, W, H)
-    assert rgb is not None and (rgb == 200).all()
+    for hflags in (0x01, 0x08):
+        ht = rinfo + bytes([hflags]) + struct.pack(">IIiiHH",
+                                                   4, 4, 0, 0, 256, 0)
+        stream = (page_info_segment(W, H, num=0) +
+                  segment(1, 22, 1, ht))
+        rgb = _decode(tmp_path, stream, W, H)
+        assert rgb is not None and (rgb == 200).all()
 
 
 def test_truncated_arith_stream_no_crash(tmp_path):
@@ -347,3 +350,184 @@ def test_huff_custom_table_segment(tmp_path):
     rgb = _decode(tmp_path, stream, W, H)
     expect = _expected_page(export, instances, W, H, 1, False)
     assert (_ink(rgb) == expect).all()
+
+
+# ----------------------------------------- refinement + halftone (round 4)
+
+@pytest.mark.parametrize("template", [0, 1])
+@pytest.mark.parametrize("tpgron", [False, True])
+def test_refinement_region_roundtrip(template, tpgron, tmp_path):
+    """Generic refinement region (type 42): the page content decodes,
+    then a refinement segment REPLACEs it with a corrected bitmap —
+    pixel-exact for both GR templates, with and without typical
+    prediction."""
+    from tests.jbig2fixtures import refinement_region_segment
+
+    base = _textlike(48, 80, 21 + template)
+    h, w = base.shape
+    rng = np.random.default_rng(3 + template + 2 * int(tpgron))
+    target = base.copy()
+    target[rng.integers(0, h, 25), rng.integers(0, w, 25)] ^= 1
+    target[30:38, 60:70] = 1  # a blob the base lacks entirely
+    stream = (page_info_segment(w, h) +
+              generic_region_segment(base, num=1) +
+              refinement_region_segment(target, num=2, reference=base,
+                                        template=template, tpgron=tpgron))
+    rgb = _decode(tmp_path, stream, w, h)
+    assert rgb is not None and (_ink(rgb) == target).all()
+
+
+def test_refinement_region_nonnominal_at(tmp_path):
+    """Template-0 refinement with moved adaptive pixels (A1 coding,
+    A2 reference) keeps its context slots."""
+    from tests.jbig2fixtures import refinement_region_segment
+
+    base = _textlike(40, 64, 31)
+    h, w = base.shape
+    target = base.copy()
+    target[10:20, 10:30] ^= 1
+    at = [(2, -1), (-2, 1)]
+    stream = (page_info_segment(w, h) +
+              generic_region_segment(base, num=1) +
+              refinement_region_segment(target, num=2, reference=base,
+                                        template=0, at=at))
+    rgb = _decode(tmp_path, stream, w, h)
+    assert (_ink(rgb) == target).all()
+
+
+@pytest.mark.parametrize("rtemplate", [0, 1])
+def test_symbol_dict_refagg_roundtrip(rtemplate, tmp_path):
+    """SDREFAGG=1 symbol dictionary: every new symbol decodes as a
+    refinement (REFAGGNINST == 1) of an input-dictionary symbol at
+    nonzero (RDX, RDY), then places through a text region."""
+    from tests.jbig2fixtures import symbol_dict_refagg_segment
+
+    syms = _glyphs()
+    seg1, order = symbol_dict_segment(syms, num=1, page=1)
+    base = [syms[i] for i in order]
+    rng = np.random.default_rng(7 + rtemplate)
+    new = []
+    for i, b in enumerate(base):
+        t = b.copy()
+        t[rng.integers(0, t.shape[0], 6), rng.integers(0, t.shape[1], 6)] ^= 1
+        new.append((t, i, (i % 3) - 1, i % 2))  # rdx -1..1, rdy 0..1
+    new.sort(key=lambda e: e[0].shape[0])  # height-class order
+    enc = [(t, rid, rdx, rdy, base[rid]) for t, rid, rdx, rdy in new]
+    seg2 = symbol_dict_refagg_segment(enc, insym_shapes=len(base), num=2,
+                                      page=1, refs=(1,),
+                                      rtemplate=rtemplate)
+    export = [e[0] for e in enc]
+    W, H = 140, 80
+    instances = [(i % len(export), 5 + 20 * i, 40) for i in range(6)]
+    seg_tr = text_region_segment(W, H, instances, export, num=3, refs=(2,))
+    stream = page_info_segment(W, H, num=0) + seg1 + seg2 + seg_tr
+    rgb = _decode(tmp_path, stream, W, H)
+    expect = _expected_page(export, instances, W, H, 1, False)
+    assert rgb is not None and (_ink(rgb) == expect).all()
+
+
+@pytest.mark.parametrize("rtemplate", [0, 1])
+def test_text_region_refined_instances(rtemplate, tmp_path):
+    """Text region with SBREFINE: refined instances (6.4.11) place a
+    per-instance refinement of the dictionary symbol, including size
+    deltas (RDW/RDH) and offsets (RDX/RDY); plain instances interleave."""
+    syms = _glyphs()
+    seg_sd, order = symbol_dict_segment(syms, num=1, page=1)
+    export = [syms[i] for i in order]
+    rng = np.random.default_rng(11 + rtemplate)
+    W, H = 150, 70
+    instances = []
+    placed = []  # (bitmap, s, t) for the expectation
+    s = 5
+    for i in range(6):
+        sid = i % len(export)
+        ref = export[sid]
+        if i % 2 == 0:
+            bm = np.zeros((ref.shape[0] + 2, ref.shape[1] + 1), np.uint8)
+            bm[1:1 + ref.shape[0], : ref.shape[1]] = ref
+            bm[rng.integers(0, bm.shape[0], 5),
+               rng.integers(0, bm.shape[1], 5)] ^= 1
+            instances.append((sid, s, 30, bm, 1, -1))
+            placed.append((bm, s, 30))
+            s += bm.shape[1] + 5
+        else:
+            instances.append((sid, s, 30))
+            placed.append((ref, s, 30))
+            s += ref.shape[1] + 5
+    seg_tr = text_region_segment(W, H, instances, export, num=2,
+                                 refs=(1,), sbrefine=True,
+                                 rtemplate=rtemplate)
+    stream = page_info_segment(W, H, num=0) + seg_sd + seg_tr
+    rgb = _decode(tmp_path, stream, W, H)
+    expect = np.zeros((H, W), np.uint8)
+    for bm, ps, pt in placed:  # refcorner 1 = top-left
+        bh, bw = bm.shape
+        expect[pt:pt + bh, ps:ps + bw] |= bm[: max(0, H - pt),
+                                             : max(0, W - ps)]
+    assert rgb is not None and (_ink(rgb) == expect).all()
+
+
+@pytest.mark.parametrize("mmr", [False, True])
+def test_pattern_dict_halftone_roundtrip(mmr, tmp_path):
+    """Pattern dictionary + halftone region: Gray-coded bitplanes select
+    per-cell patterns along an axis-aligned grid — pixel-exact vs a
+    numpy re-composition (MMR collective cross-checks ccitt.cc against
+    PIL's independent G4 encoder)."""
+    from tests.jbig2fixtures import (
+        halftone_region_segment,
+        pattern_dict_segment,
+    )
+
+    rng = np.random.default_rng(5 + int(mmr))
+    pats = []
+    for k in range(5):  # distinctive densities AND shapes
+        p = np.zeros((6, 6), np.uint8)
+        p.flat[rng.permutation(36)[: k * 8]] = 1
+        pats.append(p)
+    grid = rng.integers(0, 5, (8, 10)).astype(np.uint16)
+    W, H = 10 * 6, 8 * 6
+    seg_pd = pattern_dict_segment(pats, num=1, page=1, mmr=mmr)
+    seg_ht = halftone_region_segment(grid, pats, W, H, num=2, refs=(1,),
+                                     rx=6 * 256, ry=0)
+    stream = page_info_segment(W, H, num=0) + seg_pd + seg_ht
+    rgb = _decode(tmp_path, stream, W, H)
+    expect = np.zeros((H, W), np.uint8)
+    for m in range(8):
+        for n in range(10):
+            expect[m * 6:(m + 1) * 6, n * 6:(n + 1) * 6] |= pats[grid[m, n]]
+    assert rgb is not None and (_ink(rgb) == expect).all()
+
+
+def test_halftone_skewed_grid(tmp_path):
+    """Halftone grid vectors with a skew component (HRY != 0) place
+    cells on the rotated lattice of 6.6.5.2."""
+    from tests.jbig2fixtures import (
+        halftone_region_segment,
+        pattern_dict_segment,
+    )
+
+    rng = np.random.default_rng(9)
+    pats = []
+    for k in range(4):
+        p = np.zeros((4, 4), np.uint8)
+        p.flat[rng.permutation(16)[: k * 5]] = 1
+        pats.append(p)
+    grid = rng.integers(0, 4, (6, 6)).astype(np.uint16)
+    W, H = 60, 60
+    gx, gy, rx, ry = 2 * 256, 8 * 256, 4 * 256 + 64, 96
+    seg_pd = pattern_dict_segment(pats, num=1, page=1)
+    seg_ht = halftone_region_segment(grid, pats, W, H, num=2, refs=(1,),
+                                     gx=gx, gy=gy, rx=rx, ry=ry)
+    stream = page_info_segment(W, H, num=0) + seg_pd + seg_ht
+    rgb = _decode(tmp_path, stream, W, H)
+    expect = np.zeros((H, W), np.uint8)
+    for m in range(6):
+        for n in range(6):
+            x = (gx + m * ry + n * rx) >> 8
+            y = (gy + m * rx - n * ry) >> 8
+            pb = pats[grid[m, n]]
+            ys, xs = max(0, y), max(0, x)
+            ye, xe = min(H, y + 4), min(W, x + 4)
+            if ye > ys and xe > xs:
+                expect[ys:ye, xs:xe] |= pb[ys - y:ye - y, xs - x:xe - x]
+    assert rgb is not None and (_ink(rgb) == expect).all()
