@@ -3314,10 +3314,11 @@ std::vector<uint8_t> decode_image_rgb_obj(Document* doc, const ObjPtr& xo,
                           ? doc->resolve(filter->arr.back())->s
                           : filter->s;
   if (fname == "JBIG2Decode") {
-    // MMR and arithmetic generic regions plus symbol-dictionary/text
-    // regions decode for real (jbig2.cc — MMR cross-validated against
-    // PIL's G4 encoder, arithmetic against a first-party spec encoder);
-    // refinement/halftone regions fall back to the neutral plate.
+    // MMR/arithmetic/Huffman generic regions, symbol-dictionary/text
+    // regions (incl. refinement coding), page refinement segments and
+    // halftone regions decode for real (jbig2.cc — validated against
+    // PIL's G4 encoder + a first-party spec encoder); only exotic
+    // never-emitted forms fall back to the neutral plate.
     std::string globals;
     ObjPtr parms = doc->dict_get(xo, "DecodeParms");
     if (parms->is(ObjType::Array) && !parms->arr.empty())

@@ -183,9 +183,10 @@ std::string ccitt_decode(const std::string& in, int k, int columns, int rows,
 std::vector<uint8_t> dct_decode_rgb(const uint8_t* data, size_t size,
                                     int* w, int* h);
 
-// JBIG2 (PDF-embedded) -> 8-bit gray. Decodes MMR and arithmetic
-// generic regions, arithmetic symbol dictionaries + text regions.
-// Empty on unsupported content (refinement/halftone regions).
+// JBIG2 (PDF-embedded) -> 8-bit gray. Decodes MMR/arithmetic/Huffman
+// generic regions, symbol dictionaries + text regions (incl. refinement
+// coding), page refinement segments, and pattern-dict/halftone regions.
+// Empty on the remaining exotic forms (see jbig2.cc header).
 std::vector<uint8_t> jbig2_decode_gray(const std::string& data,
                                        const std::string& globals,
                                        int* w, int* h);
