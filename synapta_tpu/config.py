@@ -256,6 +256,27 @@ class PipelineConfig:
                                                # overlap in the depth-2 pipeline
     data_devices: Optional[int] = None         # cap for the data-parallel mesh
                                                # (None = all available chips)
+    analyze_depth: int = 2                     # super-batches the analyze
+                                               # pass stays in flight before
+                                               # the host syncs it. 2 hides
+                                               # the tunnel's ~0.8s device
+                                               # round trip behind two ~0.5s
+                                               # prepares (A/B'd on the
+                                               # 1000-page bench; 1 = the old
+                                               # behavior, blocked ~0.3s per
+                                               # batch in device_pass)
+    recognize_depth: int = 1                   # same, for the recognize
+                                               # pass: batches whose OCR
+                                               # stays enqueued before
+                                               # enrich syncs it. Depth 2
+                                               # measured a wash on the
+                                               # 1000-page A/B (29.63 vs
+                                               # 29.63 s best-of-2): the
+                                               # device+tunnel pipeline
+                                               # paces the loop, so the
+                                               # ocr-sync wait only
+                                               # redistributes. Knob kept
+                                               # for faster links
     loader_workers: int = 0                    # prepare (detect+render) worker
                                                # PROCESSES; 0 = in-process.
                                                # >0 only pays on multi-core

@@ -39,15 +39,28 @@ PreparedBatch = Tuple[list, np.ndarray, list, list, list, list]
 # Freshly allocating the (n, canvas, canvas, 3) batch canvas costs ~0.17 s
 # per 64-page super-batch on the 1-core host (np.full page-faults 38 MB
 # every call). A small ring of reusable buffers amortizes that to a
-# cached-page fill. Ring size 4 > the pipeline's in-flight window (the
-# depth-2 software pipeline holds at most 3 prepared batches: enriching,
-# recognizing, preparing), and the vision-LLM clients snapshot pixels at
-# submit time (llm/pixtral.py submit_*), so no consumer can observe a
-# recycled buffer. Worker processes pickle their results (a copy), so
-# per-process rings are trivially safe there.
-_CANVAS_RING: List[Optional[np.ndarray]] = [None, None, None, None]
+# cached-page fill. The ring must be strictly larger than the pipeline's
+# in-flight window (at analyze_depth=A, recognize_depth=R the pipeline
+# holds A+R+2 prepared batches: one preparing, A analyzing, R
+# recognizing, one enriching) — the pipeline calls ensure_canvas_ring
+# with its configured depths before leasing. The vision-LLM clients
+# snapshot pixels at submit time (llm/pixtral.py submit_*), so no
+# consumer can observe a recycled buffer. Worker processes pickle their
+# results (a copy), so per-process rings are trivially safe there.
+_CANVAS_RING: List[Optional[np.ndarray]] = [None] * 6
 _CANVAS_RING_I = 0
 _CANVAS_LOCK = threading.Lock()
+
+
+def ensure_canvas_ring(in_flight: int) -> None:
+    """Grow the ring so `in_flight` leases can be alive at once (plus one
+    slot of slack so the next lease never lands on a live buffer)."""
+    global _CANVAS_RING
+    with _CANVAS_LOCK:
+        if len(_CANVAS_RING) <= in_flight:
+            _CANVAS_RING = _CANVAS_RING + [None] * (
+                in_flight + 1 - len(_CANVAS_RING)
+            )
 
 
 def _lease_canvases(n: int, canvas_size: int) -> np.ndarray:

@@ -159,25 +159,36 @@ class VisualSegmentationPipeline:
                 range(start, min(start + batch, n_pages))
                 for start in range(0, n_pages, batch)
             ]
-            # SINGLE-THREADED software pipeline, depth 2. The host here has
-            # one core, so extra host threads only add GIL contention
+            # SINGLE-THREADED software pipeline. The host here has one
+            # core, so extra host threads only add GIL contention
             # (measured: detect/render inflate ~2x under a prefetch
             # thread). All overlap comes from ASYNC DEVICE DISPATCH
-            # instead: each stage enqueues device work and materializes it
-            # one batch later, so while the host prepares batch N the
-            # device analyzes batch N-1 and recognizes batch N-2:
+            # instead: each stage enqueues device work and materializes
+            # it `analyze_depth` batches later, so while the host
+            # prepares batches N..N+depth-1 the device analyzes batch N
+            # (and recognizes the one before it):
             #   prepare(N)                      [host: native detect+render]
             #   analyze_dispatch(N)             [device starts analyzing N]
-            #   ocr_dispatch(N-1)               [sync analyze(N-1): done
-            #                                    while prepare(N) ran; cut
+            #   ocr_dispatch(N-A)               [sync analyze(N-A): done
+            #                                    while prepares ran; cut
             #                                    tiles; enqueue recognize]
-            #   enrich_finish(N-2)              [sync recognize(N-2): done
-            #                                    while prepare(N) ran;
-            #                                    gate/assemble/link/write]
+            #   enrich_finish(N-A-R)            [sync recognize: done while
+            #                                    prepares ran; gate/
+            #                                    assemble/link/write]
+            # where A = cfg.analyze_depth, R = cfg.recognize_depth.
+            # A=2 exists because device+tunnel latency per batch (~0.8 s
+            # in the profiled window) exceeds one prepare (~0.5 s): at
+            # A=1 every iteration still blocked ~0.3 s in device_pass
+            # (A/B best-of-2 on the 1000-page bench: 29.63 s vs 30.34).
+            # R defaults to 1 — R=2 measured a wash (the device+tunnel
+            # pipeline paces the loop, so the ocr-sync wait only
+            # redistributes) but the knob helps on faster links.
             # (Executable swapping measured cheap on this tunnel — ~0.1s —
             # so analyze/recognize alternate freely; the old GROUP phasing
             # bought nothing. Multi-core hosts can move prepare into
             # loader worker processes via cfg.loader_workers.)
+            from collections import deque
+
             from synapta_tpu.io.loader import PrepareLoader
 
             loader = None
@@ -190,8 +201,13 @@ class VisualSegmentationPipeline:
                     loader.submit(None, span) for span in spans[:2]
                 ]
 
-            analyzing = None   # (prepared, analyze_pending)
-            recognizing = None  # state from _ocr_dispatch
+            depth = max(1, int(self.cfg.analyze_depth))
+            rdepth = max(1, int(self.cfg.recognize_depth))
+            from synapta_tpu.io.loader import ensure_canvas_ring
+
+            ensure_canvas_ring(depth + rdepth + 2)
+            analyzing: deque = deque()  # (prepared, analyze_pending)
+            recognizing: deque = deque()  # states from _ocr_dispatch
             for i, pages in enumerate(spans):
                 prepared = None
                 try:
@@ -208,7 +224,6 @@ class VisualSegmentationPipeline:
                     log.exception("prepare failed for batch %s", list(pages))
                     self.stats.errors += 1
                 self.stats.pages += len(pages)
-                next_analyzing = None
                 if prepared is not None:
                     # enqueue from the feed thread: the H2D transfer blocks
                     # its caller but releases the GIL, so this thread keeps
@@ -216,34 +231,38 @@ class VisualSegmentationPipeline:
                     pending_fut = self._feed_pool.submit(
                         self._analyze_dispatch, prepared[1], prepared[2]
                     )
-                    next_analyzing = (prepared, pending_fut)
+                    analyzing.append((prepared, pending_fut))
                     self.stats.regions += len(prepared[0])
-                next_recognizing = None
-                if analyzing is not None:
+                if len(analyzing) > depth:
                     try:
-                        next_recognizing = self._ocr_dispatch(*analyzing)
+                        recognizing.append(
+                            self._ocr_dispatch(*analyzing.popleft())
+                        )
                     except Exception:
                         log.exception("ocr dispatch failed; skipping batch")
                         self.stats.errors += 1
-                if recognizing is not None:
+                if len(recognizing) > rdepth:
                     try:
-                        self._enrich_finish(recognizing)
+                        self._enrich_finish(recognizing.popleft())
                     except Exception:
                         log.exception("enrich stage failed; skipping batch")
                         self.stats.errors += 1
-                analyzing, recognizing = next_analyzing, next_recognizing
-            # drain the pipeline tail
-            if recognizing is not None:
+            # drain the pipeline tail (keep FIFO order: everything still
+            # analyzing enters the recognize queue first, then enrich
+            # drains in batch order so writer output stays page-ordered)
+            while analyzing:
                 try:
-                    self._enrich_finish(recognizing)
+                    recognizing.append(
+                        self._ocr_dispatch(*analyzing.popleft())
+                    )
+                except Exception:
+                    log.exception("final ocr dispatch failed")
+                    self.stats.errors += 1
+            while recognizing:
+                try:
+                    self._enrich_finish(recognizing.popleft())
                 except Exception:
                     log.exception("enrich stage failed; skipping batch")
-                    self.stats.errors += 1
-            if analyzing is not None:
-                try:
-                    self._enrich_finish(self._ocr_dispatch(*analyzing))
-                except Exception:
-                    log.exception("final batch failed")
                     self.stats.errors += 1
         finally:
             self._drain_patches()
