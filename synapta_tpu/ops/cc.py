@@ -142,36 +142,58 @@ def component_stats_device(labels: jnp.ndarray, k: int = 128):
     """Per-component stats computed ON DEVICE from a (B, H, W) label map.
 
     Returns a dict of (B, k) arrays — x0, y0, x1, y1 (inclusive), area —
-    for the k largest components, plus the full per-bin (B, H*W+1) area
-    and bbox arrays for census reductions. Only the compact top-k arrays
-    should leave the device: label maps are never transferred (the tunnel
-    to the TPU makes bulk D2H prohibitively slow, and a host round-trip
-    per crop is exactly what the north star forbids).
+    for the k largest components, plus full (B, H*W) per-position arrays
+    for census reductions (stats sit at each component's sorted run-end
+    position; area is 0 everywhere else, which censuses mask on). Only
+    the compact top-k arrays should leave the device: label maps are
+    never transferred (the tunnel to the TPU makes bulk D2H
+    prohibitively slow, and a host round-trip per crop is exactly what
+    the north star forbids).
     """
     B, H, W = labels.shape
-    N = H * W + 1
     flat = labels.reshape(B, -1)
-    ones = jnp.ones_like(flat, jnp.float32)
     xs = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 2).reshape(B, -1)
     ys = jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 1).reshape(B, -1)
 
-    def per_image(ids, xs_r, ys_r, ones_r):
-        # ONE scatter-add (area) + ONE scatter-max with the four bbox
-        # extremes packed as channels: min(x) == -max(-x). Five separate
-        # segment reductions over N=H*W+1 bins are the single most
-        # expensive part of the analyze pass on TPU (scatter, not matmul,
-        # at this bin count) — packing them is a ~2x cut.
-        area = jax.ops.segment_sum(ones_r, ids, num_segments=N)
-        xf = xs_r.astype(jnp.float32)
-        yf = ys_r.astype(jnp.float32)
-        packed = jnp.stack([xf, yf, -xf, -yf], axis=-1)
-        mx = jax.ops.segment_max(packed, ids, num_segments=N)
-        return area, mx
+    # SORT-based segmented reduction — no scatter. XLA lowers segment_sum/
+    # segment_max at N=H*W+1 bins to a scatter that serializes its update
+    # stream on TPU; it measured as the single most expensive part of the
+    # analyze pass (~13ms per call per 16-crop chunk, three calls per
+    # batch). A key-value sort groups each component contiguously, one
+    # segmented associative scan accumulates (count, bbox) within runs,
+    # and the run-END positions then hold complete per-component stats —
+    # every step a dense vector op the TPU executes at full bandwidth
+    # (sort+scan measured at the D2H-floor, i.e. ~free).
+    ids_s, xs_s, ys_s = jax.lax.sort((flat, xs, ys), dimension=-1,
+                                     num_keys=1)
+    xf = xs_s.astype(jnp.float32)
+    yf = ys_s.astype(jnp.float32)
+    start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), ids_s[:, 1:] != ids_s[:, :-1]], axis=1
+    ).astype(jnp.float32)
 
-    area, mx = jax.vmap(per_image)(flat, xs, ys, ones)
-    x1, y1 = mx[..., 0], mx[..., 1]
-    x0, y0 = -mx[..., 2], -mx[..., 3]
-    area = area.at[:, 0].set(0.0)  # drop background bin
+    def comb(a, b):
+        acnt, ax0, ay0, ax1, ay1, af = a
+        bcnt, bx0, by0, bx1, by1, bf = b
+        new = bf > 0  # b starts a fresh segment: discard a's running stats
+        return (
+            jnp.where(new, bcnt, acnt + bcnt),
+            jnp.where(new, bx0, jnp.minimum(ax0, bx0)),
+            jnp.where(new, by0, jnp.minimum(ay0, by0)),
+            jnp.where(new, bx1, jnp.maximum(ax1, bx1)),
+            jnp.where(new, by1, jnp.maximum(ay1, by1)),
+            jnp.maximum(af, bf),
+        )
+
+    cnt, x0, y0, x1, y1, _ = jax.lax.associative_scan(
+        comb, (jnp.ones_like(xf), xf, yf, xf, yf, start), axis=1
+    )
+    end = jnp.concatenate(
+        [ids_s[:, 1:] != ids_s[:, :-1], jnp.ones((B, 1), bool)], axis=1
+    )
+    # only run ends of nonzero labels carry component stats; everything
+    # else gets area 0, which census_counts and top_k both mask on
+    area = jnp.where(end & (ids_s > 0), cnt, 0.0)
     top_area, top_idx = jax.lax.top_k(area, k)
     take = jax.vmap(jnp.take)
     return {

@@ -345,12 +345,13 @@ def _core_features(
     NBINS = 48
     rmax = 0.5 * min(H, W)
     rbin = jnp.clip((r / rmax * NBINS).astype(jnp.int32), 0, NBINS - 1)
-    seg_ids = (
-        rbin + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 0) * NBINS
-    ).reshape(-1)
-    hist = jax.ops.segment_sum(
-        e.reshape(-1), seg_ids, num_segments=B * NBINS
-    ).reshape(B, NBINS)
+    # small-bin histogram as a fused one-hot masked reduce, NOT
+    # segment_sum: XLA lowers the scatter serially on TPU (~35ms per
+    # 16-crop chunk measured); the broadcast-compare-reduce fuses into
+    # one full-bandwidth pass (~free)
+    hist = jnp.sum(
+        e[..., None] * (rbin[..., None] == jnp.arange(NBINS)), axis=(1, 2)
+    )
     # normalize each bin by its circumference ~ r
     bin_r = (jnp.arange(NBINS, dtype=jnp.float32) + 0.5) * (rmax / NBINS)
     density = hist / (2 * jnp.pi * bin_r + 1e-6)[None, :]
@@ -381,12 +382,11 @@ def _core_features(
     on_ring = (
         jnp.abs(r - ring_radius[:, None, None]) < (rmax / NBINS) * 1.5
     ).astype(jnp.float32) * e
-    aseg = (
-        abin + jax.lax.broadcasted_iota(jnp.int32, (B, H, W), 0) * ABINS
-    ).reshape(-1)
-    ahist = jax.ops.segment_sum(
-        on_ring.reshape(-1), aseg, num_segments=B * ABINS
-    ).reshape(B, ABINS)
+    # same fused one-hot reduce as the radial hist (scatter-free)
+    ahist = jnp.sum(
+        on_ring[..., None] * (abin[..., None] == jnp.arange(ABINS)),
+        axis=(1, 2),
+    )
     ring_coverage = jnp.mean((ahist > 0).astype(jnp.float32), axis=1)
 
     # stats
