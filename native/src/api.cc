@@ -503,12 +503,19 @@ void spdf_gray_quarter(const uint8_t* rgb, int n, int h, int w,
 void spdf_box_downscale(const uint8_t* src, int h, int w, uint8_t* dst,
                         int oh, int ow) {
   if (h <= 0 || w <= 0 || oh <= 0 || ow <= 0) return;
-  // horizontal pass: (h, w, 3) u8 -> (h, ow, 3) float
-  std::vector<float> tmp((size_t)h * ow * 3);
+  // horizontal pass: (h, w, 3) u8 -> (h, ow, 3) float. Scratch buffers
+  // are thread_local: ~4MB of fresh value-initialized vectors per call
+  // cost ~1ms of page faults + memset at this call rate (one call per
+  // region, ~6MB/s of allocations on the 1-core host); reuse amortizes
+  // them away. tmin/tink are (re)filled per row below, so stale
+  // contents never leak between calls.
+  static thread_local std::vector<float> tmp;
+  tmp.resize((size_t)h * ow * 3);
   const double sx = (double)w / ow;
   // precompute per-output-column input spans + edge weights
-  std::vector<int> x0(ow), x1(ow);
-  std::vector<float> wx0(ow), wx1(ow);
+  static thread_local std::vector<int> x0, x1;
+  static thread_local std::vector<float> wx0, wx1;
+  x0.resize(ow); x1.resize(ow); wx0.resize(ow); wx1.resize(ow);
   for (int j = 0; j < ow; j++) {
     double a = j * sx, b = (j + 1) * sx;
     if (b > w) b = w;
@@ -519,14 +526,28 @@ void spdf_box_downscale(const uint8_t* src, int h, int w, uint8_t* dst,
     wx1[j] = (float)(b - (ib - 1));          // coverage of last px
     if (ib - ia == 1) wx0[j] = (float)(b - a);  // span within one px
   }
-  // per-(row, out-col): min luma and ink-coverage over the span
-  std::vector<uint8_t> tmin((size_t)h * ow, 255);
-  std::vector<float> tink((size_t)h * ow, 0.0f);
+  // per-(row, out-col): min luma and ink-coverage over the span (every
+  // element is overwritten in the row loop, so reuse needs no refill)
+  static thread_local std::vector<uint8_t> tmin;
+  static thread_local std::vector<float> tink;
+  tmin.resize((size_t)h * ow);
+  tink.resize((size_t)h * ow);
+  // per-row luma precompute: adjacent output columns overlap on edge
+  // input pixels, so the span loop would recompute each pixel's luma
+  // up to twice; one vectorizable pass over the row computes it once
+  // (values identical — only the luma computation moves, the float
+  // accumulation order below is unchanged, so output stays bit-exact)
+  static thread_local std::vector<uint8_t> lrow;
+  lrow.resize((size_t)w);
   for (int y = 0; y < h; y++) {
     const uint8_t* row = src + (size_t)y * w * 3;
     float* trow = tmp.data() + (size_t)y * ow * 3;
     uint8_t* mrow = tmin.data() + (size_t)y * ow;
     float* krow = tink.data() + (size_t)y * ow;
+    for (int x = 0; x < w; x++) {
+      const uint8_t* p = row + (size_t)x * 3;
+      lrow[x] = (uint8_t)((77 * p[0] + 150 * p[1] + 29 * p[2] + 128) >> 8);
+    }
     for (int j = 0; j < ow; j++) {
       float acc0 = 0, acc1 = 0, acc2 = 0, kacc = 0;
       int ia = x0[j], ib = x1[j];
@@ -537,8 +558,7 @@ void spdf_box_downscale(const uint8_t* src, int h, int w, uint8_t* dst,
         acc0 += wgt * p[0];
         acc1 += wgt * p[1];
         acc2 += wgt * p[2];
-        uint8_t lum =
-            (uint8_t)((77 * p[0] + 150 * p[1] + 29 * p[2] + 128) >> 8);
+        uint8_t lum = lrow[x];
         if (lum < mn) mn = lum;
         if (lum < 200) kacc += wgt;  // binarize_ink threshold
       }
