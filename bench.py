@@ -98,10 +98,12 @@ def main() -> None:
     # best run reflects the framework's steady-state throughput, the
     # worst reflects tunnel tenancy.
     runs = int(os.environ.get("SYNAPTA_BENCH_RUNS", "3"))
-    wall = min(
+    walls = [
         run(f"textbook_{1 + i:03d}", pdf_path) for i in range(max(runs, 1))
-    )
+    ]
+    wall = min(walls)
     pages_per_s = pages / wall
+    per_run = [round(pages / w, 3) for w in walls]
     print(
         json.dumps(
             {
@@ -109,6 +111,14 @@ def main() -> None:
                 "value": round(pages_per_s, 3),
                 "unit": "pages/s",
                 "vs_baseline": round(pages_per_s / BASELINE_PAGES_PER_S, 3),
+                # weather evidence: every rep's pages/s plus the spread
+                # (max-min)/max — the tunnel's latency/bandwidth swings
+                # >2x between identical runs, so a capture carries its
+                # own variance record (VERDICT r4 item 4)
+                "runs": per_run,
+                "spread": round(
+                    (max(per_run) - min(per_run)) / max(per_run), 3
+                ),
             }
         )
     )
