@@ -136,8 +136,71 @@ def render_det_page(
     book = SyntheticBook(width=pw, height=ph)
     c = book.new_page()
     boxes_pdf: List[Tuple[float, float, float, float]] = []
+    # spreadsheet/screenshot mode (25%): full-page cell grid, grey fills,
+    # tiny number-heavy cell text — the golden-crop domain where the r4
+    # detector fragmented words and missed rows (eval --golden r5 first
+    # measurement: containment recall 0.52)
+    sheet = rng.random() < 0.25
+    if sheet:
+        from synapta_tpu.models.synthdata import _screenshot_text
+
+        col_w = float(rng.uniform(34, 72))
+        row_h = float(rng.uniform(10, 16))
+        g = float(rng.uniform(0.55, 0.82))
+        x_off = float(rng.uniform(0.0, col_w))
+        y_off = float(rng.uniform(0.0, row_h))
+        gx = x_off
+        while gx < pw:
+            c.line(gx, 0, gx, ph, width=0.5, color=(g, g, g))
+            gx += col_w
+        gy = y_off
+        while gy < ph:
+            c.line(0, gy, pw, gy, width=0.5, color=(g, g, g))
+            gy += row_h
+        for _ in range(int(rng.integers(0, 5))):  # grey panels / fills
+            fx0 = rng.uniform(0, pw - 110)
+            fy0 = rng.uniform(0, ph - 60)
+            f = float(rng.uniform(0.78, 0.94))
+            c.rect(fx0, fy0, fx0 + rng.uniform(30, 110),
+                   fy0 + rng.uniform(10, 60), fill=(f, f, f), stroke=None)
+        n_rows = max(int(ph / row_h), 1)
+        n_cols = max(int(pw / col_w), 1)
+        used: set = set()
+        for _ in range(int(rng.integers(28, 70))):
+            rr = int(rng.integers(0, n_rows))
+            kk = int(rng.integers(0, n_cols))
+            if (rr, kk) in used:
+                continue
+            sz = row_h * float(rng.uniform(0.5, 0.72))
+            x = x_off + kk * col_w + float(rng.uniform(1, 5))
+            y = y_off + rr * row_h + float(rng.uniform(0.5, 2.5))
+            bb = c.text(x, y, _screenshot_text(rng), size=sz, record=False)
+            if bb is None or bb[2] >= pw or bb[3] >= ph:
+                continue
+            # skip cell texts whose boxes collide (a wide string spilling
+            # into the neighbor cell would create overlapping truth)
+            if any(
+                not (bb[2] <= o[0] or o[2] <= bb[0]
+                     or bb[3] <= o[1] or o[3] <= bb[1])
+                for o in boxes_pdf
+            ):
+                continue
+            used.add((rr, kk))
+            boxes_pdf.append(bb)
+        for _ in range(int(rng.integers(0, 3))):  # title-size lines
+            sz = float(rng.uniform(9, 14))
+            bb = c.text(
+                rng.uniform(10, pw * 0.4), rng.uniform(4, ph * 0.3),
+                fit_text(random_text(rng), 36), size=sz, record=False,
+            )
+            if bb is not None and bb[2] < pw and bb[3] < ph and not any(
+                not (bb[2] <= o[0] or o[2] <= bb[0]
+                     or bb[3] <= o[1] or o[3] <= bb[1])
+                for o in boxes_pdf
+            ):
+                boxes_pdf.append(bb)
     # graphic distractors first (text draws over them like real charts)
-    for _ in range(int(rng.integers(0, 4))):
+    for _ in range(int(rng.integers(0, 4)) if not sheet else 0):
         kind = rng.integers(0, 4)
         x0, y0 = rng.uniform(10, pw - 80), rng.uniform(10, ph - 80)
         w, h = rng.uniform(20, 120), rng.uniform(20, 100)
@@ -160,8 +223,11 @@ def render_det_page(
     # scanned-textbook distribution where round-3's sparse training pages
     # left the probability map weak (measured ~0.1-0.3 on true lines of
     # the make_scanned_book fixture -> fragmented word boxes, missed rows)
-    dense = rng.random() < 0.4
-    n_lines = int(rng.integers(24, 40)) if dense else int(rng.integers(6, 22))
+    dense = (not sheet) and rng.random() < 0.4
+    if sheet:
+        n_lines = 0
+    else:
+        n_lines = int(rng.integers(24, 40)) if dense else int(rng.integers(6, 22))
     y = rng.uniform(8, 24)
     for _ in range(n_lines):
         if y > ph - 16:
@@ -185,7 +251,19 @@ def render_det_page(
         y += sz * (rng.uniform(1.15, 1.5) if dense else rng.uniform(1.3, 2.6))
     doc = Document(data=book.tobytes())
     scale = size / pw
-    page = doc.render(0, dpi=72.0 * scale)
+    if sheet and rng.random() < 0.5:
+        # the golden crop's canvas is a ~0.74x box-downscale of an
+        # already-antialiased screenshot: render high then box-downscale
+        # so the detector sees that double-softened glyph profile too
+        from synapta_tpu.io.ingest import box_downscale
+
+        f = float(rng.uniform(1.15, 1.5))
+        hi = doc.render(0, dpi=72.0 * scale * f)
+        page = box_downscale(
+            hi, int(round(hi.shape[0] / f)), int(round(hi.shape[1] / f))
+        )
+    else:
+        page = doc.render(0, dpi=72.0 * scale)
     doc.close()
     gray = (
         0.299 * page[..., 0] + 0.587 * page[..., 1] + 0.114 * page[..., 2]
@@ -199,7 +277,24 @@ def render_det_page(
     # keep over the heuristic. Matches make_scanned_book's pipeline
     # (grey bg 235, sigma-5 noise, 0.004 row-shift skew, JPEG embedding).
     skew_shift = None
-    if dense or rng.random() < 0.5:
+    if sheet:
+        # screenshots embed as JPEG but are never skewed or paper-grey
+        if rng.random() < 0.6:
+            from PIL import Image as _I
+            import io as _io
+
+            bio = _io.BytesIO()
+            _I.fromarray((canvas * 255).astype(np.uint8)).save(
+                bio, format="JPEG", quality=int(rng.integers(70, 95))
+            )
+            bio.seek(0)
+            canvas = np.asarray(_I.open(bio)).astype(np.float32) / 255.0
+        if rng.random() < 0.4:
+            canvas = np.clip(
+                canvas + rng.normal(0, rng.uniform(0.005, 0.02),
+                                    canvas.shape), 0, 1
+            ).astype(np.float32)
+    elif dense or rng.random() < 0.5:
         canvas = canvas * rng.uniform(0.82, 0.95) + rng.uniform(0.02, 0.08)
         if rng.random() < 0.6:  # scanner skew: integer row shifts
             slope = rng.uniform(-0.012, 0.012)

@@ -229,6 +229,76 @@ def random_text(rng: np.random.Generator) -> str:
     return s
 
 
+# ---------------------------------------------------------------------------
+# screenshot / spreadsheet domain (round 5)
+#
+# The reference's golden crop (extracted_visuals_excelSS) is an Excel
+# screenshot: ~10-13px antialiased UI text, light grid lines, grey cell
+# fills, dense numeric cells. First golden-crop measurement (eval --golden)
+# scored CER 0.87 — the recognizer had never seen small-raster UI text or
+# grid-line artifacts clipped into its tiles. These generators model the
+# DOMAIN (tiny upscaled sans text, grids, fills, number-heavy cells) with
+# generic finance/spreadsheet vocabulary — deliberately NOT the golden
+# crop's literal strings, which are the eval set.
+# ---------------------------------------------------------------------------
+
+_SS_LABELS = (
+    "Price Call Put Steps Model Inputs Outputs Rate Value Delta Gamma "
+    "Theta Vega Rho Strike Spot Maturity Volatility Dividend Yield Total "
+    "Mean Median Stdev Min Max Sum Count Cell Sheet Table Row Column "
+    "European American Asian Forward Spot Implied Weighted Net Gross "
+    "Expected Annual Monthly Daily Cumulative Discount Present Future"
+).split()
+
+_SS_SYMS = "XTSKNrqdtvabcgkmnpsuwxyz"
+
+
+def _screenshot_text(rng: np.random.Generator) -> str:
+    t = rng.random()
+    if t < 0.30:  # bare numbers in spreadsheet formats
+        style = rng.integers(0, 6)
+        return [
+            f"{rng.uniform(-100, 200):.4f}",
+            f"{rng.uniform(-100, 200):.2f}",
+            f"{rng.uniform(0, 1):.4f}",
+            f"-{rng.uniform(0, 99):.4f}",
+            f"{rng.integers(0, 10000)}",
+            f"{rng.uniform(0, 500):,.2f}",
+        ][style]
+    if t < 0.42:  # percents
+        return f"{rng.uniform(0, 100):.2f}%"
+    if t < 0.58:  # label with parenthesized symbol: "Strike price (X)"
+        w = _SS_LABELS[rng.integers(0, len(_SS_LABELS))]
+        sym = _SS_SYMS[rng.integers(0, len(_SS_SYMS))]
+        if rng.random() < 0.3:
+            sym += str(rng.integers(0, 3))
+        if rng.random() < 0.25:
+            sym = f"{sym} or {_SS_SYMS[rng.integers(0, len(_SS_SYMS))]}"
+        low = w.lower() if rng.random() < 0.5 else w
+        tail = rng.choice(["price", "rate", "value", "ratio", "factor"])
+        return (f"{low} {tail} ({sym})" if rng.random() < 0.6
+                else f"{low} ({sym})")
+    if t < 0.72:  # short label words / header-ish
+        n = int(rng.integers(1, 4))
+        ws = [_SS_LABELS[rng.integers(0, len(_SS_LABELS))] for _ in range(n)]
+        s = " ".join(ws)
+        return s + (":" if rng.random() < 0.3 else "")
+    if t < 0.84:  # function-ish tokens: N(d1), PV of strike, S - PV
+        a = _SS_SYMS[rng.integers(0, len(_SS_SYMS))].upper()
+        b = _SS_SYMS[rng.integers(0, len(_SS_SYMS))]
+        style = rng.integers(0, 5)
+        return [
+            f"N({b}{rng.integers(1, 3)})",
+            f"PV of {_SS_LABELS[rng.integers(0, len(_SS_LABELS))].lower()}",
+            f"{a} - PV divs",
+            f"{b}{rng.integers(1, 3)}",
+            f"{a}({b})",
+        ][style]
+    # mixed row fragment: label + number (adjacent cells in one box)
+    w = _SS_LABELS[rng.integers(0, len(_SS_LABELS))]
+    return f"{w} {rng.uniform(-50, 150):.{rng.integers(2, 5)}f}"
+
+
 def fit_text(text: str, max_label: int = 48) -> str:
     """Trim to <= max_label chars at a word boundary.
 
@@ -261,13 +331,20 @@ def render_line(
     rng: np.random.Generator,
     height: int = 32,
     max_width: int = 384,
+    style: str | None = None,
 ) -> np.ndarray:
     """Render one line to a (height, max_width) float32 tile in [0,1]
-    (1.0 = white background, matching rendered-PDF polarity)."""
+    (1.0 = white background, matching rendered-PDF polarity).
+
+    ``style="shot"``: screenshot/spreadsheet domain — tiny (9-14px) UI
+    text bilinear-UPSCALED to tile height (matching inference tiles cut
+    from ~10-13px screenshot lines), light-grey cell backgrounds, grid-
+    line artifacts clipped into the tile, JPEG ringing."""
     from PIL import Image, ImageDraw
 
+    shot = style == "shot"
     font_path = _pick_font(text, rng)
-    px = int(rng.integers(14, 30))
+    px = int(rng.integers(9, 15)) if shot else int(rng.integers(14, 30))
     font = _font(font_path, px)
     # measure
     tmp = Image.new("L", (8, 8))
@@ -277,11 +354,17 @@ def render_line(
     h = max(b - t, 1)
     # scanned-page domain (30% of samples): grey paper, lighter ink —
     # matches the full-page-raster fixtures (io/pdf_writer.make_scanned_book)
-    scanned = rng.random() < 0.2
-    bg = int(rng.integers(215, 245)) if scanned else 255
+    scanned = (not shot) and rng.random() < 0.2
+    if shot:
+        bg = 255 if rng.random() < 0.4 else int(rng.integers(225, 252))
+    else:
+        bg = int(rng.integers(215, 245)) if scanned else 255
     img = Image.new("L", (w + 8, h + 8), bg)
     d = ImageDraw.Draw(img)
-    gray = int(rng.integers(10, 70)) if scanned else int(rng.integers(0, 90))
+    if shot:
+        gray = int(rng.integers(0, 70))
+    else:
+        gray = int(rng.integers(10, 70)) if scanned else int(rng.integers(0, 90))
     d.text((4 - l, 4 - t), text, fill=gray, font=font)
     # scale to target height
     scale = (height - 2 * int(rng.integers(0, 4))) / img.height
@@ -315,9 +398,45 @@ def render_line(
             out + rng.normal(0, rng.uniform(0.01, 0.035), out.shape)
             .astype(np.float32), 0, 1,
         )
+    elif shot:
+        # grid-line artifacts: spreadsheet cell borders clip into
+        # detection boxes — light vertical rules near either edge,
+        # horizontal rules along top/bottom rows. Grid grey (0.45-0.8)
+        # sits well above ink (<=0.27) so the recognizer learns to
+        # IGNORE rules rather than decode them as 'l' / '_'
+        g = rng.uniform(0.45, 0.8)
+        if rng.random() < 0.6:  # vertical rule(s)
+            for side in ([0] if rng.random() < 0.5 else [0, 1]):
+                col = (int(rng.integers(0, 4)) if side == 0
+                       else out.shape[1] - 1 - int(rng.integers(0, 4)))
+                out[:, col] = np.minimum(out[:, col], g)
+        if rng.random() < 0.6:  # horizontal rule at top or bottom
+            row = (int(rng.integers(0, 3)) if rng.random() < 0.5
+                   else out.shape[0] - 1 - int(rng.integers(0, 3)))
+            c0 = int(rng.integers(0, out.shape[1] // 2))
+            c1 = int(rng.integers(c0 + 20, out.shape[1] + 1))
+            out[row, c0:c1] = np.minimum(out[row, c0:c1], g)
+        if rng.random() < 0.5:  # JPEG ringing (screenshots embed as DCT)
+            import io as _io
+
+            from PIL import Image as _Image
+
+            bio = _io.BytesIO()
+            _Image.fromarray((out * 255).astype(np.uint8)).save(
+                bio, format="JPEG", quality=int(rng.integers(72, 95))
+            )
+            bio.seek(0)
+            out = np.asarray(_Image.open(bio)).astype(np.float32) / 255.0
+        if rng.random() < 0.4:  # sensor/compression noise
+            out = np.clip(
+                out + rng.normal(0, rng.uniform(0.005, 0.02), out.shape)
+                .astype(np.float32), 0, 1,
+            )
     elif rng.random() < 0.3:  # mild contrast/noise jitter
         out = np.clip(out + rng.normal(0, 0.02, out.shape).astype(np.float32), 0, 1)
-    if len(text) <= 8 and rng.random() < (0.45 if len(text) <= 4 else 0.25):
+    if (not shot) and len(text) <= 8 and rng.random() < (
+        0.45 if len(text) <= 4 else 0.25
+    ):
         # tiny-glyph blur: chart tick labels ('Q1', '25') are detected in
         # ~10-14px boxes and bilinear-UPSCALED ~2-3x to tile height, so
         # their edges smear; '1'/'z'-class lookalikes need training
@@ -366,8 +485,17 @@ def make_batch(
     labels = np.zeros((batch, max_label), np.int32)
     lens = np.zeros((batch,), np.int32)
     for i in range(batch):
-        text = fit_text(random_text(rng), max_label)
-        imgs[i, :, :, 0] = render_line(text, rng, height, width)
+        # screenshot/spreadsheet domain: 16% of PIL-rendered lines (the
+        # golden-crop content class; see _screenshot_text)
+        shot = rng.random() < 0.16
+        if shot:
+            text = fit_text(_screenshot_text(rng), max_label)
+            imgs[i, :, :, 0] = render_line(
+                text, rng, height, width, style="shot"
+            )
+        else:
+            text = fit_text(random_text(rng), max_label)
+            imgs[i, :, :, 0] = render_line(text, rng, height, width)
         ids, n = charset.encode(text, max_label)
         labels[i] = ids
         lens[i] = n
