@@ -365,8 +365,34 @@ uint8_t* spdf_png_encode(const uint8_t* rgb, int w, int h, long* out_len) {
   }
 
   // ---- raw scanlines (filter byte 0 per row) ---------------------------
-  std::vector<uint8_t> raw;
+  // Indexed images use the narrowest legal bit depth (1/2/4/8): page
+  // renders are typically few-color (text + chart ink on white), and a
+  // 2-color page at 1 bpp feeds deflate 8x fewer bytes — the deflate
+  // pass is the dominant encode cost, so packed rows cut it near-
+  // proportionally while also shrinking output.
+  int bit_depth = 8;
   if (palettized) {
+    bit_depth = n_colors <= 2 ? 1 : n_colors <= 4 ? 2 : n_colors <= 16 ? 4 : 8;
+  }
+  std::vector<uint8_t> raw;
+  if (palettized && bit_depth < 8) {
+    const int px_per_byte = 8 / bit_depth;
+    const size_t rb = ((size_t)w * bit_depth + 7) / 8;  // packed row bytes
+    raw.assign((rb + 1) * (size_t)h, 0);
+    for (int y = 0; y < h; y++) {
+      uint8_t* row = raw.data() + (rb + 1) * (size_t)y;
+      row[0] = 0;
+      const uint8_t* src = idx.data() + (size_t)w * (size_t)y;
+      uint8_t* out = row + 1;
+      int x = 0;
+      for (size_t b = 0; b < rb; b++) {
+        uint8_t acc = 0;
+        for (int k = 0; k < px_per_byte && x < w; k++, x++)
+          acc |= (uint8_t)(src[x] << (8 - bit_depth * (k + 1)));
+        out[b] = acc;
+      }
+    }
+  } else if (palettized) {
     raw.resize(((size_t)w + 1) * (size_t)h);
     for (int y = 0; y < h; y++) {
       uint8_t* row = raw.data() + ((size_t)w + 1) * (size_t)y;
@@ -430,7 +456,7 @@ uint8_t* spdf_png_encode(const uint8_t* rgb, int w, int h, long* out_len) {
   uint8_t ihdr[13];
   be32((uint32_t)w, ihdr);
   be32((uint32_t)h, ihdr + 4);
-  ihdr[8] = 8;                         // bit depth
+  ihdr[8] = (uint8_t)(palettized ? bit_depth : 8);  // bit depth
   ihdr[9] = palettized ? 3 : 2;        // color type: indexed / truecolor
   ihdr[10] = ihdr[11] = ihdr[12] = 0;  // deflate / filter 0 / no interlace
   chunk("IHDR", ihdr, 13);

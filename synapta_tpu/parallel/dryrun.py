@@ -101,9 +101,69 @@ def run(n_devices: int) -> None:
     tparams, opt_state, loss = step(tparams, opt_state, imgs, labels, lens)
     jax.block_until_ready(loss)
     assert np.isfinite(float(loss)), f"non-finite loss: {loss}"
+
+    # ---- 3. FULL pipeline, segment-level N-dev == 1-dev ------------------
+    # Real rendered pages through VisualSegmentationPipeline on a 1-device
+    # and an n-device data mesh: the run certifies the production sharding
+    # produces identical segments, not just finite losses (VERDICT r4
+    # item 9). Skipped only if recognizer weights are absent (fresh tree).
+    seg_note = "segments=skipped(no weights)"
+    import os
+
+    from synapta_tpu.models.train import WEIGHTS_PATH
+
+    if os.path.exists(WEIGHTS_PATH):
+        import hashlib
+        import json
+        import tempfile
+
+        from synapta_tpu.config import PipelineConfig
+        from synapta_tpu.io.pdf_writer import make_test_book
+        from synapta_tpu.pipeline import VisualSegmentationPipeline
+
+        with tempfile.TemporaryDirectory() as td:
+            pdf = os.path.join(td, "book.pdf")
+            make_test_book(pdf, pages=3, seed=7)
+
+            def run_pipe(n_dev: int, out: str):
+                pipe = VisualSegmentationPipeline(
+                    book_id="dry",
+                    pdf_path=pdf,
+                    output_dir=os.path.join(td, out),
+                    use_mermaid=False,
+                    config=PipelineConfig(
+                        use_vision_llm=False, data_devices=n_dev
+                    ),
+                    resume=False,
+                )
+                pipe.process()
+                assert dict(pipe.mesh.shape) == {"data": n_dev}
+                payload = json.load(
+                    open(os.path.join(td, out, "dry_visual_segments.json"))
+                )
+                for s in payload["segments"]:
+                    s["image_path"] = os.path.basename(s["image_path"])
+                return payload
+
+            a = run_pipe(1, "out1")
+            b = run_pipe(n_devices, "outN")
+            assert a["total_segments"] == b["total_segments"] > 0, (
+                a["total_segments"], b["total_segments"])
+            assert a["segments"] == b["segments"], (
+                "segment content diverged between 1-dev and "
+                f"{n_devices}-dev meshes")
+            digest = hashlib.sha256(
+                json.dumps(b["segments"], sort_keys=True).encode()
+            ).hexdigest()[:16]
+            seg_note = (
+                f"segments={a['total_segments']} (1dev=={n_devices}dev) "
+                f"digest={digest}"
+            )
+
     print(
         f"dryrun_multichip OK: pipeline mesh={dict(dmesh.shape)} "
-        f"train mesh={dict(mesh.shape)} crops={B} loss={float(loss):.3f}"
+        f"train mesh={dict(mesh.shape)} crops={B} loss={float(loss):.3f} "
+        f"{seg_note}"
     )
 
 

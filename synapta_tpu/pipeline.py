@@ -212,12 +212,16 @@ class VisualSegmentationPipeline:
                 prepared = None
                 try:
                     if loader is not None:
-                        with TIMERS.stage("prepare_wait"):
-                            prepared = loader_futs[i].result()
+                        # keep the pool fed even when a span fails: the
+                        # i+2 submit must happen regardless, or one bad
+                        # prepare starves loader_futs and a later
+                        # loader_futs[i] raises IndexError
                         if i + 2 < len(spans):
                             loader_futs.append(
                                 loader.submit(None, spans[i + 2])
                             )
+                        with TIMERS.stage("prepare_wait"):
+                            prepared = loader_futs[i].result()
                     else:
                         prepared = self._prepare_batch(pages)
                 except Exception:
