@@ -128,6 +128,13 @@ class HeuristicsConfig:
     scanned_page_chars: int = 500
     screenshot_chars: int = 100
     photo_variance: float = 1500.0
+    # screenshot-vs-chart gate (classify_heuristic): a ruled grid plus
+    # paragraph-scale OCR (ref's scanned_page density, :1795) across many
+    # text rows is a software-window capture, not a data chart — the
+    # reference's golden Excel crop is the type specimen (segment_type
+    # "image" in extracted_visuals_excelSS/textbook_001_visual_segments.json)
+    screenshot_gate_chars: int = 500
+    screenshot_gate_blocks: int = 15
     # embedded table (ref :1812-1826)
     table_numeric_frac: float = 0.5
     table_min_lines: int = 3

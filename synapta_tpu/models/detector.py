@@ -120,7 +120,8 @@ def unshrink_boxes(boxes: np.ndarray, ratio: float = 0.75) -> np.ndarray:
 
 
 def render_det_page(
-    rng: np.random.Generator, size: int = 512
+    rng: np.random.Generator, size: int = 512,
+    sheet_frac: float = 0.25, dense_frac: float = 0.4,
 ) -> Tuple[np.ndarray, List[List[float]]]:
     """One synthetic page raster + its text-line pixel boxes.
 
@@ -140,7 +141,7 @@ def render_det_page(
     # tiny number-heavy cell text — the golden-crop domain where the r4
     # detector fragmented words and missed rows (eval --golden r5 first
     # measurement: containment recall 0.52)
-    sheet = rng.random() < 0.25
+    sheet = rng.random() < sheet_frac
     if sheet:
         from synapta_tpu.models.synthdata import _screenshot_text
 
@@ -223,7 +224,7 @@ def render_det_page(
     # scanned-textbook distribution where round-3's sparse training pages
     # left the probability map weak (measured ~0.1-0.3 on true lines of
     # the make_scanned_book fixture -> fragmented word boxes, missed rows)
-    dense = (not sheet) and rng.random() < 0.4
+    dense = (not sheet) and rng.random() < dense_frac
     if sheet:
         n_lines = 0
     else:
@@ -330,7 +331,8 @@ def render_det_page(
 
 
 def make_det_batch(
-    rng: np.random.Generator, batch: int = 8, size: int = 512
+    rng: np.random.Generator, batch: int = 8, size: int = 512,
+    sheet_frac: float = 0.25, dense_frac: float = 0.4,
 ):
     """-> (images (B,S,S,1), prob* (B,S/2,S/2), band (B,S/2,S/2),
     thresh* (B,S/2,S/2)) — targets at half resolution."""
@@ -340,7 +342,7 @@ def make_det_batch(
     band = np.zeros((batch, half, half), np.float32)
     thr_t = np.zeros((batch, half, half), np.float32)
     for i in range(batch):
-        canvas, boxes = render_det_page(rng, size)
+        canvas, boxes = render_det_page(rng, size, sheet_frac, dense_frac)
         imgs[i, :, :, 0] = canvas
         for b in boxes:
             hx0, hy0, hx1, hy1 = (v / 2.0 for v in b)
@@ -435,6 +437,8 @@ def train_detector(
     out: str = DET_WEIGHTS_PATH,
     init_from: str | None = None,
     log_every: int = 50,
+    sheet_frac: float = 0.25,
+    dense_frac: float = 0.4,
 ) -> None:
     import optax
 
@@ -465,7 +469,8 @@ def train_detector(
     rng = np.random.default_rng(seed)
     t0 = time.time()
     for s in range(steps):
-        imgs, prob_t, band, thr_t = make_det_batch(rng, batch, size)
+        imgs, prob_t, band, thr_t = make_det_batch(
+            rng, batch, size, sheet_frac, dense_frac)
         params, opt_state, loss = step_fn(
             params, opt_state, imgs, prob_t, band, thr_t
         )
@@ -520,18 +525,194 @@ def _boxes_device(params, gray_u8, prob_thresh):
     )
 
 
+# refine knobs (module-level so eval sweeps can probe alternatives; the
+# defaults are the measured-best configuration on the scanned fixture +
+# golden crop)
+_SNAP_FIRST = True   # snap fragments before row-merging
+_ROW_FRAC = 0.03     # row-ink on-threshold as a fraction of box width
+_V_CAP = 1.6         # max vertical growth of a snap, in line heights
+_FLOOR_FRAC = 0.06   # valley floor as a fraction of the row-ink peak
+
+
+def _snap_box_to_ink(gray: np.ndarray, box: List[int]) -> List[int]:
+    """Snap one line box to the ink it covers (host, numpy).
+
+    The DB probability map is trained on SHRUNK line targets; unshrinking
+    recovers the nominal box but the map fades at faint strokes, so raw
+    boxes clip ascenders/descenders and first/last characters (measured
+    on the scanned fixture: 'allocation' -> 'allocati'). Within a padded
+    window around the box, threshold ink against the local background and
+    (a) re-fit the vertical span to the inky rows connected to the box
+    center, (b) extend the horizontal span outward over ink runs whose
+    gaps stay below a word gap (~0.3 line heights), then tighten to the
+    outermost inky columns."""
+    H, W = gray.shape
+    x0, y0, x1, y1 = (int(v) for v in box)
+    h = max(y1 - y0, 1)
+    # wide horizontal window: prob-map fade can clip 1-2 characters
+    # (~0.5-1.5 line heights) off a line end; the extension loop below is
+    # still bounded by the first word gap it meets
+    px = max(4, int(round(2.0 * h)))
+    py = max(2, int(round(0.4 * h)))
+    X0, X1 = max(0, x0 - px), min(W, x1 + px)
+    Y0, Y1 = max(0, y0 - py), min(H, y1 + py)
+    if X1 - X0 < 2 or Y1 - Y0 < 2:
+        return [x0, y0, x1, y1]
+    win = gray[Y0:Y1, X0:X1]
+    lo = float(np.percentile(win, 2))
+    hi = float(np.percentile(win, 98))
+    if hi - lo < 30.0:  # no contrast: blank window, keep the box
+        return [x0, y0, x1, y1]
+    # ink = decisively darker than background: anchored at the DARK end so
+    # light-grey furniture (spreadsheet grid rules at ~0.55-0.8 grey) stays
+    # background — a bg-relative cut classified grid lines as ink and the
+    # snap crawled along them
+    ink = win < (lo + 0.45 * (hi - lo))
+    # vertical: follow the row-ink profile out from the box center. Two
+    # regimes must both work: scanned print, whose antialiased first/last
+    # rows taper 60 -> 20 -> 8 -> 3 -> 0 and BELONG to the line (a fixed
+    # on-threshold clips them, costing glyph tops at the hires tile cut),
+    # and dense screenshots, whose inter-row gaps carry JPEG ringing of
+    # 1-3 px ink that must NOT bridge to the next row. Valley logic
+    # handles both: keep growing through solid ink (>= floor) or down a
+    # decreasing tail, stop the moment the profile RISES from below the
+    # floor (the far side of the inter-row valley).
+    row_ink = ink[:, max(x0 - X0, 0):max(x1 - X0, 1)].sum(axis=1)
+    peak = float(np.percentile(row_ink, 95))
+    floor = max(2.0, _FLOOR_FRAC * peak)
+    cy = min(max((y0 + y1) // 2 - Y0, 0), row_ink.shape[0] - 1)
+    if row_ink[cy] < floor:
+        near = np.nonzero(row_ink >= floor)[0]
+        if near.size == 0:
+            return [x0, y0, x1, y1]
+        cy = int(near[np.argmin(np.abs(near - cy))])
+
+    def grow(i: int, step: int, last: int) -> int:
+        while 0 <= i + step <= last:
+            nxt = float(row_ink[i + step])
+            if nxt >= floor and float(row_ink[i]) >= floor:
+                i += step          # solid ink
+            elif 1.0 <= nxt < float(row_ink[i]):
+                i += step          # decreasing antialias tail
+            else:
+                break              # valley floor / far-side rise
+        return i
+
+    last = row_ink.shape[0] - 1
+    ry0 = grow(cy, -1, last)
+    ry1 = grow(cy, +1, last)
+    ny0, ny1 = Y0 + ry0, Y0 + ry1 + 1
+    if ny1 - ny0 > _V_CAP * max(h, 3):
+        # ink run far taller than the detected line: rows are touching
+        # (dense screenshot grids) — trust the detector's vertical extent
+        ny0, ny1 = y0, y1
+    # horizontal: column ink inside the snapped row band
+    col_ink = ink[ry0:ry1 + 1].sum(axis=0)
+    cols_on = col_ink >= 1
+    gap_tol = max(2, int(round(0.3 * max(ny1 - ny0, 1))))
+    cx0 = max(x0 - X0, 0)
+    cx1 = min(max(x1 - X0, 1), cols_on.shape[0])
+    # extend left/right across sub-word-gap breaks (recovers clipped chars)
+    gap = 0
+    i = cx0 - 1
+    while i >= 0 and gap <= gap_tol:
+        if cols_on[i]:
+            cx0 = i
+            gap = 0
+        else:
+            gap += 1
+        i -= 1
+    gap = 0
+    i = cx1
+    while i < cols_on.shape[0] and gap <= gap_tol:
+        if cols_on[i]:
+            cx1 = i + 1
+            gap = 0
+        else:
+            gap += 1
+        i += 1
+    on = np.nonzero(cols_on[cx0:cx1])[0]
+    if on.size:  # tighten to outermost ink
+        cx1 = cx0 + int(on[-1]) + 1
+        cx0 = cx0 + int(on[0])
+    return [X0 + cx0, ny0, X0 + cx1, ny1]
+
+
+def refine_line_boxes(
+    gray: np.ndarray, rows: List[List[int]], merge_gap_heights: float = 1.2
+) -> List[List[int]]:
+    """Row-merge + ink-snap post-pass over raw DB boxes for one crop.
+
+    DB fragments a text row wherever the probability map drops below
+    threshold mid-line; the standard DB box-forming answer is wider
+    closing, but that also bridges adjacent ROWS on dense scans. Host-side
+    row logic is exact instead: group boxes sharing >=50% vertical overlap
+    into text rows, merge same-row fragments whose horizontal gap is under
+    ``merge_gap_heights`` line heights (recognition is merge-tolerant —
+    over-long lines re-split at whitespace valleys with space joins,
+    processor._split_long_line), then snap every merged box to its ink."""
+    if not rows:
+        return rows
+    # snap FIRST, while each fragment's window is narrow: a fragment's own
+    # column span usually has a clean inter-row gap, where a merged
+    # multi-column row often doesn't (neighbor-row descenders / ringing)
+    if _SNAP_FIRST:
+        rows = [_snap_box_to_ink(gray, b) for b in rows]
+    ordered = sorted(rows, key=lambda b: ((b[1] + b[3]) / 2.0, b[0]))
+    groups: List[List[List[int]]] = []
+    for b in ordered:
+        placed = False
+        for g in groups:
+            gy0 = min(x[1] for x in g)
+            gy1 = max(x[3] for x in g)
+            ov = min(gy1, b[3]) - max(gy0, b[1])
+            if ov > 0.5 * min(gy1 - gy0, b[3] - b[1]):
+                g.append(b)
+                placed = True
+                break
+        if not placed:
+            groups.append([b])
+    out: List[List[int]] = []
+    for g in groups:
+        g.sort(key=lambda b: b[0])
+        h_med = float(np.median([b[3] - b[1] for b in g]))
+        cur = list(g[0])
+        for b in g[1:]:
+            if b[0] - cur[2] <= merge_gap_heights * h_med:
+                cur[2] = max(cur[2], b[2])
+                cur[1] = min(cur[1], b[1])
+                cur[3] = max(cur[3], b[3])
+            else:
+                out.append(cur)
+                cur = list(b)
+        out.append(cur)
+    if not _SNAP_FIRST:
+        out = [_snap_box_to_ink(gray, b) for b in out]
+    # merging can land two boxes on the same ink: drop exact containments
+    keep: List[List[int]] = []
+    for b in out:
+        contained = any(
+            k[0] <= b[0] and k[1] <= b[1] and k[2] >= b[2] and k[3] >= b[3]
+            for k in keep
+        )
+        if not contained and b[2] > b[0] and b[3] > b[1]:
+            keep.append(b)
+    return keep
+
+
 _DETECTOR_CACHE: dict = {}
 
 
 def get_line_detector(weights_path: str = DET_WEIGHTS_PATH,
                       det_size: int = 512,
-                      prob_thresh: float = 0.3) -> "DBLineDetector":
+                      prob_thresh: float = 0.3,
+                      refine: bool = True) -> "DBLineDetector":
     """Process-wide DBLineDetector singleton (weights load + device
     placement once, shared across pipelines)."""
-    key = (weights_path, det_size, float(prob_thresh))
+    key = (weights_path, det_size, float(prob_thresh), bool(refine))
     if key not in _DETECTOR_CACHE:
         _DETECTOR_CACHE[key] = DBLineDetector(weights_path, det_size,
-                                              prob_thresh)
+                                              prob_thresh, refine)
     return _DETECTOR_CACHE[key]
 
 
@@ -540,63 +721,170 @@ class DBLineDetector:
     device CC -> compact (B, K, 5) boxes -> host unshrink + filtering."""
 
     def __init__(self, weights_path: str = DET_WEIGHTS_PATH,
-                 det_size: int = 512, prob_thresh: float = 0.3):
+                 det_size: int = 512, prob_thresh: float = 0.3,
+                 refine: bool = True):
         self.params = jax.device_put(load_det_params(weights_path, det_size))
         self.det_size = det_size
         self.prob_thresh = prob_thresh
+        self.refine = refine
 
     CHUNK = 16  # fixed device batch: ONE executable shape regardless of
     # how many crops a super-batch flags (variable batch dims would mint
     # a fresh tunnel executable per distinct count)
 
-    def detect_lines(self, rgb_batch: np.ndarray) -> List[List[List[int]]]:
-        """(B, H, W, 3) uint8 -> per-crop reading-ordered [x0,y0,x1,y1]
-        in input pixel coordinates (same contract as linedet.detect_lines)."""
-        b, h, w = rgb_batch.shape[:3]
+    MAX_SIDE = 960  # PaddleOCR det_limit_side_len: native-res detection
+    # caps the longest side at 960 before tiling
+
+    @staticmethod
+    def _luma(rgb: np.ndarray) -> np.ndarray:
         # integer luma (ITU-R 601, 8.8 fixed point) — uint8 end to end
-        s16 = rgb_batch.astype(np.uint16)
-        gray = (
+        s16 = rgb.astype(np.uint16)
+        return (
             (77 * s16[..., 0] + 150 * s16[..., 1] + 29 * s16[..., 2]) >> 8
         ).astype(np.uint8)
-        s = self.det_size
-        if (h, w) != (s, s):
-            from PIL import Image
 
-            gray = np.stack([
-                np.asarray(Image.fromarray(g).resize((s, s), Image.BILINEAR))
-                for g in gray
-            ])
+    def _views(self, g: np.ndarray):
+        """512² windows covering a det-scale image (stride 448: a line cut
+        at a seam reappears whole-ish in the neighbor view and the refine
+        row-merge unions the pieces)."""
+        s = self.det_size
+        stride = s - 64
+        ys = list(range(0, max(g.shape[0] - 64, 1), stride))
+        xs = list(range(0, max(g.shape[1] - 64, 1), stride))
+        views = []
+        for oy in ys:
+            for ox in xs:
+                tile = np.full((s, s), 255, np.uint8)
+                sub = g[oy:oy + s, ox:ox + s]
+                tile[: sub.shape[0], : sub.shape[1]] = sub
+                views.append((ox, oy, tile))
+        return views
+
+    def detect_lines(
+        self, rgb_batch: np.ndarray, hires=None
+    ) -> List[List[List[int]]]:
+        """(B, H, W, 3) uint8 -> per-crop reading-ordered [x0,y0,x1,y1]
+        in input pixel coordinates (same contract as linedet.detect_lines).
+
+        ``hires``: optional per-crop (image, ratio) pairs — the native-
+        resolution source the input crop was box-downscaled from (the
+        pipeline's render_ctx). When present, detection runs on 512² tiles
+        of the native image (longest side capped at MAX_SIDE, PaddleOCR's
+        det_limit_side_len policy) instead of the squeezed analysis
+        canvas: a 694px-wide screenshot's 9px rows collapse to ~4.5px of
+        half-res probability map on the canvas — physically unresolvable —
+        but stay cleanly separated at native scale."""
+        b, h, w = rgb_batch.shape[:3]
+        s = self.det_size
+        from PIL import Image
+
+        # per crop: (gray_ref, [(ox, oy, tile)...], fx, fy, native) —
+        # native: boxes/refine live at det scale, then scale to canvas by
+        # (fx, fy); legacy: boxes map straight to input coords
+        entries = []
+        for i in range(b):
+            hx = hires[i] if hires is not None else None
+            # native-res detection pays off where the downscale is mild —
+            # screenshot/figure crops whose absolute text is tiny (the
+            # golden-crop domain: rows unresolvable in the canvas's
+            # half-res map). Page-scale scans (ratio ~2.7-3.2 at 150 DPI)
+            # keep the canvas path: their text survives the box_downscale
+            # and measured scanned CER is 3x better there (the canvas's
+            # area-exact downscale beats detect-at-960 + coordinate
+            # re-rounding for tightly-leaded prose)
+            if (hx is not None and hx[0] is not None
+                    and 1.05 < hx[1] <= 2.0):
+                img, ratio = hx
+                g = self._luma(np.ascontiguousarray(img[..., :3]))
+                # normalize the longest side TOWARD MAX_SIDE (upscale
+                # capped 2x): the DB head emits a HALF-resolution map, so
+                # 9px rows at 10px pitch (dense screenshots) need the 2x
+                # headroom to stay separable; PaddleOCR's det only caps
+                # the max side because its map is full-resolution
+                q = min(2.0, self.MAX_SIDE / float(max(g.shape)))
+                if abs(q - 1.0) > 1e-3:
+                    g = np.asarray(
+                        Image.fromarray(g).resize(
+                            (max(1, int(g.shape[1] * q)),
+                             max(1, int(g.shape[0] * q))),
+                            Image.BILINEAR,
+                        )
+                    )
+                f = 1.0 / (q * ratio)
+                entries.append((g, self._views(g), f, f, True))
+            else:
+                g = self._luma(rgb_batch[i])
+                if (h, w) != (s, s):
+                    g_det = np.asarray(
+                        Image.fromarray(g).resize((s, s), Image.BILINEAR))
+                else:
+                    g_det = g
+                # refine reads ink at input resolution (legacy behavior)
+                entries.append((g, [(0, 0, g_det)], w / float(s),
+                                h / float(s), False))
         # dispatch-all then materialize (overlaps H2D with compute)
+        flat = [t for e in entries for t in e[1]]
         pending = []
-        for st in range(0, b, self.CHUNK):
-            chunk = gray[st:st + self.CHUNK]
+        for st in range(0, len(flat), self.CHUNK):
+            chunk = np.stack([t[2] for t in flat[st:st + self.CHUNK]])
             pad = self.CHUNK - chunk.shape[0]
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.full((pad, s, s), 255, np.uint8)])
             pending.append(
                 _boxes_device(self.params, chunk, self.prob_thresh))
-        boxes = np.concatenate([np.asarray(p) for p in pending])[:b]
-        # half-res map -> input scale
-        sx = w / float(s)
-        sy = h / float(s)
+        boxes = np.concatenate(
+            [np.asarray(p) for p in pending])[: len(flat)]
         out: List[List[List[int]]] = []
+        vi = 0
         for i in range(b):
+            g_ref, views, fx, fy, native = entries[i]
             rows = []
-            valid = boxes[i][boxes[i][:, 4] > 4.0]
-            if len(valid):
+            for ox, oy, _tile in views:
+                valid = boxes[vi][boxes[vi][:, 4] > 4.0]
+                vi += 1
+                if not len(valid):
+                    continue
                 un = unshrink_boxes(valid[:, :4])
                 for x0, y0, x1, y1 in un:
-                    bx = [
-                        int(max(x0 * 2 * sx, 0)),
-                        int(max(y0 * 2 * sy, 0)),
-                        int(min(x1 * 2 * sx, w)),
-                        int(min(y1 * 2 * sy, h)),
-                    ]
+                    if native:  # half-res map -> det scale (+ tile offset)
+                        bx = [
+                            int(max(x0 * 2 + ox, 0)),
+                            int(max(y0 * 2 + oy, 0)),
+                            int(min(x1 * 2 + ox, g_ref.shape[1])),
+                            int(min(y1 * 2 + oy, g_ref.shape[0])),
+                        ]
+                    else:  # half-res map -> input res
+                        bx = [
+                            int(max(x0 * 2 * fx, 0)),
+                            int(max(y0 * 2 * fy, 0)),
+                            int(min(x1 * 2 * fx, w)),
+                            int(min(y1 * 2 * fy, h)),
+                        ]
                     bw, bh = bx[2] - bx[0], bx[3] - bx[1]
-                    if bw < 6 or bh < 5 or bh > 64 or bw < bh * 0.6:
+                    if self.refine:
+                        # fragments survive to the merge pass; only
+                        # sub-glyph specks drop here
+                        if bw < 2 or bh < 3 or bh > 64:
+                            continue
+                    elif bw < 6 or bh < 5 or bh > 64 or bw < bh * 0.6:
                         continue
                     rows.append(bx)
+            if self.refine and rows:
+                rows = refine_line_boxes(g_ref, rows)
+            if native:  # det-scale coords -> canvas coords
+                rows = [
+                    [int(bx[0] * fx), int(bx[1] * fy),
+                     int(np.ceil(bx[2] * fx)), int(np.ceil(bx[3] * fy))]
+                    for bx in rows
+                ]
+            if self.refine:
+                rows = [
+                    bx for bx in rows
+                    if not (bx[2] - bx[0] < 6 or bx[3] - bx[1] < 5
+                            or bx[3] - bx[1] > 64
+                            or bx[2] - bx[0] < (bx[3] - bx[1]) * 0.6)
+                ]
             rows.sort(key=lambda bb: (bb[1], bb[0]))
             out.append(rows)
         return out
@@ -611,6 +899,9 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--out", default=DET_WEIGHTS_PATH)
     ap.add_argument("--init-from", default=None)
+    ap.add_argument("--sheet-frac", type=float, default=0.25)
+    ap.add_argument("--dense-frac", type=float, default=0.4)
     args = ap.parse_args()
     train_detector(args.steps, args.batch, args.lr, args.seed, args.size,
-                   args.out, args.init_from)
+                   args.out, args.init_from,
+                   sheet_frac=args.sheet_frac, dense_frac=args.dense_frac)

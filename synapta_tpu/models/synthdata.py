@@ -479,6 +479,7 @@ def make_batch(
     height: int = 32,
     width: int = 384,
     max_label: int = 48,
+    shot_frac: float = 0.16,
 ):
     """-> (images (B,H,W,1) f32, labels (B,max_label) i32, label_lens (B,))"""
     imgs = np.zeros((batch, height, width, 1), np.float32)
@@ -487,7 +488,7 @@ def make_batch(
     for i in range(batch):
         # screenshot/spreadsheet domain: 16% of PIL-rendered lines (the
         # golden-crop content class; see _screenshot_text)
-        shot = rng.random() < 0.16
+        shot = rng.random() < shot_frac
         if shot:
             text = fit_text(_screenshot_text(rng), max_label)
             imgs[i, :, :, 0] = render_line(
@@ -579,11 +580,12 @@ def make_batch_mixed(
     width: int = 384,
     max_label: int = 48,
     spdf_frac: float = 0.5,
+    shot_frac: float = 0.16,
 ):
     """Mix PIL-rendered and spdf-rendered lines in one batch."""
     n_spdf = int(batch * spdf_frac)
     if n_spdf <= 0:
-        return make_batch(rng, batch, height, width, max_label)
+        return make_batch(rng, batch, height, width, max_label, shot_frac)
     a = make_batch_spdf(rng, n_spdf, height, width, max_label)
-    b = make_batch(rng, batch - n_spdf, height, width, max_label)
+    b = make_batch(rng, batch - n_spdf, height, width, max_label, shot_frac)
     return tuple(np.concatenate([x, y]) for x, y in zip(a, b))

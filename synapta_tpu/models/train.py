@@ -188,6 +188,7 @@ def train(
     log_every: int = 100,
     init_from: str | None = None,
     data: str = "pil",
+    shot_frac: float = 0.16,
 ) -> float:
     setup_jax()
     model = create_model()
@@ -211,9 +212,11 @@ def train(
     rng = np.random.default_rng(seed)
     if data == "mixed":
         from synapta_tpu.models.synthdata import make_batch_mixed
-        gen = lambda r, batch: make_batch_mixed(r, batch=batch)  # noqa: E731
+        gen = lambda r, batch: make_batch_mixed(  # noqa: E731
+            r, batch=batch, shot_frac=shot_frac)
     else:
-        gen = lambda r, batch: make_batch(r, batch=batch)  # noqa: E731
+        gen = lambda r, batch: make_batch(  # noqa: E731
+            r, batch=batch, shot_frac=shot_frac)
     t0 = time.time()
     loss = None
     for s in range(steps):
@@ -245,6 +248,7 @@ if __name__ == "__main__":
     ap.add_argument("--mesh", action="store_true")
     ap.add_argument("--init-from", default=None)
     ap.add_argument("--data", default="pil", choices=["pil", "mixed"])
+    ap.add_argument("--shot-frac", type=float, default=0.16)
     args = ap.parse_args()
     train(args.steps, args.batch, args.lr, args.seed, args.out, args.mesh,
-          init_from=args.init_from, data=args.data)
+          init_from=args.init_from, data=args.data, shot_frac=args.shot_frac)

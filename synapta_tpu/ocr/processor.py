@@ -250,7 +250,7 @@ class TPUOCR:
         else:
             per_crop_boxes = (
                 detect_lines(crops) if self._det_mode != "db"
-                else self.db_detector.detect_lines(crops)
+                else self.db_detector.detect_lines(crops, hires=render_ctx)
             )
         if db_override:
             for i, boxes in db_override.items():
@@ -263,7 +263,13 @@ class TPUOCR:
         ):
             idx = [i for i, m in enumerate(db_mask) if m and i < crops.shape[0]]
             if idx:
-                db_boxes = self.db_detector.detect_lines(crops[np.array(idx)])
+                db_boxes = self.db_detector.detect_lines(
+                    crops[np.array(idx)],
+                    hires=(
+                        [render_ctx[i] for i in idx]
+                        if render_ctx is not None else None
+                    ),
+                )
                 for j, i in enumerate(idx):
                     if db_boxes[j]:  # keep heuristic boxes on a dry miss
                         per_crop_boxes[i] = db_boxes[j]

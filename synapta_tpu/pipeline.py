@@ -314,7 +314,10 @@ class VisualSegmentationPipeline:
         if any(scan_mask):
             flagged = [i for i, m in enumerate(scan_mask) if m]
             db_boxes = self.ocr.db_detector.detect_lines(
-                canvases[np.array(flagged)]
+                canvases[np.array(flagged)],
+                hires=(
+                    [ctxs[i] for i in flagged] if ctxs is not None else None
+                ),
             )
             overrides = {i: b for i, b in zip(flagged, db_boxes) if b}
         items: List[dict] = []

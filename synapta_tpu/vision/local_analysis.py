@@ -54,6 +54,19 @@ def classify_heuristic(
         and float(f.diag_pixels) < 60
     ):
         return VisualType.IMAGE, 0.6
+    # screenshots (spreadsheets / software windows): a ruled grid under
+    # paragraph-scale OCR across many text rows is a window capture, not a
+    # data chart — charts carry at most axis ticks + a legend. The golden
+    # Excel crop (ref extracted_visuals_excelSS, segment_type "image") is
+    # the type specimen; thresholds from ref's image-subtype text-density
+    # family (:1791-1810)
+    if (
+        ocr is not None
+        and len(text) > cfg.screenshot_gate_chars
+        and len(ocr.blocks) >= cfg.screenshot_gate_blocks
+        and C.detect_grid(f, cfg)
+    ):
+        return VisualType.IMAGE, 0.6
     has_axes_structure = C.detect_grid(f, cfg) or subtype in (
         "bar", "line", "pie", "scatter", "candlestick", "histogram"
     )

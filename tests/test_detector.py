@@ -155,3 +155,55 @@ def test_db_routes_scanned_fixture():
     hyp = norm_text(s.ocr_result.raw_text.replace("\n", " "))
     ref = norm_text(expected[0].replace("\n", " "))
     assert cer(ref, hyp) <= 0.05
+
+
+def test_refine_merges_row_fragments():
+    """Two fragments of one text row merge into a single line box; the
+    adjacent row stays separate (models/detector.refine_line_boxes)."""
+    from synapta_tpu.models.detector import refine_line_boxes
+
+    gray = np.full((64, 200), 255, np.uint8)
+    # row 1: ink spanning x 10..90 and 100..170 at y 10..20 (word gap 10px)
+    gray[10:20, 10:90] = 0
+    gray[10:20, 100:170] = 0
+    # row 2: y 30..40
+    gray[30:40, 10:170] = 0
+    frags = [[10, 10, 88, 20], [101, 10, 170, 20], [10, 30, 170, 40]]
+    out = refine_line_boxes(gray, frags)
+    assert len(out) == 2, out
+    top = min(out, key=lambda b: b[1])
+    bot = max(out, key=lambda b: b[1])
+    # merged row covers both fragments' ink
+    assert top[0] <= 10 and top[2] >= 170 and top[3] <= 25, out
+    assert bot[1] >= 28, out
+
+
+def test_refine_snap_recovers_clipped_chars_and_aa_tail():
+    """A box that clips the last characters extends over sub-word-gap ink
+    runs; antialiased edge rows (decreasing tails) stay inside the box."""
+    from synapta_tpu.models.detector import refine_line_boxes
+
+    gray = np.full((40, 160), 255, np.uint8)
+    gray[12:20, 10:120] = 0          # solid line ink x 10..120
+    gray[11, 10:120] = 100           # AA top row (faint)
+    gray[20, 10:120] = 100           # AA bottom row
+    out = refine_line_boxes(gray, [[10, 12, 106, 20]])  # clipped at x=106
+    assert len(out) == 1
+    b = out[0]
+    assert b[2] >= 119, b            # recovered the clipped tail
+    assert b[1] <= 11 and b[3] >= 21, b  # AA rows included
+
+
+def test_refine_does_not_bridge_ringing_gap():
+    """JPEG-ringing speckle between two tightly-leaded rows must not fuse
+    them vertically (the golden-crop failure mode)."""
+    from synapta_tpu.models.detector import refine_line_boxes
+
+    gray = np.full((40, 120), 255, np.uint8)
+    gray[8:16, 10:110] = 0           # row A
+    gray[22:30, 10:110] = 0          # row B
+    gray[17, 20:100:7] = 120         # ringing speckle in the gap
+    gray[19, 14:104:9] = 130
+    out = refine_line_boxes(gray, [[10, 8, 110, 16], [10, 22, 110, 30]])
+    assert len(out) == 2, out
+    assert all(b[3] - b[1] <= 14 for b in out), out
