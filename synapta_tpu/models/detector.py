@@ -596,7 +596,25 @@ def _snap_box_to_ink(gray: np.ndarray, box: List[int]) -> List[int]:
                 i += step          # decreasing antialias tail
             else:
                 break              # valley floor / far-side rise
-        return i
+        # sub-floor tail walk: descender/ascender STEMS are constant-width,
+        # so their row profile plateaus (4,4,3,3,0) and the strictly-
+        # decreasing rule above clips them at the baseline — measured as
+        # y->v, p->o, g->q substitutions on the scanned fixture. Walk
+        # through low flat ink with a bounded depth budget; abort back to
+        # the valley cut if the profile rises to the floor again (that is
+        # the far side of an inter-row valley — screenshot JPEG ringing —
+        # not a descender).
+        budget = max(2, int(round(0.4 * max(h, 3))))
+        j, walked = i, 0
+        while 0 <= j + step <= last and walked < budget:
+            nxt = float(row_ink[j + step])
+            if nxt >= floor:
+                return i           # rising into a neighbor row
+            if nxt < 1.0:
+                break              # true blank: tail fully captured
+            j += step
+            walked += 1
+        return j
 
     last = row_ink.shape[0] - 1
     ry0 = grow(cy, -1, last)
@@ -672,13 +690,46 @@ def refine_line_boxes(
                 break
         if not placed:
             groups.append([b])
+    # gap bridging: when the probability map fades mid-line, whole words
+    # between two fragments are never boxed at all (measured: 'The return'
+    # dropped from the scanned fixture's first row). The words' INK is
+    # still on the page — if the gap band between two same-row fragments
+    # carries ink across a meaningful fraction of its columns, merge the
+    # fragments so recognition reads the full row (over-long lines re-split
+    # at whitespace valleys downstream). A blank gap (true column gutter /
+    # table cell boundary) stays split.
+    def _gap_has_ink(cur: List[int], b: List[int]) -> bool:
+        gx0, gx1 = int(cur[2]), int(b[0])
+        if gx1 - gx0 < 2:
+            return False
+        gy0 = int(min(cur[1], b[1]))
+        gy1 = int(max(cur[3], b[3]))
+        band = gray[gy0:gy1, gx0:gx1]
+        if band.size == 0:
+            return False
+        # ink threshold from the union of gap band + fragment pixels (the
+        # fragments anchor the dark end; the band alone may be all
+        # background, the fragments alone may be all ink)
+        allpx = np.concatenate([
+            band.ravel(),
+            gray[gy0:gy1, max(int(cur[0]), 0):int(cur[2])].ravel(),
+            gray[gy0:gy1, int(b[0]):int(b[2])].ravel(),
+        ])
+        lo = float(np.percentile(allpx, 2))
+        hi = float(np.percentile(allpx, 98))
+        if hi - lo < 30.0:
+            return False  # flat window: no text-like contrast anywhere
+        cols_on = (band < (lo + 0.45 * (hi - lo))).any(axis=0)
+        return float(cols_on.mean()) >= 0.3
+
     out: List[List[int]] = []
     for g in groups:
         g.sort(key=lambda b: b[0])
         h_med = float(np.median([b[3] - b[1] for b in g]))
         cur = list(g[0])
         for b in g[1:]:
-            if b[0] - cur[2] <= merge_gap_heights * h_med:
+            if (b[0] - cur[2] <= merge_gap_heights * h_med
+                    or _gap_has_ink(cur, b)):
                 cur[2] = max(cur[2], b[2])
                 cur[1] = min(cur[1], b[1])
                 cur[3] = max(cur[3], b[3])

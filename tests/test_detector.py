@@ -154,7 +154,10 @@ def test_db_routes_scanned_fixture():
     s = next(s for s in segs if s.page_no == 1)
     hyp = norm_text(s.ocr_result.raw_text.replace("\n", " "))
     ref = norm_text(expected[0].replace("\n", " "))
-    assert cer(ref, hyp) <= 0.05
+    # r5 descender-plateau snap + ink-gap bridge merge: measured CER
+    # 0.002-0.008 across seeds; bar at 0.025 absorbs checkpoint drift
+    # (VERDICT r4 item 5 tightened this from the loose 0.05)
+    assert cer(ref, hyp) <= 0.025
 
 
 def test_refine_merges_row_fragments():
@@ -207,3 +210,43 @@ def test_refine_does_not_bridge_ringing_gap():
     out = refine_line_boxes(gray, [[10, 8, 110, 16], [10, 22, 110, 30]])
     assert len(out) == 2, out
     assert all(b[3] - b[1] <= 14 for b in out), out
+
+
+def test_refine_snap_keeps_plateau_descenders():
+    """Descender stems are constant-width, so the row-ink profile
+    PLATEAUS below the baseline (4,4,3,3,0). The snap must keep walking
+    through that flat low tail — clipping it turns y into v and p into o
+    (the dominant scanned-fixture error class before the fix)."""
+    from synapta_tpu.models.detector import refine_line_boxes
+
+    gray = np.full((40, 160), 255, np.uint8)
+    gray[10:20, 10:150] = 0            # x-height band
+    # two descender stems: constant 3px-wide columns from baseline down
+    # (~0.3 line heights deep, the y/p/g descender geometry)
+    for x0 in (40, 90):
+        gray[20:24, x0:x0 + 3] = 0
+    out = refine_line_boxes(gray, [[10, 10, 150, 20]])  # clipped at baseline
+    assert len(out) == 1
+    assert out[0][3] >= 24, out        # descender rows recovered
+
+
+def test_refine_bridges_gap_with_missed_ink():
+    """When the probability map fades mid-line, whole words between two
+    fragments are never boxed; the gap band still carries their ink, so
+    the fragments must merge and recognition reads the full row. A blank
+    gap (true column gutter) stays split."""
+    from synapta_tpu.models.detector import refine_line_boxes
+
+    gray = np.full((40, 300), 255, np.uint8)
+    gray[10:18, 10:100] = 0            # fragment A ink
+    gray[10:18, 130:180] = 0           # MISSED word ink in the gap
+    gray[10:18, 210:290] = 0           # fragment B ink
+    out = refine_line_boxes(gray, [[10, 10, 100, 18], [210, 10, 290, 18]])
+    assert len(out) == 1, out          # bridged across the missed word
+    assert out[0][0] <= 10 and out[0][2] >= 289, out
+
+    blank = np.full((40, 300), 255, np.uint8)
+    blank[10:18, 10:100] = 0
+    blank[10:18, 210:290] = 0          # same fragments, EMPTY gap
+    out2 = refine_line_boxes(blank, [[10, 10, 100, 18], [210, 10, 290, 18]])
+    assert len(out2) == 2, out2        # gutter respected
