@@ -283,14 +283,30 @@ uint8_t* spdf_render(void* handle, int index, double scale,
   return out;
 }
 
-// Decode an embedded image XObject to RGB8.
+// Decode an embedded image XObject to RGB8. Fills the document-level
+// decoded-image cache (spdf.h::Document::img_cache) so the subsequent
+// region rasterizations reuse this decode instead of redoing it — the
+// detection pass decodes every embedded image for variance validation
+// right before the region renders draw the same image.
 uint8_t* spdf_decode_image(void* handle, int obj_num, int* w, int* h) {
   auto* hd = (DocHandle*)handle;
   std::lock_guard<std::mutex> lock(hd->mu);
-  std::vector<uint8_t> px = decode_image_rgb(&hd->doc, obj_num, w, h);
-  if (px.empty()) return nullptr;
-  uint8_t* out = (uint8_t*)malloc(px.size());
-  memcpy(out, px.data(), px.size());
+  if (hd->doc.img_cache_bytes > Document::kImgCacheCap) {
+    hd->doc.img_cache.clear();
+    hd->doc.img_cache_bytes = 0;
+  }
+  auto& ci = hd->doc.img_cache[obj_num];
+  if (!ci.rgb_done) {
+    ObjPtr xo = hd->doc.get_object(obj_num);
+    ci.rgb = decode_image_rgb_obj(&hd->doc, xo, &ci.w, &ci.h);
+    ci.rgb_done = true;
+    hd->doc.img_cache_bytes += ci.rgb.size();
+  }
+  if (ci.rgb.empty()) return nullptr;
+  *w = ci.w;
+  *h = ci.h;
+  uint8_t* out = (uint8_t*)malloc(ci.rgb.size());
+  memcpy(out, ci.rgb.data(), ci.rgb.size());
   return out;
 }
 

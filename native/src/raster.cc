@@ -897,15 +897,7 @@ void stroke_subpath(Canvas* cv, const std::vector<std::pair<float, float>>& sp,
   }
 }
 
-struct CachedImg {
-  std::vector<uint8_t> rgb;  // empty for stencils (color comes per placement)
-  int w = 0, h = 0;
-  std::vector<uint8_t> alpha;  // empty = opaque; own dims (SMask may differ)
-  int aw = 0, ah = 0;
-};
-
-void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
-                std::unordered_map<int, CachedImg>* img_cache) {
+void blit_image(Canvas* cv, Document* doc, const RenderImage& ri) {
   const std::vector<uint8_t>* pix = nullptr;
   const std::vector<uint8_t>* alpha = nullptr;
   int iw = 0, ih = 0, aw = 0, ah = 0;
@@ -919,27 +911,35 @@ void blit_image(Canvas* cv, Document* doc, const RenderImage& ri,
       ah = ri.inline_ah;
     }
   } else {
-    auto it = img_cache->find(ri.obj_num);
-    if (it == img_cache->end()) {
-      CachedImg ci;
+    // document-level cache (spdf.h::Document::img_cache): shared with
+    // spdf_decode_image so the variance-validation decode warms the two
+    // renders. Cap check BEFORE taking any reference into the map — a
+    // clear mid-use would dangle pix/alpha.
+    if (doc->img_cache_bytes > Document::kImgCacheCap) {
+      doc->img_cache.clear();
+      doc->img_cache_bytes = 0;
+    }
+    auto& ci = doc->img_cache[ri.obj_num];
+    if (!ci.alpha_done) {
       ObjPtr xo = doc->get_object(ri.obj_num);
       ci.alpha = decode_image_alpha(doc, xo, &ci.aw, &ci.ah);
-      if (!ri.stencil) {
-        ci.rgb = decode_image_rgb_obj(doc, xo, &ci.w, &ci.h);
-      } else {
-        // stencil geometry = mask dims; pixels come from stencil_rgb
-        ci.w = ci.aw;
-        ci.h = ci.ah;
-      }
-      it = img_cache->emplace(ri.obj_num, std::move(ci)).first;
+      ci.alpha_done = true;
+      doc->img_cache_bytes += ci.alpha.size();
     }
-    pix = &it->second.rgb;
-    iw = it->second.w;
-    ih = it->second.h;
-    if (!it->second.alpha.empty()) {
-      alpha = &it->second.alpha;
-      aw = it->second.aw;
-      ah = it->second.ah;
+    if (!ri.stencil && !ci.rgb_done) {
+      ObjPtr xo = doc->get_object(ri.obj_num);
+      ci.rgb = decode_image_rgb_obj(doc, xo, &ci.w, &ci.h);
+      ci.rgb_done = true;
+      doc->img_cache_bytes += ci.rgb.size();
+    }
+    pix = &ci.rgb;
+    // stencil geometry = mask dims; pixels come from stencil_rgb
+    iw = ri.stencil ? ci.aw : ci.w;
+    ih = ri.stencil ? ci.ah : ci.h;
+    if (!ci.alpha.empty()) {
+      alpha = &ci.alpha;
+      aw = ci.aw;
+      ah = ci.ah;
     }
   }
   if (ri.stencil) {
@@ -1300,7 +1300,6 @@ std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
   }
   cv.px.assign((size_t)cv.w * cv.h * 3, bg);  // page background
 
-  std::unordered_map<int, CachedImg> img_cache;
   std::unordered_map<const DisplayList*, TileBitmap> tile_cache;
   static thread_local GlyphCache glyph_cache;
 
@@ -1403,7 +1402,7 @@ std::vector<uint8_t> rasterize(Document* doc, const DisplayList& dl,
       if (culled(ri.bounds)) continue;
       cv.bm = ri.blend_mode;
       cv.smask = mask_plane(ri.smask);
-      blit_image(&cv, doc, ri, &img_cache);
+      blit_image(&cv, doc, ri);
     } else {
       const RenderShading& sh = dl.shadings[idx];
       if (culled(sh.bounds)) continue;

@@ -135,6 +135,31 @@ class Document {
   // other mutable Document member.
   std::unordered_map<int, std::shared_ptr<struct PdfFont>> font_cache;
 
+  // document-level decoded-image cache keyed by image-XObject number.
+  // The pipeline touches each embedded image up to three times per
+  // detected region — variance validation (spdf_decode_image) plus the
+  // fitted-DPI and 150-DPI rasterizations — and a JPEG decode costs
+  // ~2 ms on the 1-core bench host; the per-rasterize-call cache this
+  // replaces only deduplicated placements WITHIN one render. rgb_done /
+  // alpha_done are separate because the validation path needs only rgb
+  // while stencil placements need only alpha — an entry may be half-
+  // filled. Size-capped (img_cache_bytes, checked at the two insertion
+  // sites): on overflow the whole map clears — hits are temporally
+  // adjacent (all three uses happen while the region is being prepared),
+  // so a full clear costs at most one extra decode per live region.
+  // Guarded by the api.cc handle mutex.
+  struct CachedImage {
+    std::vector<uint8_t> rgb;  // empty for stencils / failed decodes
+    int w = 0, h = 0;
+    bool rgb_done = false;
+    std::vector<uint8_t> alpha;  // empty = opaque; own dims (SMask)
+    int aw = 0, ah = 0;
+    bool alpha_done = false;
+  };
+  std::unordered_map<int, CachedImage> img_cache;
+  size_t img_cache_bytes = 0;
+  static constexpr size_t kImgCacheCap = 256u << 20;  // 256 MB decoded
+
  private:
   // standard security handler (crypto.cc): RC4 / AES-128, empty user pw
   void setup_encryption();

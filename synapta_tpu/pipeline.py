@@ -136,7 +136,8 @@ class VisualSegmentationPipeline:
             # of serializing on one document lock.
             self.render_doc = open_pdf(self.cfg.pdf_path,
                                        self.cfg.pdf_password)
-        self.engine = DetectionEngine(self.doc, self.cfg.detection)
+        self.engine = DetectionEngine(self.doc, self.cfg.detection,
+                                      pixels_doc=self.render_doc)
         if self.mesh is None:
             import math
 

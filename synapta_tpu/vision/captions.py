@@ -26,10 +26,18 @@ REFERENCE_PHRASES = [
     r"\bas depicted in\b",
 ]
 
+# Precompiled once: match_caption runs on EVERY text block of every page
+# (detection pass 1), and re.search's per-call flag handling profiled at
+# ~0.3 ms/page on the 1-core bench host.
+_CAPTION_RES = [
+    re.compile(p, re.IGNORECASE | re.DOTALL) for p in CAPTION_PATTERNS
+]
+_REFERENCE_RES = [re.compile(p) for p in REFERENCE_PHRASES]
+
 
 def match_caption(text: str) -> Optional[re.Match]:
-    for pattern in CAPTION_PATTERNS:
-        m = re.search(pattern, text, re.IGNORECASE | re.DOTALL)
+    for pattern in _CAPTION_RES:
+        m = pattern.search(text)
         if m:
             return m
     return None
@@ -42,7 +50,7 @@ def is_true_caption(text: str, match: re.Match,
     if match.start() >= max_offset:
         return False
     low = text.lower()
-    if any(re.search(p, low) for p in REFERENCE_PHRASES):
+    if any(p.search(low) for p in _REFERENCE_RES):
         return False
     return len(text) < max_length
 

@@ -49,9 +49,18 @@ class DetectedRegion:
 
 
 class DetectionEngine:
-    def __init__(self, doc: Document, cfg: DetectionConfig = DetectionConfig()):
+    def __init__(self, doc: Document, cfg: DetectionConfig = DetectionConfig(),
+                 pixels_doc: Optional[Document] = None):
         self.doc = doc
         self.cfg = cfg
+        # Handle used for embedded-pixel decodes (variance validation).
+        # Pointing this at the RENDER handle lets the native document-
+        # level decoded-image cache warm for the region rasterizations
+        # that follow detection (each embedded JPEG otherwise decodes
+        # 3x per region: validate + fitted-DPI render + 150-DPI render).
+        # Safe because detect and render run sequentially in the same
+        # prepare thread; defaults to `doc` for standalone use.
+        self.pixels_doc = pixels_doc or doc
 
     # ------------------------------------------------------------------ api
 
@@ -412,7 +421,9 @@ class DetectionEngine:
         for im in self.doc.page_images(page_num):
             bb = im["bbox"]
             bbox = BoundingBox(bb[0], bb[1], bb[2], bb[3], page_w, page_h)
-            pixels = self.doc.decode_image(im["obj"]) if im["obj"] else None
+            pixels = (
+                self.pixels_doc.decode_image(im["obj"]) if im["obj"] else None
+            )
             if pixels is None:
                 continue
             score, notes, variance = self._validate_embedded(
