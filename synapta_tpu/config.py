@@ -263,7 +263,7 @@ class PipelineConfig:
                                                # overlap in the depth-2 pipeline
     data_devices: Optional[int] = None         # cap for the data-parallel mesh
                                                # (None = all available chips)
-    analyze_depth: int = 2                     # super-batches the analyze
+    analyze_depth: int = 4                     # super-batches the analyze
                                                # pass stays in flight before
                                                # the host syncs it. 2 hides
                                                # the tunnel's ~0.8s device
@@ -271,8 +271,16 @@ class PipelineConfig:
                                                # prepares (A/B'd on the
                                                # 1000-page bench; 1 = the old
                                                # behavior, blocked ~0.3s per
-                                               # batch in device_pass)
-    recognize_depth: int = 1                   # same, for the recognize
+                                               # batch in device_pass).
+                                               # Raised 2 -> 4 in round 5:
+                                               # equal in good tunnel weather,
+                                               # and the extra cover absorbs
+                                               # the >2x latency swings of bad
+                                               # weather (53.5 vs 38-45
+                                               # pages/s measured on a slow-
+                                               # tunnel 300-page A/B); cost is
+                                               # only canvas-ring memory
+    recognize_depth: int = 2                   # same, for the recognize
                                                # pass: batches whose OCR
                                                # stays enqueued before
                                                # enrich syncs it. Depth 2
@@ -283,7 +291,10 @@ class PipelineConfig:
                                                # paces the loop, so the
                                                # ocr-sync wait only
                                                # redistributes. Knob kept
-                                               # for faster links
+                                               # for faster links; raised
+                                               # 1 -> 2 in round 5 with
+                                               # analyze_depth for bad-
+                                               # weather latency cover
     loader_workers: int = 0                    # prepare (detect+render) worker
                                                # PROCESSES; 0 = in-process.
                                                # >0 only pays on multi-core

@@ -195,7 +195,6 @@ def prepare_batch(
             if isinstance(item, Exception):
                 raise item
             arr, ctx_val, png = item
-            png_bytes = png.result() if hasattr(png, "result") else png
             h = min(arr.shape[0], canvas_size)
             w = min(arr.shape[1], canvas_size)
             canvases[i, :h, :w] = arr[:h, :w]
@@ -207,7 +206,13 @@ def prepare_batch(
                 canvases[i, h:] = 255
             dims.append((h, w))
             ctxs.append(ctx_val)
-            pngs.append(png_bytes)
+            # pngs may hold FUTURES (png_pool path): the consumer resolves
+            # them at segment-build time, several pipeline stages later —
+            # by then the encode thread has run inside the device-sync
+            # waits (ctypes/zlib release the GIL), so on the 1-core host
+            # the encode cost hides under tunnel latency instead of
+            # serializing after the renders (resolve_pngs below).
+            pngs.append(png)
             keep.append(True)
         except Exception:
             log.exception(
@@ -220,6 +225,22 @@ def prepare_batch(
             ctxs.append(None)
 
     return regions, canvases, dims, pngs, keep, ctxs
+
+
+def resolve_pngs(pngs: List[Any]) -> List[bytes]:
+    """Materialize deferred PNG encodes (futures from prepare_batch's
+    png_pool path; plain bytes pass through). A failed encode resolves to
+    b'' rather than poisoning the whole batch."""
+    out: List[bytes] = []
+    for p in pngs:
+        if hasattr(p, "result"):
+            try:
+                p = p.result()
+            except Exception:
+                log.exception("deferred png encode failed")
+                p = b""
+        out.append(p)
+    return out
 
 
 # ---------------------------------------------------------------- workers
@@ -249,10 +270,16 @@ def _worker_prepare(pdf_path: str, det_cfg, canvas_size: int,
     if _PNG_POOL is None:
         _PNG_POOL = ThreadPoolExecutor(max_workers=2,
                                        thread_name_prefix="png")
-    return prepare_batch(
+    pb = prepare_batch(
         engine, render_doc, det_cfg.render_dpi, canvas_size, list(pages),
         png_pool=_PNG_POOL,
     )
+    if pb is None:
+        return None
+    # futures cannot pickle across the process boundary — and a worker
+    # has its own core, so there is no device wait to hide them under
+    regions, canvases, dims, pngs, keep, ctxs = pb
+    return regions, canvases, dims, resolve_pngs(pngs), keep, ctxs
 
 
 _POOL: Optional[ProcessPoolExecutor] = None

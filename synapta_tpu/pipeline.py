@@ -378,6 +378,12 @@ class VisualSegmentationPipeline:
     def _consume_batch(self, prepared, feats, ocr_results) -> None:
         """Enrichment stage for one prepared batch."""
         regions, canvases, dims, pngs, keep, ctxs = prepared
+        # deferred PNG encodes resolve here, two pipeline stages after
+        # prepare — the encode thread ran during the analyze/recognize
+        # tunnel waits, so this is normally a no-op collect
+        from synapta_tpu.io.loader import resolve_pngs
+
+        pngs = resolve_pngs(pngs)
         arrows = [
             C.count_arrows(
                 C.CropFeatures(feats, i, dims[i][0], dims[i][1]),
