@@ -193,14 +193,23 @@ class DetectionEngine:
         ]
         image_bounds = self._union(images) if images else None
 
-        ws_boundary = self._find_whitespace_boundary(page_num, y_start, y_end)
+        # one band filter shared by the three text-signal scans below —
+        # they each applied the identical y-window to the full block list
+        # (three passes per caption; profiled on the 1000-page bench)
+        band_blocks = [
+            b for b in self.doc.page_text_blocks(page_num)
+            if y_start <= b["bbox"][1] < y_end
+        ]
+        ws_boundary = self._find_whitespace_boundary(
+            page_num, y_start, y_end, band_blocks
+        )
         text_boundary = self._find_text_boundary(
-            page_num, y_start, y_end, page_w
+            page_num, y_start, y_end, page_w, band_blocks
         )
         figure_text = [
             bb
             for bb in self._figure_text_blocks(page_num, y_start, y_end,
-                                               page_w)
+                                               page_w, band_blocks)
             if h_ok(bb)
         ]
         return self._combine_signals(
@@ -209,15 +218,19 @@ class DetectionEngine:
         )
 
     def _figure_text_blocks(self, page_num: int, y_start: float, y_end: float,
-                            page_w: float) -> List[List[float]]:
+                            page_w: float,
+                            band_blocks=None) -> List[List[float]]:
         """Non-body text blocks in the search band — in-figure labels
         (legends, ticks, node text) that must not be clipped off."""
         cfg = self.cfg
+        if band_blocks is None:
+            band_blocks = [
+                b for b in self.doc.page_text_blocks(page_num)
+                if y_start <= b["bbox"][1] < y_end
+            ]
         out = []
-        for b in self.doc.page_text_blocks(page_num):
+        for b in band_blocks:
             bb = b["bbox"]
-            if not (y_start <= bb[1] < y_end):
-                continue
             text = (b.get("text") or "").strip()
             is_body = (
                 bb[2] - bb[0] > page_w * cfg.body_text_width_frac
@@ -242,14 +255,19 @@ class DetectionEngine:
         )
 
     def _find_whitespace_boundary(self, page_num: int, y_start: float,
-                                  y_end: float) -> Optional[float]:
+                                  y_end: float,
+                                  band_blocks=None) -> Optional[float]:
         """Largest vertical text gap in the search band (ref :3322-3363).
         Returns the y where the visual likely begins."""
         cfg = self.cfg
+        if band_blocks is None:
+            band_blocks = [
+                b for b in self.doc.page_text_blocks(page_num)
+                if y_start <= b["bbox"][1] < y_end
+            ]
         rows = [
             {"top": b["bbox"][1], "bottom": b["bbox"][3]}
-            for b in self.doc.page_text_blocks(page_num)
-            if y_start <= b["bbox"][1] < y_end
+            for b in band_blocks
         ]
         if not rows:
             return None
@@ -264,16 +282,20 @@ class DetectionEngine:
         return None
 
     def _find_text_boundary(
-        self, page_num: int, y_start: float, y_end: float, page_w: float
+        self, page_num: int, y_start: float, y_end: float, page_w: float,
+        band_blocks=None,
     ) -> Optional[Tuple[Optional[float], float, Optional[float]]]:
         """Body-paragraph vs figure-label analysis (ref :3365-3424).
         Returns (x0, y_top, x1) with None for unconstrained axes."""
         cfg = self.cfg
+        if band_blocks is None:
+            band_blocks = [
+                b for b in self.doc.page_text_blocks(page_num)
+                if y_start <= b["bbox"][1] < y_end
+            ]
         body, figure_text = [], []
-        for b in self.doc.page_text_blocks(page_num):
+        for b in band_blocks:
             bb = b["bbox"]
-            if not (y_start <= bb[1] < y_end):
-                continue
             text = (b.get("text") or "").strip()
             width = bb[2] - bb[0]
             height = bb[3] - bb[1]
